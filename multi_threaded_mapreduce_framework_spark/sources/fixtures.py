@@ -1,0 +1,60 @@
+"""Parquet fixture loaders (TESTDATA.md / FIXTURES.md schemas).
+
+The reference engine takes caller-provided in-memory vectors as input
+(reference ``MapReduceClient.h:50,52``); the Spark engine's inputs are
+columnar parquet scans, so Catalyst's column pruning and predicate
+pushdown reach the file reader for free.
+
+Special case: ``events.ts`` is stored as parquet INT64 TIMESTAMP(NANOS),
+which Spark's vectorized reader rejects. We read it as a raw long
+(``spark.sql.legacy.parquet.nanosAsLong``) and truncate to microsecond
+timestamps — the identical truncation DuckDB's ``epoch_us`` applies, so
+oracle comparisons stay exact.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table; normalizes ``events.ts`` to TimestampType."""
+    if name == "events":
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass
+        df = spark.read.parquet(table_path(sf_dir, name))
+        if dict(df.dtypes).get("ts") == "bigint":
+            # ns -> us truncation == DuckDB epoch_us(ts); session tz is UTC
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
+    """Register each fixture as a temp view (for spark.sql-style access)."""
+    for name in tables:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
