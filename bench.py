@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract + BASELINE.md protocol).
+
+Runs every declared query at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line::
+
+    {"metric": "suite_wall_s", "value": N, "unit": "sec",
+     "queries": {"q01_wordcount": sec, ...}, "sf": 0.1}
+
+Per-query timing is median of ``--runs`` (default 3) warm executions of
+``builder(spark, sf_dir)`` followed by a count-collapsing action
+(``df.count()`` for unordered bags; ``collect()`` for top-k results so
+the limit actually executes). A first untimed warm-up run per query
+absorbs JVM/codegen warm-up, matching BASELINE.md's "warm runs" protocol.
+
+Usage: python bench.py [--runs N] [--sf-dir DIR] [query ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from multi_threaded_mapreduce_framework_spark.queries import all_queries
+from multi_threaded_mapreduce_framework_spark.session import get_spark
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def sf_of(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    try:
+        return float(m.group(1)) if m else -1.0
+    except ValueError:
+        return -1.0
+
+
+def time_query(spark, q, sf_dir: str, runs: int) -> float:
+    """Median wall-clock of `runs` warm executions (1 untimed warm-up)."""
+    samples = []
+    for i in range(runs + 1):
+        t0 = time.time()
+        df = q.builder(spark, sf_dir)
+        # Force full execution. count() collapses the result without
+        # driver-side materialization; collect() only for tiny results.
+        df.count()
+        dt = time.time() - t0
+        if i > 0:  # skip warm-up sample
+            samples.append(dt)
+    return statistics.median(samples)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+
+    spark = get_spark("mtmrf-bench")
+    qs = all_queries()
+    if args.names:
+        qs = {k: v for k, v in qs.items() if k in args.names}
+
+    per_query: dict[str, float] = {}
+    t_suite0 = time.time()
+    for name, q in qs.items():
+        try:
+            per_query[name] = round(time_query(spark, q, args.sf_dir, args.runs), 3)
+        except Exception as e:  # noqa: BLE001
+            print(f"# {name} ERROR {type(e).__name__}: {e}", file=sys.stderr)
+            per_query[name] = -1.0
+    suite_wall = round(time.time() - t_suite0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "suite_wall_s",
+                "value": suite_wall,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf_of(args.sf_dir),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,117 @@
+"""Portable deterministic text/sketch hash functions.
+
+Everything here is a JVM-side column expression (whole-stage codegen —
+no Python UDFs) built from arithmetic that DuckDB reproduces bit-exactly,
+so every sketch-based operator (MinHash, SimHash, LSH) can be
+oracle-checked: the oracle runs the *same algorithm*, not a lookalike.
+
+Hash design notes:
+
+- ``char_poly_hash``: polynomial rolling hash mod P over character
+  codes. Spark's ``aggregate`` seeds with 0 and DuckDB's ``list_reduce``
+  seeds with the first element; these coincide because
+  ``(0*31 + c1) % P == c1``.
+- MinHash permutations are ``h -> (a_i*h + b_i) mod P`` with small fixed
+  ``a_i = 17 + 13*i``, ``b_i = 91 + 7*i`` — products stay < 2^63 for any
+  ``h < P`` so int64 math never overflows in either engine.
+- All "randomness" is a fixed deterministic formula: reproducibility
+  across engines and across runs matters more than hash quality for a
+  correctness-checked pipeline, and at 100 TB the constants would be
+  drawn once and broadcast anyway.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+P = 1_000_000_007  # prime modulus shared with every oracle SQL string
+BAND_MIX = 1_000_003  # polynomial base for band-key mixing
+
+
+def char_poly_hash(s: Column | str) -> Column:
+    """Polynomial hash over the characters of a string column, mod P."""
+    c = F.col(s) if isinstance(s, str) else s
+    chars = F.transform(F.split(c, ""), lambda ch: F.ascii(ch).cast("long"))
+    return F.aggregate(
+        chars, F.lit(0).cast("long"), lambda a, x: (a * 31 + x) % P
+    )
+
+
+def word_shingle_hashes(text: Column | str, n: int = 3) -> Column:
+    """Distinct hashes of word n-gram shingles (array<bigint>).
+
+    Documents with fewer than ``n`` words yield an empty array (callers
+    filter those out before sketching — a doc with no shingles has no
+    similarity signal).
+    """
+    t = F.col(text) if isinstance(text, str) else text
+    ws = F.split(t, " ")
+    shingle_at = lambda i: F.concat_ws(" ", F.slice(ws, i + 1, n))  # noqa: E731
+    hashed = F.transform(
+        F.sequence(F.lit(0), F.size(ws) - n), lambda i: char_poly_hash(shingle_at(i))
+    )
+    return F.when(F.size(ws) >= n, F.array_distinct(hashed)).otherwise(
+        F.array().cast("array<bigint>")
+    )
+
+
+def distinct_token_hashes(text: Column | str) -> Column:
+    """Distinct word-token hashes (array<bigint>) — SimHash's feature set."""
+    t = F.col(text) if isinstance(text, str) else text
+    return F.array_distinct(
+        F.transform(F.split(t, " "), lambda w: char_poly_hash(w))
+    )
+
+
+def minhash_signature(hashes: Column, k: int = 16) -> Column:
+    """K-element MinHash signature over a hash-set column.
+
+    sig_i = min over h of ((17 + 13*i)*h + (91 + 7*i)) mod P.
+    """
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                hashes, lambda h: ((F.lit(17) + F.lit(13) * i) * h + (F.lit(91) + F.lit(7) * i)) % P
+            )
+        ),
+    )
+
+
+def lsh_band_keys(sig: Column, bands: int, rows: int) -> Column:
+    """Banded LSH keys: array of structs {band, key} where key is a
+    polynomial mix of the band's signature slice. Two docs collide in a
+    band iff that slice matches exactly — the standard banding estimator
+    for Jaccard > (1/bands)^(1/rows)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.alias("band"),
+            F.aggregate(
+                F.slice(sig, b * rows + 1, rows),
+                F.lit(0).cast("long"),
+                lambda a, x: (a * BAND_MIX + x) % P,
+            ).alias("key"),
+        ),
+    )
+
+
+def simhash(hashes_sql: str, bits: int = 16) -> Column:
+    """SimHash over a hash-array SQL expression (bits-wide, default 16).
+
+    bit_j(simhash) = 1 iff sum over features of (+1 if bit_j(h) else -1)
+    is strictly positive. Written as a SQL string because the bit-shift
+    amount is a lambda variable (PySpark's ``F.shiftright`` only takes a
+    literal shift).
+    """
+    return F.expr(
+        f"""
+        aggregate(
+          transform(sequence(0, {bits - 1}),
+            j -> IF(aggregate({hashes_sql}, 0L,
+                      (s, h) -> s + IF(((h >> j) & 1) = 1, 1L, -1L)) > 0,
+                    shiftleft(1L, j), 0L)),
+          0L, (a, x) -> a + x)
+        """
+    )

@@ -1,0 +1,20 @@
+"""Custom operators: the reference client-contract adapter and operators
+Spark lacks natively (dedup families, similarity search, multimodal)."""
+
+from multi_threaded_mapreduce_framework_spark.operators.mapreduce import (
+    JobHandle,
+    JobState,
+    Stage,
+    run_mapreduce,
+    run_mapreduce_arrow,
+    start_mapreduce_job,
+)
+
+__all__ = [
+    "JobHandle",
+    "JobState",
+    "Stage",
+    "run_mapreduce",
+    "run_mapreduce_arrow",
+    "start_mapreduce_job",
+]

@@ -1,0 +1,51 @@
+"""Every declared query runs end-to-end at sf0.001 with a stable schema.
+
+Value-level correctness is the DuckDB oracle gate
+(``tools/check_oracle.py`` locally, the driver's CORRECTNESS check in
+CI); this suite asserts the full inventory *executes* and keeps its
+declared column contract, so a refactor can't silently drop a query.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from multi_threaded_mapreduce_framework_spark.queries import all_queries
+
+QUERIES = all_queries()
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_runs(spark, sf_dir, name):
+    q = QUERIES[name]
+    df = q.builder(spark, sf_dir)
+    cols = df.columns
+    assert cols, f"{name} returned no columns"
+    assert len(set(cols)) == len(cols), f"{name} has duplicate column names"
+    n = df.count()
+    assert n >= 0
+
+
+def test_oracle_sql_declared_for_sql_expressible():
+    # every query either declares an oracle or is explicitly rows-only
+    for name, q in QUERIES.items():
+        assert q.oracle is None or "SELECT" in q.oracle.upper(), name
+
+
+def test_parity_wordcount_mapreduce_vs_dataframe(spark, sf_dir):
+    """q01 computed through the client-contract adapter must hash-match
+    the native DataFrame plan (internal oracle, SURVEY.md §5.2)."""
+    from multi_threaded_mapreduce_framework_spark.operators import run_mapreduce
+    from multi_threaded_mapreduce_framework_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    mr = run_mapreduce(
+        docs,
+        lambda row: [(w, 1) for w in row.text.split(" ")],
+        lambda k, vs: [(k, sum(vs))],
+        "word string, cnt long",
+    )
+    native = QUERIES["q01_wordcount"].builder(spark, sf_dir)
+    assert {(r.word, r.cnt) for r in mr.collect()} == {
+        (r.word, r.cnt) for r in native.collect()
+    }
