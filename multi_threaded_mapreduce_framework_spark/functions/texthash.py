@@ -29,6 +29,18 @@ P = 1_000_000_007  # prime modulus shared with every oracle SQL string
 BAND_MIX = 1_000_003  # polynomial base for band-key mixing
 
 
+def let(bound: Column, body) -> Column:
+    """Bind an expensive expression to a lambda variable: evaluate
+    ``bound`` once, pass it to ``body`` as a variable reference.
+
+    Implemented as ``transform(array(bound), x -> body(x))[1]``. Without
+    this, a subexpression referenced N times is *inlined* N times into
+    the Catalyst tree — for nested array expressions that multiplies
+    both optimizer time (tree-size blowup) and runtime work.
+    """
+    return F.element_at(F.transform(F.array(bound), body), 1)
+
+
 def char_poly_hash(s: Column | str) -> Column:
     """Polynomial hash over the characters of a string column, mod P."""
     c = F.col(s) if isinstance(s, str) else s
@@ -41,19 +53,31 @@ def char_poly_hash(s: Column | str) -> Column:
 def word_shingle_hashes(text: Column | str, n: int = 3) -> Column:
     """Distinct hashes of word n-gram shingles (array<bigint>).
 
+    Each word's characters are hashed once (``char_poly_hash``), then a
+    shingle hash polynomially mixes its ``n`` word hashes — O(chars +
+    shingles) work instead of O(shingles * shingle_len) naive re-hashing.
     Documents with fewer than ``n`` words yield an empty array (callers
     filter those out before sketching — a doc with no shingles has no
     similarity signal).
     """
     t = F.col(text) if isinstance(text, str) else text
-    ws = F.split(t, " ")
-    shingle_at = lambda i: F.concat_ws(" ", F.slice(ws, i + 1, n))  # noqa: E731
-    hashed = F.transform(
-        F.sequence(F.lit(0), F.size(ws) - n), lambda i: char_poly_hash(shingle_at(i))
-    )
-    return F.when(F.size(ws) >= n, F.array_distinct(hashed)).otherwise(
-        F.array().cast("array<bigint>")
-    )
+    wh_expr = F.transform(F.split(t, " "), lambda w: char_poly_hash(w))
+
+    def body(wh: Column) -> Column:
+        def shingle_at(i: Column) -> Column:
+            # element_at is 1-based (mirrors DuckDB list indexing)
+            acc = F.element_at(wh, i + 1)
+            for j in range(1, n):
+                acc = (acc * BAND_MIX + F.element_at(wh, i + 1 + j)) % P
+            return acc
+
+        hashed = F.transform(F.sequence(F.lit(0), F.size(wh) - n), shingle_at)
+        return F.when(F.size(wh) >= n, F.array_distinct(hashed)).otherwise(
+            F.array().cast("array<bigint>")
+        )
+
+    # let-bind the word-hash array: it is referenced n+2 times in body
+    return let(wh_expr, body)
 
 
 def distinct_token_hashes(text: Column | str) -> Column:

@@ -1,0 +1,71 @@
+"""Parse Spark physical plans for quality assertions (see package doc)."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def executed_plan(df: DataFrame) -> str:
+    """The physical plan string (post-planning, pre-execution AQE)."""
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def formatted_plan(df: DataFrame) -> str:
+    """`explain('formatted')` text, returned instead of printed."""
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """All PushedFilters entries of every scan in the plan."""
+    plan = formatted_plan(df)
+    out: list[str] = []
+    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", plan):
+        if m.group(1).strip():
+            out.extend(s.strip() for s in m.group(1).split(","))
+    return out
+
+
+def read_schema_columns(df: DataFrame) -> set[str]:
+    """Union of column names every file scan actually reads (column
+    pruning check: a 2-column query must not read 16 columns)."""
+    plan = formatted_plan(df)
+    cols: set[str] = set()
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        for field in m.group(1).split(","):
+            name = field.split(":")[0].strip()
+            if name:
+                cols.add(name)
+    return cols
+
+
+def has_broadcast_join(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in executed_plan(df) or "BroadcastNestedLoopJoin" in executed_plan(df)
+
+
+def has_partial_aggregate(df: DataFrame) -> bool:
+    """True when the aggregation has a map-side partial phase (the
+    map-side-combine upgrade over the reference's full-shuffle design,
+    reference MapReduceFramework.cpp:160-218)."""
+    plan = executed_plan(df)
+    return bool(re.search(r"HashAggregate\(.*keys=.*functions=\[partial_", plan)) or (
+        "partial_" in plan and "HashAggregate" in plan
+    )
+
+
+def num_exchanges(df: DataFrame) -> int:
+    """Number of shuffle exchanges (excludes broadcast exchanges)."""
+    plan = executed_plan(df)
+    return len(re.findall(r"Exchange (?:hashpartitioning|rangepartitioning|SinglePartition)", plan))
+
+
+def wholestage_codegen_ids(df: DataFrame) -> set[int]:
+    """Distinct WholeStageCodegen span ids — wider spans = more of the
+    plan fused into generated JVM code."""
+    return {
+        int(m.group(1))
+        for m in re.finditer(r"WholeStageCodegen \((\d+)\)", executed_plan(df))
+    }

@@ -29,6 +29,8 @@ _QUERY_MODULES = (
     "multi_threaded_mapreduce_framework_spark.queries.t2_text",
     "multi_threaded_mapreduce_framework_spark.queries.t2_vector",
     "multi_threaded_mapreduce_framework_spark.queries.pipeline",
+    "multi_threaded_mapreduce_framework_spark.queries.t2_dedup",
+    "multi_threaded_mapreduce_framework_spark.queries.relational2",
 )
 
 

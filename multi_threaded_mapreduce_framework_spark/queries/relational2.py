@@ -1,0 +1,263 @@
+"""Tier T1 extension — wider relational surface (q40-q50).
+
+Grouping-set family, full-outer join, exact percentiles, stats
+aggregates, pivot, subquery forms, array collection, ntile, and the
+client-contract adapter itself as a declared (oracle-checked) query.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Window
+
+from multi_threaded_mapreduce_framework_spark.queries.registry import register
+from multi_threaded_mapreduce_framework_spark.sources import load_table
+
+
+@register(
+    "q40_cube",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(grouping(l_returnflag)*2 + grouping(l_linestatus) AS BIGINT) AS gid,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+)
+def q40_cube(spark, sf_dir):
+    """CUBE over two grouping columns with grouping-id disambiguation
+    (null-valued group cells vs real nulls). Spark plans this as a
+    single Expand + one aggregation — no per-grouping-set rescan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().cast("bigint").alias("gid"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    ).select("l_returnflag", "l_linestatus", "gid", "sum_qty")
+
+
+@register(
+    "q41_grouping_sets",
+    oracle="""
+SELECT l_returnflag, l_linestatus, count(*) AS cnt
+FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+""",
+)
+def q41_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (two disjoint single-column sets) via the
+    SQL surface — one Expand, one shuffle, not two scans unioned."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, count(*) AS cnt
+        FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """
+    )
+
+
+@register(
+    "q42_full_outer",
+    oracle="""
+SELECT CASE WHEN c_custkey IS NULL THEN 'order_only'
+            WHEN o_orderkey IS NULL THEN 'customer_only'
+            ELSE 'both' END AS side,
+       count(*) AS cnt
+FROM customer FULL OUTER JOIN orders ON c_custkey = o_custkey
+GROUP BY 1
+""",
+)
+def q42_full_outer(spark, sf_dir):
+    """FULL OUTER join null-pattern census — exercises both unmatched
+    sides in one pass (SMJ; full-outer can't broadcast either side)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    side = (
+        F.when(F.col("c_custkey").isNull(), "order_only")
+        .when(F.col("o_orderkey").isNull(), "customer_only")
+        .otherwise("both")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "full_outer")
+        .select(side.alias("side"))
+        .groupBy("side")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@register(
+    "q43_percentiles",
+    oracle="""
+SELECT l_linestatus,
+       round(quantile_cont(l_quantity, 0.5), 2) AS p50,
+       round(quantile_cont(l_quantity, 0.9), 2) AS p90
+FROM lineitem GROUP BY l_linestatus
+""",
+)
+def q43_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles per group (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``). Exact percentile is a sort-based
+    aggregate; the 100 TB path swaps in ``approx_percentile`` (KLL-style
+    sketch, mergeable, single pass) at a declared error bound."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 2).alias("p50"),
+        F.round(F.expr("percentile(l_quantity, 0.9)"), 2).alias("p90"),
+    )
+
+
+@register(
+    "q44_stats_agg",
+    oracle="""
+SELECT o_orderpriority, count(*) AS cnt,
+       round(avg(o_totalprice), 2) AS avg_price,
+       round(stddev_samp(o_totalprice)/1000, 2) AS sd_k
+FROM orders GROUP BY o_orderpriority
+""",
+)
+def q44_stats_agg(spark, sf_dir):
+    """Moment aggregates (avg, sample stddev). stddev is reported in
+    thousands so residual float-summation-order noise stays far below
+    the rounding quantum on both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        F.round(F.stddev_samp("o_totalprice") / 1000, 2).alias("sd_k"),
+    )
+
+
+@register(
+    "q45_pivot",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS F,
+       CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS O,
+       CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS P
+FROM orders GROUP BY o_orderpriority
+""",
+)
+def q45_pivot(spark, sf_dir):
+    """Pivot on order status with an explicit value list (no extra
+    distinct-values scan) — conditional-count cross-tab; empty cells
+    are 0, not null, to match the FILTER form."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .na.fill(0, ["F", "O", "P"])
+    )
+
+
+@register(
+    "q46_exists_subquery",
+    oracle="""
+SELECT c_mktsegment, count(*) AS cnt
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+GROUP BY c_mktsegment
+""",
+)
+def q46_exists_subquery(spark, sf_dir):
+    """Correlated EXISTS with an extra predicate == left-semi join of a
+    filtered build side (filter applied *before* the join, shrinking the
+    shuffle/broadcast side)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@register(
+    "q47_scalar_subquery",
+    oracle="""
+SELECT o_orderstatus, count(*) AS cnt
+FROM orders
+WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+GROUP BY o_orderstatus
+""",
+)
+def q47_scalar_subquery(spark, sf_dir):
+    """Uncorrelated scalar subquery: above-global-average filter. The
+    1-row aggregate is broadcast into the filter — two passes over
+    orders, no shuffle of the filtered side before aggregation."""
+    o = load_table(spark, sf_dir, "orders")
+    avg_price = o.agg(F.avg("o_totalprice").alias("avg_price"))
+    return (
+        o.crossJoin(F.broadcast(avg_price))
+        .filter(F.col("o_totalprice") > F.col("avg_price"))
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@register(
+    "q48_array_collect",
+    oracle="""
+SELECT user_id, array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types
+FROM events GROUP BY user_id
+""",
+)
+def q48_array_collect(spark, sf_dir):
+    """Set collection per group rendered as a sorted CSV string —
+    collect_set is unordered on both engines, so the sort is what makes
+    the result deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.array_join(F.sort_array(F.collect_set("event_type")), ",").alias("types")
+    )
+
+
+@register(
+    "q49_ntile",
+    oracle="""
+SELECT bucket, count(*) AS cnt, round(min(o_totalprice), 2) AS min_price
+FROM (SELECT o_totalprice,
+             ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+      FROM orders)
+GROUP BY bucket
+""",
+)
+def q49_ntile(spark, sf_dir):
+    """Quartile bucketing via ntile over a global order (deterministic
+    tiebreak on the key). A total-order window is single-partition by
+    nature; at 100 TB the equivalent is approx_percentile cut points +
+    a map-side bucket assignment, not a global window."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select("o_totalprice", F.ntile(4).over(w).alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        )
+    )
+
+
+@register(
+    "q50_mapreduce_wordcount",
+    oracle="""
+SELECT word, count(*) AS cnt
+FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+GROUP BY word
+""",
+)
+def q50_mapreduce_wordcount(spark, sf_dir):
+    """q01 executed through the reference client-contract adapter
+    (``run_mapreduce``: rdd.flatMap -> groupByKey -> per-group reduce,
+    the reference's exact semantics) — declares the MapReduce API
+    surface itself in the oracle-checked inventory. Deliberately the
+    slow path (no partial aggregation, Python per row); q01 is the
+    Catalyst form."""
+    from multi_threaded_mapreduce_framework_spark.operators import run_mapreduce
+
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    return run_mapreduce(
+        docs,
+        lambda row: [(w, 1) for w in row.text.split(" ")],
+        lambda k, vs: [(k, sum(vs))],
+        "word string, cnt long",
+    )

@@ -1,0 +1,356 @@
+"""Scale-path dedup & similarity operators (q35-q39).
+
+The dedup family a 100 TB training-data pipeline needs, beyond the exact
+(q25) and brute-force (q27/q28) baselines already in the inventory:
+
+- q35 MinHash + banded LSH near-dup pairs (the scale path for q27)
+- q36 SimHash duplicate clusters
+- q37 embedding-cosine near-dup pairs (brute force baseline)
+- q38 LSH-bucketed approximate nearest neighbors (the scale path for q28)
+- q39 IVF coarse quantization (the partition-pruning building block)
+
+Every sketch uses the portable deterministic hashes from
+``functions.texthash`` so the DuckDB oracle runs the SAME algorithm —
+these are oracle-checked end to end, not rows-only.
+
+Scale notes (100 TB): the whole point of q35/q38 vs q27/q28 is the join
+structure. q27's inverted-index self-join shuffles one row per (doc,
+shared-token) pair — quadratic blowup on common tokens; q35 shuffles
+exactly bands×1 rows per doc and joins only within LSH buckets. q28
+scans everything per probe; q38 prunes to one bucket (and q39's
+centroid assignment is how you'd physically partition the corpus so a
+probe reads 1/K of the data).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Window
+
+from multi_threaded_mapreduce_framework_spark.functions.texthash import (
+    BAND_MIX,
+    P,
+    distinct_token_hashes,
+    lsh_band_keys,
+    minhash_signature,
+    simhash,
+    word_shingle_hashes,
+)
+from multi_threaded_mapreduce_framework_spark.functions.vector import cosine_similarity
+from multi_threaded_mapreduce_framework_spark.queries.registry import register
+from multi_threaded_mapreduce_framework_spark.sources import load_table
+
+MINHASH_K = 16
+LSH_BANDS = 4
+LSH_ROWS = 4
+JACCARD_THRESHOLD = 0.5
+COSINE_NEARDUP_THRESHOLD = 0.4
+ANN_PLANES = 4
+IVF_CENTROIDS = 8
+
+# DuckDB fragment: distinct word-3-shingle hashes per document — hash
+# each word's chars once (portable char_poly_hash; list_reduce's
+# first-element seed coincides with Spark's 0 seed because
+# (0*31+c1)%P == c1), then polynomially mix 3 word hashes per shingle.
+_DUCK_SHINGLES = f"""
+  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(wh)-2),
+    i -> ((wh[i]*{BAND_MIX} + wh[i+1]) % {P} * {BAND_MIX} + wh[i+2]) % {P})) AS hs
+  FROM (SELECT doc_id, list_transform(string_split(text, ' '),
+          w -> list_reduce(list_transform(string_split(w, ''),
+                c -> CAST(ascii(c) AS BIGINT)), (a,b) -> (a*31+b) % {P})) AS wh
+        FROM documents)
+"""
+
+
+@register(
+    "q35_minhash_lsh",
+    tier="T2",
+    oracle=f"""
+WITH sh AS ({_DUCK_SHINGLES}),
+shf AS (SELECT * FROM sh WHERE len(hs) > 0),
+sig AS (
+  SELECT doc_id, hs, list_transform(generate_series(0, {MINHASH_K - 1}),
+    i -> list_min(list_transform(hs, h -> ((17+13*i)*h + (91+7*i)) % {P}))) AS sig
+  FROM shf),
+bands AS (
+  SELECT doc_id, t.b AS band,
+         list_reduce(sig[t.b*{LSH_ROWS}+1 : t.b*{LSH_ROWS}+{LSH_ROWS}],
+                     (a,x) -> (a*{BAND_MIX}+x) % {P}) AS key
+  FROM sig CROSS JOIN unnest(generate_series(0, {LSH_BANDS - 1})) AS t(b)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+                            AND a.doc_id < b.doc_id),
+pairs AS (
+  SELECT d1, d2, len(list_intersect(x.hs, y.hs)) AS i,
+         len(x.hs) AS n1, len(y.hs) AS n2
+  FROM cand JOIN shf x ON x.doc_id = d1 JOIN shf y ON y.doc_id = d2)
+SELECT d1, d2, round(CAST(i AS DOUBLE)/(n1+n2-i), 2) AS jaccard
+FROM pairs WHERE CAST(i AS DOUBLE)/(n1+n2-i) >= {JACCARD_THRESHOLD}
+""",
+)
+def q35_minhash_lsh(spark, sf_dir):
+    """MinHash(16) + LSH(4 bands x 4 rows) near-duplicate pairs with
+    exact-Jaccard verification at 0.5 — the scale path for near-dedup.
+
+    Plan shape: one scan computes shingle hashes, signature, and band
+    keys (all codegen'd array expressions, no shuffle); explode to
+    bands x docs rows; the only joins are (a) the bucket self-join on
+    (band, key) — candidates only, never all pairs — and (b) a join
+    back to the shingle sets for exact verification of the (tiny)
+    candidate set.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        docs.select("doc_id", word_shingle_hashes("text").alias("hs"))
+        .filter(F.size("hs") > 0)
+    )
+    sig = sh.select(
+        "doc_id", "hs", minhash_signature(F.col("hs"), MINHASH_K).alias("sig")
+    )
+    # carry the shingle set through the bucket join: the verify step then
+    # needs no join-back, so the sketch subtree is evaluated twice (the
+    # two join sides) instead of four times
+    bands = sig.select(
+        "doc_id",
+        "hs",
+        F.explode(lsh_band_keys(F.col("sig"), LSH_BANDS, LSH_ROWS)).alias("bk"),
+    ).select("doc_id", "hs", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a, b = bands.alias("a"), bands.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.hs"), F.col("b.hs")))
+    union = F.size(F.col("a.hs")) + F.size(F.col("b.hs")) - inter
+    jac = inter.cast("double") / union
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            F.round(jac, 2).alias("jaccard"),
+        )
+        .distinct()  # a pair colliding in several bands dedupes here
+    )
+
+
+@register(
+    "q36_simhash",
+    tier="T2",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, list_distinct(list_transform(string_split(text, ' '),
+    w -> list_reduce(list_transform(string_split(w, ''),
+          c -> CAST(ascii(c) AS BIGINT)), (a,b) -> (a*31+b) % {P}))) AS hs
+  FROM documents),
+sh AS (
+  SELECT doc_id, CAST(list_sum(list_transform(generate_series(0, 15),
+    j -> CASE WHEN list_sum(list_transform(hs,
+               h -> CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END)) > 0
+         THEN (1 << j) ELSE 0 END)) AS BIGINT) AS simhash
+  FROM tok)
+SELECT simhash, count(*) AS cluster_size, min(doc_id) AS exemplar
+FROM sh GROUP BY simhash HAVING count(*) >= 2
+""",
+)
+def q36_simhash(spark, sf_dir):
+    """SimHash(16-bit over distinct-token hashes) duplicate clusters:
+    fingerprint-identical groups of >= 2 docs, with the min doc_id as
+    exemplar. One scan + one tiny aggregation on the 16-bit fingerprint
+    — the cheapest near-dedup first pass (identical-fingerprint tier;
+    hamming-distance banding extends the same fingerprint)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", distinct_token_hashes("text").alias("hs")
+    )
+    sh = tok.select("doc_id", simhash("hs", bits=16).alias("simhash"))
+    return (
+        sh.groupBy("simhash")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.min("doc_id").alias("exemplar"),
+        )
+        .filter(F.col("cluster_size") >= 2)
+    )
+
+
+@register(
+    "q37_embedding_neardup",
+    tier="T2",
+    oracle=f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS v1, b.vec_id AS v2,
+       round(list_cosine_similarity(a.v, b.v), 4) AS cos_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= {COSINE_NEARDUP_THRESHOLD}
+""",
+)
+def q37_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (cosine >= 0.4, brute
+    force) as a blocked GEMM: the corpus matrix is broadcast, each
+    Arrow batch of rows multiplies against it with one numpy matmul,
+    and only above-threshold (v1 < v2) pairs are emitted.
+
+    This is the vectorized brute-force pattern (numpy inside
+    ``mapInPandas``, ~50x the per-pair higher-order-function form). It
+    is honest about its scale limit: the broadcast side must fit in
+    executor memory, so at 100 TB the same kernel runs *inside* q35/q38
+    LSH buckets or q39 IVF partitions, where each block is bounded —
+    the pair generation is blocked there, not all-pairs.
+    """
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = emb.select("vec_id", "embedding").collect()  # build broadcast side
+    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    bc = spark.sparkContext.broadcast((ids, mat, norms))
+    thr = COSINE_NEARDUP_THRESHOLD
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        b_ids, b_mat, b_norms = bc.value
+        for pdf in batches:
+            a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            a_mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+            a_norms = np.sqrt((a_mat * a_mat).sum(axis=1))
+            # cos = dot / sqrt(n1^2 * n2^2) — same scalar formula as the
+            # column-expression form, so oracle parity carries over
+            sims = (a_mat @ b_mat.T) / np.sqrt(
+                np.outer(a_norms**2, b_norms**2)
+            )
+            ai, bj = np.nonzero(
+                (sims >= thr) & (a_ids[:, None] < b_ids[None, :])
+            )
+            yield pd.DataFrame(
+                {
+                    "v1": a_ids[ai],
+                    "v2": b_ids[bj],
+                    "cos_sim": np.round(sims[ai, bj], 4),
+                }
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        kernel, schema="v1 bigint, v2 bigint, cos_sim double"
+    )
+
+
+# Deterministic pseudo-random hyperplane sign for plane i, dimension d
+# (identical formula in Spark SQL and DuckDB SQL).
+_SIGN = "CASE WHEN (({i}*131 + d*137) % 97) % 2 = 0 THEN 1.0 ELSE -1.0 END"
+
+
+def _bucket_sql_duck() -> str:
+    """DuckDB: LSH bucket id of vector list ``v`` (1-based indexing)."""
+    dots = f"""list_sum(list_transform(generate_series(1, 64),
+        d -> ({_SIGN.format(i='i')}) * v[d]))"""
+    return f"""CAST(list_sum(list_transform(generate_series(0, {ANN_PLANES - 1}),
+        i -> CASE WHEN ({dots}) > 0 THEN (1 << i) ELSE 0 END)) AS BIGINT)"""
+
+
+def _bucket_col() -> F.Column:
+    """Spark: LSH bucket id of array column ``v`` (element_at is 1-based
+    to mirror DuckDB's list indexing)."""
+    dot_i = f"""aggregate(sequence(1, 64), CAST(0.0 AS DOUBLE),
+        (s, d) -> s + ({_SIGN.format(i='i')}) * element_at(v, d))"""
+    return F.expr(
+        f"""aggregate(transform(sequence(0, {ANN_PLANES - 1}),
+              i -> IF(({dot_i}) > 0, shiftleft(1L, i), 0L)),
+            0L, (a, x) -> a + x)"""
+    )
+
+
+@register(
+    "q38_ann_lsh_bucketed",
+    tier="T2",
+    oracle=f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+bkt AS (SELECT vec_id, v, {_bucket_sql_duck()} AS bucket FROM e),
+probe AS (SELECT v AS pv, bucket AS pb FROM bkt WHERE vec_id = 0)
+SELECT vec_id, round(list_cosine_similarity(v, (SELECT pv FROM probe)), 4) AS cos_sim
+FROM bkt WHERE bucket = (SELECT pb FROM probe) AND vec_id <> 0
+ORDER BY list_cosine_similarity(v, (SELECT pv FROM probe)) DESC, vec_id
+LIMIT 10
+""",
+)
+def q38_ann_lsh_bucketed(spark, sf_dir):
+    """Approximate nearest neighbors via random-hyperplane LSH: score
+    only vectors sharing the probe's 4-plane sign bucket (~1/16 of the
+    corpus), then exact cosine top-10 inside the bucket.
+
+    The bucket id is a map-side expression, so at scale the corpus can
+    be written partitioned by bucket and a probe reads one partition —
+    the candidate filter is a partition-pruned scan, not a shuffle. The
+    probe row is a broadcast join.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    bkt = emb.select("vec_id", "v", _bucket_col().alias("bucket"))
+    probe = bkt.filter(F.col("vec_id") == 0).select(
+        F.col("v").alias("pv"), F.col("bucket").alias("pb")
+    )
+    sim = cosine_similarity("v", "pv")
+    return (
+        bkt.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(probe))
+        .filter(F.col("bucket") == F.col("pb"))
+        .select("vec_id", sim.alias("sim"))
+        .orderBy(F.desc("sim"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id", F.round("sim", 4).alias("cos_sim"))
+    )
+
+
+@register(
+    "q39_ivf_assign",
+    tier="T2",
+    oracle=f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < {IVF_CENTROIDS}),
+scored AS (
+  SELECT e.vec_id, c.centroid_id,
+         list_cosine_similarity(e.v, c.cv) AS sim,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY list_cosine_similarity(e.v, c.cv) DESC,
+                                     c.centroid_id) AS rn
+  FROM e CROSS JOIN c)
+SELECT centroid_id, count(*) AS n_assigned,
+       round(min(sim), 4) AS min_sim, round(max(sim), 4) AS max_sim
+FROM scored WHERE rn = 1 GROUP BY centroid_id
+""",
+)
+def q39_ivf_assign(spark, sf_dir):
+    """IVF coarse quantization: assign every vector to its
+    nearest-by-cosine centroid (centroids = the first 8 vectors, a
+    deterministic stand-in for trained k-means centers) and report
+    per-centroid membership stats.
+
+    Centroids broadcast; assignment is map-side (no shuffle of the big
+    side). At 100 TB this assignment keys the physical partitioning of
+    the vector corpus, turning every ANN probe into a 1/K partition
+    scan. min/max (not avg) similarity keeps the output independent of
+    float summation order.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cents = emb.filter(F.col("vec_id") < IVF_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
+    )
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "centroid_id", cosine_similarity("v", "cv").alias("sim")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("centroid_id"))
+    best = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return best.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("n_assigned"),
+        F.round(F.min("sim"), 4).alias("min_sim"),
+        F.round(F.max("sim"), 4).alias("max_sim"),
+    )

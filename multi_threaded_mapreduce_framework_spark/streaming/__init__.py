@@ -1,0 +1,19 @@
+"""Structured Streaming demonstrations over the events table."""
+
+from multi_threaded_mapreduce_framework_spark.streaming.windowed import (
+    events_stream,
+    replay_events,
+    run_to_convergence,
+    session_counts,
+    sliding_window_counts,
+    tumbling_window_counts,
+)
+
+__all__ = [
+    "events_stream",
+    "replay_events",
+    "run_to_convergence",
+    "session_counts",
+    "sliding_window_counts",
+    "tumbling_window_counts",
+]

@@ -1,0 +1,119 @@
+"""Structured Streaming surface (SURVEY.md §2.4).
+
+The reference is strictly batch (one-shot job, ``MapReduceFramework.cpp``),
+but its map -> group-by-key -> reduce loop is exactly the shape
+Structured Streaming generalizes to unbounded input. This module replays
+the ``events`` fixture as a file stream and runs the engine's windowed
+aggregations incrementally; correctness is asserted *batch-vs-stream*
+(the converged streaming answer must equal the batch q24/q23 results) —
+see ``tests/test_streaming.py``.
+
+At scale: the same code reads a real file/Kafka source; the watermark
+bounds state (late events beyond 2 hours are dropped and their windows
+finalized), and ``session_window`` state is evicted per the same
+watermark — this is what makes the operator runnable on an unbounded
+100 TB/day stream, unlike the batch q23 whose window-lag plan needs the
+full history per user.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from multi_threaded_mapreduce_framework_spark.sources import load_table
+
+
+def replay_events(
+    spark: SparkSession, sf_dir: str, out_dir: str, n_chunks: int = 4
+) -> None:
+    """Write the batch ``events`` table as ``n_chunks`` parquet files so a
+    file-source stream consumes them incrementally (one per trigger)."""
+    ev = load_table(spark, sf_dir, "events")
+    ev.repartition(n_chunks).write.mode("overwrite").parquet(out_dir)
+
+
+def events_stream(spark: SparkSession, src_dir: str) -> DataFrame:
+    """File-source stream over a replayed events directory, one file per
+    trigger — simulates incremental arrival with out-of-order timestamps
+    (chunks are hash-partitioned, not time-ordered)."""
+    schema = spark.read.parquet(src_dir).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+
+
+def tumbling_window_counts(stream: DataFrame) -> DataFrame:
+    """Streaming form of q24: 1-hour tumbling windows x event_type with a
+    2-hour watermark for late data."""
+    return (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+    )
+
+
+def sliding_window_counts(stream: DataFrame) -> DataFrame:
+    """1-hour windows sliding every 15 minutes (each event lands in 4
+    windows) — the overlapping-window variant of q24."""
+    return (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type",
+            "cnt",
+        )
+    )
+
+
+def session_counts(
+    stream: DataFrame, gap: str = "30 minutes", watermark: str | None = "2 hours"
+) -> DataFrame:
+    """Streaming form of q23: ``session_window`` with a 30-minute gap per
+    user; emits one row per (user, session). Session count per user =
+    row count per user after convergence.
+
+    ``watermark=None`` disables late-row dropping — required when the
+    replay is not time-ordered (session-window state ops drop
+    older-than-watermark input even in complete mode, unlike plain
+    windowed aggregation). A real deployment keeps the watermark: its
+    event source is roughly time-ordered, and unbounded state isn't an
+    option at stream scale.
+    """
+    if watermark is not None:
+        stream = stream.withWatermark("ts", watermark)
+    return (
+        stream.groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("sw.start").alias("session_start"), "n_events")
+    )
+
+
+def run_to_convergence(
+    agg: DataFrame, name: str, output_mode: str = "complete"
+) -> StreamingQuery:
+    """Start a memory-sink query and process all available input; the
+    caller reads the converged result from ``spark.table(name)`` and
+    must ``stop()`` the returned query."""
+    q = (
+        agg.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    return q

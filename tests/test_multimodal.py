@@ -1,0 +1,89 @@
+"""Multimodal plumbing tests: schemas, batch shapes, determinism, and
+the stub gate (real codec absent -> NotImplementedError)."""
+
+from __future__ import annotations
+
+import pytest
+
+from multi_threaded_mapreduce_framework_spark.operators.multimodal import (
+    FEATURE_DIM,
+    decode_images,
+    extract_features,
+    resize_images,
+    sample_frames,
+    synthesize_media,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    return synthesize_media(spark, n=24, parts=4).cache()
+
+
+def test_media_schema(media):
+    assert dict(media.dtypes) == {
+        "media_id": "bigint",
+        "kind": "string",
+        "payload": "binary",
+        "meta": "struct<width:int,height:int,format:string,duration_ms:int,sample_rate:int>",
+    }
+    assert media.count() == 24
+
+
+def test_decode_images_deterministic(media):
+    out = decode_images(media)
+    rows = {r.media_id: r for r in out.collect()}
+    assert len(rows) == 8  # every 3rd is an image
+    # dims round-trip from the packed header == declared metadata
+    meta = {r.media_id: r.meta for r in media.filter("kind='image'").collect()}
+    for mid, r in rows.items():
+        assert (r.width, r.height) == (meta[mid].width, meta[mid].height)
+        assert 0.0 <= r.mean_intensity <= 255.0
+    # determinism: second run bit-identical
+    again = {r.media_id: r for r in decode_images(media).collect()}
+    assert {m: (r.width, r.height, r.mean_intensity) for m, r in rows.items()} == {
+        m: (r.width, r.height, r.mean_intensity) for m, r in again.items()
+    }
+
+
+def test_extract_features_shape(media):
+    out = extract_features(media)
+    assert dict(out.dtypes)["feature"] == "array<float>"
+    rows = out.collect()
+    assert len(rows) == 24
+    assert all(len(r.feature) == FEATURE_DIM for r in rows)
+    assert all(0.0 <= x < 1.0 for r in rows for x in r.feature)
+
+
+def test_resize_repacks_header(spark, media):
+    out = resize_images(media, 8, 8)
+    decoded = decode_images(
+        out.join(media.select("media_id", "kind", "meta"), "media_id")
+    )
+    assert {(r.width, r.height) for r in decoded.collect()} == {(8, 8)}
+
+
+def test_sample_frames_flatmap_shape(media):
+    out = sample_frames(media, every_ms=250)
+    n_videos = media.filter("kind='video'").count()
+    rows = out.collect()
+    assert len(rows) > n_videos  # flatMap: more rows out than in
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r.media_id, []).append(r)
+    durations = {
+        r.media_id: r.meta.duration_ms
+        for r in media.filter("kind='video'").collect()
+    }
+    for mid, frames in by_media.items():
+        assert len(frames) == len(range(0, durations[mid], 250))
+        assert sorted(f.frame_idx for f in frames) == list(range(len(frames)))
+
+
+def test_real_codec_gate_raises(media):
+    with pytest.raises(NotImplementedError, match="PIL"):
+        decode_images(media, fake=False)
+    with pytest.raises(NotImplementedError, match="torch"):
+        extract_features(media, fake=False)
+    with pytest.raises(NotImplementedError, match="av"):
+        sample_frames(media, fake=False)

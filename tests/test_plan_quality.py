@@ -1,0 +1,95 @@
+"""Plan-quality assertions: the properties that decide 100 TB cost.
+
+Each test pins a scale property of a query's physical plan — predicate
+pushdown, column pruning, broadcast of fixed-size dims, map-side partial
+aggregation, shuffle counts — so an innocent refactor can't silently
+turn a pruned broadcast plan into a full-scan shuffle plan.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from multi_threaded_mapreduce_framework_spark.plans import (
+    has_broadcast_join,
+    has_partial_aggregate,
+    num_exchanges,
+    pushed_filters,
+    read_schema_columns,
+    wholestage_codegen_ids,
+)
+from multi_threaded_mapreduce_framework_spark.queries import all_queries
+from multi_threaded_mapreduce_framework_spark.sources import load_table
+
+QUERIES = all_queries()
+
+
+def test_q05_filter_pushdown_and_pruning(spark, sf_dir):
+    df = QUERIES["q05_filter_project"].builder(spark, sf_dir)
+    pushed = " ".join(pushed_filters(df))
+    assert "l_quantity" in pushed, pushed
+    # 4-column projection must read exactly those 4 columns
+    assert read_schema_columns(df) == {
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+    }
+
+
+def test_q01_reads_only_text(spark, sf_dir):
+    df = QUERIES["q01_wordcount"].builder(spark, sf_dir)
+    assert read_schema_columns(df) == {"text"}
+
+
+def test_q03_partial_aggregation(spark, sf_dir):
+    df = QUERIES["q03_grouped_sum"].builder(spark, sf_dir)
+    assert has_partial_aggregate(df)
+    assert num_exchanges(df) == 1  # exactly the group-by shuffle
+
+
+def test_q07_dims_broadcast(spark, sf_dir):
+    df = QUERIES["q07_join_chain"].builder(spark, sf_dir)
+    assert has_broadcast_join(df)
+    # customer side never shuffles before the joins: the only exchange
+    # is the final groupBy
+    assert num_exchanges(df) == 1
+
+
+def test_q35_no_allpairs_join(spark, sf_dir):
+    """The LSH query must join on (band, key) equality — an equi-join,
+    never a nested-loop over all pairs."""
+    df = QUERIES["q35_minhash_lsh"].builder(spark, sf_dir)
+    from multi_threaded_mapreduce_framework_spark.plans import executed_plan
+
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q38_probe_is_broadcast(spark, sf_dir):
+    df = QUERIES["q38_ann_lsh_bucketed"].builder(spark, sf_dir)
+    assert has_broadcast_join(df)
+
+
+def test_filter_before_join_in_q46(spark, sf_dir):
+    """The o_totalprice predicate must sit under the join (pushed to the
+    orders scan), not above it."""
+    df = QUERIES["q46_exists_subquery"].builder(spark, sf_dir)
+    pushed = " ".join(pushed_filters(df))
+    assert "o_totalprice" in pushed, pushed
+
+
+def test_events_tumbling_single_shuffle(spark, sf_dir):
+    df = QUERIES["q24_window_tumbling"].builder(spark, sf_dir)
+    assert num_exchanges(df) == 1
+    assert has_partial_aggregate(df)
+
+
+def test_narrow_scan_for_embeddings(spark, sf_dir):
+    """q28 scores against one probe: embeddings scan reads only vec_id +
+    embedding (+label for q29), and the probe row is broadcast."""
+    df = QUERIES["q28_cosine_topk"].builder(spark, sf_dir)
+    assert has_broadcast_join(df)
+    cols = read_schema_columns(df)
+    assert "vec_id" in cols and "embedding" in cols

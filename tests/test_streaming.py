@@ -1,0 +1,75 @@
+"""Batch-stream convergence (SURVEY.md §5.2): the converged streaming
+answers must equal the batch queries' results on the same events data."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from multi_threaded_mapreduce_framework_spark.queries import all_queries
+from multi_threaded_mapreduce_framework_spark.streaming import (
+    events_stream,
+    replay_events,
+    run_to_convergence,
+    session_counts,
+    sliding_window_counts,
+    tumbling_window_counts,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def replay_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("events_replay"))
+    replay_events(spark, SF, d, n_chunks=4)
+    return d
+
+
+def test_tumbling_converges_to_batch_q24(spark, replay_dir):
+    agg = tumbling_window_counts(events_stream(spark, replay_dir))
+    q = run_to_convergence(agg, "stream_q24")
+    try:
+        got = {tuple(r) for r in spark.table("stream_q24").collect()}
+        batch = {
+            tuple(r)
+            for r in all_queries()["q24_window_tumbling"].builder(spark, SF).collect()
+        }
+        assert got == batch
+    finally:
+        q.stop()
+
+
+def test_sliding_windows_cover_each_event_four_times(spark, replay_dir):
+    agg = sliding_window_counts(events_stream(spark, replay_dir))
+    q = run_to_convergence(agg, "stream_sliding")
+    try:
+        total = (
+            spark.table("stream_sliding").agg(F.sum("cnt").alias("s")).collect()[0].s
+        )
+        n_events = spark.read.parquet(replay_dir).count()
+        assert total == 4 * n_events  # 1h window / 15min slide = 4 windows/event
+    finally:
+        q.stop()
+
+
+def test_session_window_converges_to_batch_q23(spark, replay_dir):
+    # watermark off: the replay is hash-partitioned (not time-ordered),
+    # and session-window state ops drop older-than-watermark input
+    agg = session_counts(events_stream(spark, replay_dir), watermark=None)
+    q = run_to_convergence(agg, "stream_q23")
+    try:
+        got = {
+            (r.user_id, r.num_sessions)
+            for r in spark.table("stream_q23")
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("num_sessions"))
+            .collect()
+        }
+        batch = {
+            (r.user_id, r.num_sessions)
+            for r in all_queries()["q23_sessionize"].builder(spark, SF).collect()
+        }
+        assert got == batch
+    finally:
+        q.stop()
