@@ -1,5 +1,8 @@
 """Structured Streaming demonstrations over the events table."""
 
+from multi_threaded_mapreduce_framework_spark.streaming.stateful import (
+    running_user_totals,
+)
 from multi_threaded_mapreduce_framework_spark.streaming.windowed import (
     events_stream,
     replay_events,
@@ -10,6 +13,7 @@ from multi_threaded_mapreduce_framework_spark.streaming.windowed import (
 )
 
 __all__ = [
+    "running_user_totals",
     "events_stream",
     "replay_events",
     "run_to_convergence",

