@@ -1,0 +1,56 @@
+"""Skew mitigation operators.
+
+AQE handles skewed *joins* (``spark.sql.adaptive.skewJoin``) by
+splitting oversized shuffle partitions, but a single hot aggregation
+key still lands on one reducer. Salted two-phase aggregation spreads a
+hot key over N sub-keys: partial-aggregate on (key, salt), then final
+aggregate on key — the shuffle carries at most N rows per hot key per
+map partition instead of every row.
+
+Associative/commutative aggregates only (sum/count/min/max) — exactly
+the algebraic class where Spark already applies map-side combine; this
+adds the *reducer-side* spreading for keys whose combined row count
+still overwhelms one task at 100 TB.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+SALT_COL = "__salt"
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, str],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-phase salted aggregation.
+
+    ``aggs`` maps output column name -> "fn(col)" where fn is one of
+    sum/count/min/max (algebraic, so phase-2 re-aggregation is exact:
+    count re-aggregates as sum of partial counts).
+
+    The salt is deterministic (hash of all input columns mod n_salts):
+    reruns produce identical partials, which keeps tests and retries
+    stable — randomness has no advantage here, spreading does.
+    """
+    salted = df.withColumn(
+        SALT_COL, F.pmod(F.hash(*df.columns), F.lit(n_salts))
+    )
+
+    phase1, phase2 = [], []
+    for out_name, spec in aggs.items():
+        fn, _, col = spec.partition("(")
+        fn = fn.strip().lower()
+        col = col.rstrip(")").strip()
+        if fn not in ("sum", "count", "min", "max"):
+            raise ValueError(f"non-algebraic aggregate: {spec}")
+        phase1.append(getattr(F, fn)(F.lit(1) if col == "*" else col).alias(out_name))
+        refn = "sum" if fn in ("sum", "count") else fn
+        phase2.append(getattr(F, refn)(out_name).alias(out_name))
+
+    partial = salted.groupBy(*keys, SALT_COL).agg(*phase1)
+    return partial.groupBy(*keys).agg(*phase2)
