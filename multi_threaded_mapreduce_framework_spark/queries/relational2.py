@@ -261,3 +261,89 @@ def q50_mapreduce_wordcount(spark, sf_dir):
         lambda k, vs: [(k, sum(vs))],
         "word string, cnt long",
     )
+
+
+@register(
+    "q55_approx_count_distinct",
+    oracle=None,  # rows-only: HLL estimates are engine-specific by design
+)
+def q55_approx_count_distinct(spark, sf_dir):
+    """HyperLogLog++ distinct-count estimate per order status (rsd 1%).
+
+    Declared rows-only: the estimate is a property of Spark's sketch,
+    not portable SQL. The sketch is mergeable — the property that makes
+    distinct-count a single partial-aggregate pass at 100 TB where exact
+    count-distinct needs a full shuffle of the distinct keys.
+    tests/test_approx.py asserts the estimate lands within 5% of exact.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.01).alias("approx_custs")
+    )
+
+
+@register(
+    "q56_approx_percentile",
+    oracle=None,  # rows-only: sketch quantiles are engine-specific
+)
+def q56_approx_percentile(spark, sf_dir):
+    """Approximate p50/p99 of extended price per return flag
+    (accuracy 10000 ~= 0.01% rank error). Mergeable-sketch counterpart
+    of q43's exact percentile — the 100 TB path (exact percentile
+    requires a per-group sort; the sketch is one streaming pass).
+    tests/test_approx.py bounds its rank error against q43-style exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", [0.5, 0.99], 10000).alias("pcts")
+    )
+
+
+@register(
+    "q57_date_arith",
+    oracle="""
+SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+       count(*) AS cnt,
+       min(datediff('day', o_orderdate, TIMESTAMP '2002-01-01 00:00:00'))
+         AS min_days_to_ref,
+       max(datediff('day', o_orderdate, TIMESTAMP '2002-01-01 00:00:00'))
+         AS max_days_to_ref,
+       CAST(count(*) FILTER (WHERE month(o_orderdate + INTERVAL 45 DAY)
+                             <> month(o_orderdate)) AS BIGINT) AS cross_month
+FROM orders GROUP BY 1
+""",
+)
+def q57_date_arith(spark, sf_dir):
+    """Date arithmetic breadth: datediff to a reference date, interval
+    addition with month-boundary classification, grouped per year."""
+    o = load_table(spark, sf_dir, "orders")
+    days_to_ref = F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate"))
+    crosses = (
+        F.month(F.col("o_orderdate") + F.expr("INTERVAL 45 DAYS"))
+        != F.month("o_orderdate")
+    ).cast("long")
+    return o.groupBy(F.year("o_orderdate").cast("bigint").alias("yr")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min(days_to_ref).alias("min_days_to_ref"),
+        F.max(days_to_ref).alias("max_days_to_ref"),
+        F.sum(crosses).alias("cross_month"),
+    )
+
+
+@register(
+    "q58_string_funcs2",
+    oracle="""
+SELECT reverse(p_brand) AS brand_rev, count(*) AS cnt,
+       min(strpos(p_type, ' ')) AS min_space_pos,
+       max(length(lpad(p_name, 30, '_'))) AS padded_len
+FROM part GROUP BY 1
+""",
+)
+def q58_string_funcs2(spark, sf_dir):
+    """Second string-function battery: reverse, substring position,
+    left-pad — all JVM-side codegen expressions."""
+    p = load_table(spark, sf_dir, "part")
+    return p.groupBy(F.reverse("p_brand").alias("brand_rev")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min(F.expr("locate(' ', p_type)")).alias("min_space_pos"),
+        F.max(F.length(F.lpad("p_name", 30, "_"))).alias("padded_len"),
+    )
