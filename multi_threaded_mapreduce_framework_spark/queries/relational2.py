@@ -347,3 +347,53 @@ def q58_string_funcs2(spark, sf_dir):
         F.min(F.expr("locate(' ', p_type)")).alias("min_space_pos"),
         F.max(F.length(F.lpad("p_name", 30, "_"))).alias("padded_len"),
     )
+
+
+@register(
+    "q59_window_range_frame",
+    oracle="""
+SELECT event_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts
+                              RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                                        AND CURRENT ROW), 2) AS rolling_1h
+FROM events
+""",
+)
+def q59_window_range_frame(spark, sf_dir):
+    """RANGE-framed window (trailing 1-hour sum per user) — value-based
+    frames vs q18's row-based frames. The frame is over the event-time
+    axis, so all rows sharing a timestamp join the same frame on both
+    engines (deterministic without an id tiebreak)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)  # 1 hour in microseconds
+    )
+    return ev.select(
+        "event_id", F.round(F.sum("value").over(w), 2).alias("rolling_1h")
+    )
+
+
+@register(
+    "q60_min_max_by",
+    oracle="""
+SELECT o_orderstatus,
+       arg_max(o_orderkey, o_totalprice) AS top_order,
+       arg_min(o_orderkey, o_totalprice) AS bottom_order,
+       round(max(o_totalprice), 2) AS top_price
+FROM orders GROUP BY o_orderstatus
+""",
+)
+def q60_min_max_by(spark, sf_dir):
+    """Argmin/argmax aggregates (Spark max_by/min_by == DuckDB
+    arg_max/arg_min): the single-pass alternative to a rank-window +
+    filter when only the extreme row's attribute is needed — one shuffle
+    of partial extremes instead of a full window sort. Prices are unique
+    per status group in the fixture, so the arg row is deterministic."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.expr("max_by(o_orderkey, o_totalprice)").alias("top_order"),
+        F.expr("min_by(o_orderkey, o_totalprice)").alias("bottom_order"),
+        F.round(F.max("o_totalprice"), 2).alias("top_price"),
+    )

@@ -9,6 +9,7 @@ from multi_threaded_mapreduce_framework_spark.streaming.windowed import (
     run_to_convergence,
     session_counts,
     sliding_window_counts,
+    stream_dedup,
     tumbling_window_counts,
 )
 
@@ -19,5 +20,6 @@ __all__ = [
     "run_to_convergence",
     "session_counts",
     "sliding_window_counts",
+    "stream_dedup",
     "tumbling_window_counts",
 ]

@@ -103,6 +103,18 @@ def session_counts(
     )
 
 
+def stream_dedup(stream: DataFrame, keys: list[str], watermark: str | None = None) -> DataFrame:
+    """Streaming exact dedup: first occurrence per key wins, duplicates
+    arriving in any later micro-batch are dropped (the streaming form of
+    q25's batch dedup). With a watermark + an event-time column in
+    ``keys`` the dedup state is evicted as time advances — the unbounded
+    variant keeps all keys, which only works while distinct keys fit in
+    the state store."""
+    if watermark is not None:
+        stream = stream.withWatermark("ts", watermark)
+    return stream.dropDuplicates(keys)
+
+
 def run_to_convergence(
     agg: DataFrame, name: str, output_mode: str = "complete"
 ) -> StreamingQuery:

@@ -87,3 +87,20 @@ def test_real_codec_gate_raises(media):
         extract_features(media, fake=False)
     with pytest.raises(NotImplementedError, match="av"):
         sample_frames(media, fake=False)
+
+
+def test_metadata_query_never_reads_payload(spark, media, tmp_path):
+    """Metadata-only queries over a media lake must not read payload
+    bytes — the property that makes metadata scans cheap at 100 TB."""
+    from multi_threaded_mapreduce_framework_spark.plans import read_schema_columns
+
+    path = str(tmp_path / "media_lake")
+    media.write.mode("overwrite").parquet(path)
+    meta_only = (
+        spark.read.parquet(path)
+        .filter("kind = 'image'")
+        .select("media_id", "meta.width", "meta.height")
+    )
+    cols = read_schema_columns(meta_only)
+    assert "payload" not in cols, cols
+    assert meta_only.count() == 8

@@ -16,7 +16,6 @@ from multi_threaded_mapreduce_framework_spark.plans import (
     num_exchanges,
     pushed_filters,
     read_schema_columns,
-    wholestage_codegen_ids,
 )
 from multi_threaded_mapreduce_framework_spark.queries import all_queries
 from multi_threaded_mapreduce_framework_spark.sources import load_table

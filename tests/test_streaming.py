@@ -7,7 +7,7 @@ import pyspark.sql.functions as F
 import pytest
 
 from multi_threaded_mapreduce_framework_spark.queries import all_queries
-from multi_threaded_mapreduce_framework_spark.streaming import (
+from multi_threaded_mapreduce_framework_spark.streaming import (  # noqa: F401
     events_stream,
     replay_events,
     run_to_convergence,
@@ -99,5 +99,20 @@ def test_stateful_running_totals_converges_to_batch_q04(spark, replay_dir):
             assert r.cnt == batch[uid].cnt
             # per-user float accumulation order differs batch-vs-stream
             assert abs(r.sum_value - batch[uid].sum_value) < 0.05
+    finally:
+        q.stop()
+
+
+def test_stream_dedup_first_wins_across_batches(spark, replay_dir):
+    from multi_threaded_mapreduce_framework_spark.streaming import stream_dedup
+
+    s = stream_dedup(events_stream(spark, replay_dir), ["user_id", "event_type"])
+    q = run_to_convergence(s, "stream_dedup", output_mode="append")
+    try:
+        got = spark.table("stream_dedup")
+        batch = spark.read.parquet(replay_dir)
+        # one row per (user_id, event_type), exactly the distinct set
+        assert got.count() == batch.select("user_id", "event_type").distinct().count()
+        assert got.groupBy("user_id", "event_type").count().filter("count > 1").count() == 0
     finally:
         q.stop()
