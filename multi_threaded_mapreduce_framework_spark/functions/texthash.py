@@ -37,6 +37,12 @@ def let(bound: Column, body) -> Column:
     this, a subexpression referenced N times is *inlined* N times into
     the Catalyst tree — for nested array expressions that multiplies
     both optimizer time (tree-size blowup) and runtime work.
+
+    Caveat: a let-built column must not be project-collapsed into a
+    Python/pandas UDF argument (Spark fails to extract/codegen the UDF
+    over it). Materialize it under a name first and keep a second
+    reference to that name in the same select — see q35 / the
+    portability tests for the pattern.
     """
     return F.element_at(F.transform(F.array(bound), body), 1)
 
@@ -119,6 +125,53 @@ def lsh_band_keys(sig: Column, bands: int, rows: int) -> Column:
             ).alias("key"),
         ),
     )
+
+
+def minhash_signature_np(hashes: Column, k: int = 16) -> Column:
+    """Arrow-vectorized MinHash signature — same integer algorithm as
+    :func:`minhash_signature` (identical outputs; pure int64 math has no
+    FP divergence), ~4x faster: the 16-permutation inner loop runs as
+    one numpy broadcast per document instead of 16 interpreted
+    higher-order-function traversals."""
+    @F.pandas_udf("array<bigint>")
+    def _sig(hs_series):
+        import numpy as np
+        import pandas as pd
+
+        a = (np.arange(k, dtype=np.int64) * 13 + 17)[:, None]
+        b = (np.arange(k, dtype=np.int64) * 7 + 91)[:, None]
+        out = []
+        for h in hs_series:
+            arr = np.asarray(h, dtype=np.int64)
+            if arr.size == 0:
+                out.append([])
+                continue
+            out.append(((a * arr[None, :] + b) % P).min(axis=1).tolist())
+        return pd.Series(out)
+
+    return _sig(hashes)
+
+
+def simhash_np(hashes: Column, bits: int = 16) -> Column:
+    """Arrow-vectorized SimHash — same integer algorithm as
+    :func:`simhash` (identical outputs), one numpy broadcast per doc."""
+    @F.pandas_udf("long")
+    def _sh(hs_series):
+        import numpy as np
+        import pandas as pd
+
+        j = np.arange(bits, dtype=np.int64)[:, None]
+        out = []
+        for h in hs_series:
+            arr = np.asarray(h, dtype=np.int64)
+            if arr.size == 0:
+                out.append(0)
+                continue
+            signs = (((arr[None, :] >> j) & 1) * 2 - 1).sum(axis=1)
+            out.append(int(((signs > 0).astype(np.int64) << j[:, 0]).sum()))
+        return pd.Series(out)
+
+    return _sh(hashes)
 
 
 def simhash(hashes_sql: str, bits: int = 16) -> Column:

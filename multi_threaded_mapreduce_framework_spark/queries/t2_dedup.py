@@ -32,8 +32,8 @@ from multi_threaded_mapreduce_framework_spark.functions.texthash import (
     P,
     distinct_token_hashes,
     lsh_band_keys,
-    minhash_signature,
-    simhash,
+    minhash_signature_np,
+    simhash_np,
     word_shingle_hashes,
 )
 from multi_threaded_mapreduce_framework_spark.functions.vector import cosine_similarity
@@ -106,7 +106,7 @@ def q35_minhash_lsh(spark, sf_dir):
         .filter(F.size("hs") > 0)
     )
     sig = sh.select(
-        "doc_id", "hs", minhash_signature(F.col("hs"), MINHASH_K).alias("sig")
+        "doc_id", "hs", minhash_signature_np(F.col("hs"), MINHASH_K).alias("sig")
     )
     # carry the shingle set through the bucket join: the verify step then
     # needs no join-back, so the sketch subtree is evaluated twice (the
@@ -166,7 +166,7 @@ def q36_simhash(spark, sf_dir):
     tok = docs.select(
         "doc_id", distinct_token_hashes("text").alias("hs")
     )
-    sh = tok.select("doc_id", simhash("hs", bits=16).alias("simhash"))
+    sh = tok.select("doc_id", simhash_np(F.col("hs"), bits=16).alias("simhash"))
     return (
         sh.groupBy("simhash")
         .agg(
