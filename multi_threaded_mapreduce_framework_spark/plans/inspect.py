@@ -29,6 +29,18 @@ def pushed_filters(df: DataFrame) -> list[str]:
     return out
 
 
+def partition_filters(df: DataFrame) -> list[str]:
+    """All PartitionFilters entries of every scan (partition pruning
+    check — the filter reaching here means pruned directories, not
+    scanned-then-filtered rows)."""
+    plan = formatted_plan(df)
+    out: list[str] = []
+    for m in re.finditer(r"PartitionFilters: \[([^\]]*)\]", plan):
+        if m.group(1).strip():
+            out.extend(s.strip() for s in m.group(1).split(","))
+    return out
+
+
 def read_schema_columns(df: DataFrame) -> set[str]:
     """Union of column names every file scan actually reads (column
     pruning check: a 2-column query must not read 16 columns)."""

@@ -7,7 +7,6 @@ portable md5-bucket / math conventions (FIXTURES.md discipline).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Window
 
 from multi_threaded_mapreduce_framework_spark.queries.registry import register
 from multi_threaded_mapreduce_framework_spark.sources import load_table
@@ -79,10 +78,12 @@ LIMIT 25
 def q62_tfidf_top_terms(spark, sf_dir):
     """TF-IDF: top-25 (term, doc) pairs by tf * ln(N/df).
 
-    Two aggregations over one tokenization (term frequency per doc,
-    document frequency per term) joined back — the df table is
-    vocabulary-sized, so it broadcasts at any corpus scale; the doc
-    count is a broadcast scalar. Ordering ties broken by (term,
+    One tokenization: tf aggregates (doc, term) counts, and df derives
+    from tf (tf rows are already distinct (doc, term) pairs, so df is a
+    plain count — no second corpus scan and no countDistinct shuffle).
+    The tf->df join is left to the size-based planner: vocabulary grows
+    with the corpus, so a forced broadcast would be wrong at scale; the
+    1-row doc count does broadcast. Ordering ties broken by (term,
     doc_id); the score is rounded before ordering so rank boundaries
     are identical on both engines.
     """
@@ -91,13 +92,13 @@ def q62_tfidf_top_terms(spark, sf_dir):
         "doc_id", F.explode(F.split("text", " ")).alias("term")
     )
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     tfidf = F.round(
         F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 4
     )
     return (
-        tf.join(F.broadcast(df), "term")
+        tf.join(df, "term")
         .crossJoin(F.broadcast(n_docs))
         .select("term", "doc_id", tfidf.alias("tfidf"))
         .orderBy(F.desc("tfidf"), F.asc("term"), F.asc("doc_id"))

@@ -338,6 +338,18 @@ def q39_ivf_assign(spark, sf_dir):
     scan. min/max (not avg) similarity keeps the output independent of
     float summation order.
     """
+    return ivf_assignments(spark, sf_dir).groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("n_assigned"),
+        F.round(F.min("sim"), 4).alias("min_sim"),
+        F.round(F.max("sim"), 4).alias("max_sim"),
+    )
+
+
+def ivf_assignments(spark, sf_dir):
+    """Shared IVF assignment pipeline: every vector with its
+    nearest-by-cosine centroid (columns: vec_id, v, centroid_id, sim).
+    One definition used by q39 AND the physical-layout tests, so the
+    layout the tests validate is exactly the one q39 produces."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
@@ -345,12 +357,11 @@ def q39_ivf_assign(spark, sf_dir):
         F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
     )
     scored = emb.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "centroid_id", cosine_similarity("v", "cv").alias("sim")
+        "vec_id", "v", "centroid_id", cosine_similarity("v", "cv").alias("sim")
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("centroid_id"))
-    best = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
-    return best.groupBy("centroid_id").agg(
-        F.count(F.lit(1)).alias("n_assigned"),
-        F.round(F.min("sim"), 4).alias("min_sim"),
-        F.round(F.max("sim"), 4).alias("max_sim"),
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
     )

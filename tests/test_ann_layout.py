@@ -1,58 +1,37 @@
 """End-to-end demo of the ANN physical-layout story from SCALE.md:
 write the vector corpus hive-partitioned by its IVF centroid (q39's
-assignment), then serve a probe by scanning ONLY the probe's partition
-— asserting both partition pruning in the plan and that the pruned
-search returns exactly the same top-k as searching the full corpus
-restricted to that centroid."""
+assignment, via the shared ``ivf_assignments`` pipeline), then serve a
+probe by scanning ONLY the probe's partition — asserting both partition
+pruning in the plan and that the pruned search returns exactly the same
+top-k as searching the full corpus restricted to that centroid."""
 
 from __future__ import annotations
 
 import pyspark.sql.functions as F
 import pytest
-from pyspark.sql import Window
 
 from multi_threaded_mapreduce_framework_spark.functions.vector import cosine_similarity
-from multi_threaded_mapreduce_framework_spark.plans.inspect import formatted_plan
-from multi_threaded_mapreduce_framework_spark.sources import load_table
-
-K = 8
-
-
-def _assignments(spark, sf_dir):
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
-    cents = emb.filter(F.col("vec_id") < K).select(
-        F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
-    )
-    scored = emb.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "v", "centroid_id", cosine_similarity("v", "cv").alias("sim")
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("centroid_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter("rn = 1")
-        .select("vec_id", "v", "centroid_id")
-    )
+from multi_threaded_mapreduce_framework_spark.plans.inspect import partition_filters
+from multi_threaded_mapreduce_framework_spark.queries.t2_dedup import ivf_assignments
 
 
 @pytest.fixture(scope="module")
 def ivf_lake(spark, sf_dir, tmp_path_factory):
     path = str(tmp_path_factory.mktemp("ivf") / "vectors")
-    _assignments(spark, sf_dir).write.partitionBy("centroid_id").parquet(path)
+    ivf_assignments(spark, sf_dir).drop("sim").write.partitionBy(
+        "centroid_id"
+    ).parquet(path)
     return path
 
 
 def test_probe_reads_one_partition(spark, sf_dir, ivf_lake):
-    assigned = _assignments(spark, sf_dir)
+    assigned = ivf_assignments(spark, sf_dir)
     probe = assigned.filter("vec_id = 0").collect()[0]
     lake = spark.read.parquet(ivf_lake)
     candidates = lake.filter(F.col("centroid_id") == probe.centroid_id)
-    plan = formatted_plan(candidates)
     # the centroid filter must prune partitions at the scan
-    assert "PartitionFilters" in plan and "centroid_id" in plan.split(
-        "PartitionFilters"
-    )[1].split("]")[0], plan
+    pf = " ".join(partition_filters(candidates))
+    assert "centroid_id" in pf, pf
 
     # pruned-partition top-k == full-corpus top-k restricted to the bucket
     pv = F.array(*[F.lit(x) for x in probe.v])
