@@ -146,3 +146,27 @@ def test_arrow_fast_path_parity(spark, sample_df):
     )
     got = {r.k3: r.v3 for r in out.collect()}
     assert got == expected_char_counts(SAMPLE_STRINGS)
+
+
+def test_job_handle_error_surfaces(spark, sample_df):
+    # reference kills the process on worker error (MapReduceFramework.cpp
+    # :241-247); this engine surfaces the exception from result() instead
+    def bad_map(row):
+        raise ValueError("boom in map")
+
+    _, char_reduce = _char_fns()
+    handle = start_mapreduce_job(sample_df, bad_map, char_reduce)
+    handle.wait()
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="boom in map"):
+        handle.result()
+
+
+def test_run_mapreduce_partition_override(spark, sample_df):
+    char_map, char_reduce = _char_fns()
+    out = run_mapreduce(
+        sample_df, char_map, char_reduce, "k3 string, v3 long", num_partitions=2
+    )
+    got = {r.k3: r.v3 for r in out.collect()}
+    assert got == expected_char_counts(SAMPLE_STRINGS)

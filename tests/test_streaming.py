@@ -116,3 +116,40 @@ def test_stream_dedup_first_wins_across_batches(spark, replay_dir):
         assert got.groupBy("user_id", "event_type").count().filter("count > 1").count() == 0
     finally:
         q.stop()
+
+
+def test_checkpoint_recovery_no_duplicates(spark, tmp_path_factory):
+    """Stop a checkpointed stream, add more input, restart from the same
+    checkpoint: the converged result covers all data exactly once."""
+
+    base = tmp_path_factory.mktemp("ckpt_replay")
+    src = str(base / "events")
+    ckpt = str(base / "checkpoint")
+    from multi_threaded_mapreduce_framework_spark.sources import load_table
+
+    full = load_table(spark, SF, "events")
+    first, second = full.filter("event_id % 2 = 0"), full.filter("event_id % 2 = 1")
+    first.repartition(2).write.mode("overwrite").parquet(src)
+
+    def run_once():
+        agg = tumbling_window_counts(events_stream(spark, src))
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("ckpt_q24")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run_once()  # processes the first half
+    second.repartition(2).write.mode("append").parquet(src)
+    run_once()  # restart from checkpoint; picks up only the new files
+
+    got = {tuple(r) for r in spark.table("ckpt_q24").collect()}
+    batch = {
+        tuple(r)
+        for r in all_queries()["q24_window_tumbling"].builder(spark, SF).collect()
+    }
+    assert got == batch
