@@ -104,3 +104,38 @@ def q62_tfidf_top_terms(spark, sf_dir):
         .orderBy(F.desc("tfidf"), F.asc("term"), F.asc("doc_id"))
         .limit(25)
     )
+
+
+@register(
+    "q63_event_transitions",
+    tier="T2",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events)
+SELECT prev_type, event_type AS next_type, count(*) AS cnt
+FROM seq WHERE prev_type IS NOT NULL
+GROUP BY prev_type, event_type
+""",
+)
+def q63_event_transitions(spark, sf_dir):
+    """Event-type transition matrix (Markov counts) per the per-user
+    event sequence — one lag window and one aggregation, both on the
+    same user_id shuffle key, so Spark plans a single exchange serving
+    both (the window's partitioning is reused by the partial agg)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    return (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
