@@ -174,6 +174,38 @@ def simhash_np(hashes: Column, bits: int = 16) -> Column:
     return _sh(hashes)
 
 
+def simhash_col(hashes: Column, bits: int = 16) -> Column:
+    """Deterministic pure-Column SimHash (same integer algorithm as
+    :func:`simhash_np`, identical outputs), for plans where the sketch
+    subtree must stay a Catalyst expression: Python UDFs never compare
+    ``sameResult``, which defeats ReuseExchange under self-joins, and
+    get re-evaluated by inferred not-null filters. The hash array is
+    let-bound once; the ``bits`` bit-votes are unrolled with literal
+    shift amounts (``F.shiftright`` needs a literal)."""
+
+    def body(hs: Column) -> Column:
+        def vote(j: int) -> Column:
+            # j must close over a plain int: a defaulted lambda param
+            # would be counted as a third lambda variable by PySpark
+            return F.aggregate(
+                hs,
+                F.lit(0).cast("long"),
+                lambda s, h: s
+                + F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.lit(1))
+                .otherwise(F.lit(-1))
+                .cast("long"),
+            )
+
+        acc = F.lit(0).cast("long")
+        for j in range(bits):
+            acc = acc + F.when(vote(j) > 0, F.lit(1 << j)).otherwise(
+                F.lit(0)
+            ).cast("long")
+        return acc
+
+    return let(hashes, body)
+
+
 def simhash(hashes_sql: str, bits: int = 16) -> Column:
     """SimHash over a hash-array SQL expression (bits-wide, default 16).
 

@@ -1,7 +1,9 @@
-"""Corpus-management queries (q61-q62): deterministic splits and TF-IDF.
+"""Corpus-management and sequence-analytics queries (q61-q69):
+deterministic splits, TF-IDF, event transitions, grouped
+custom-Python sequence ops, and regression aggregates.
 
-Both are training-data-pipeline staples. Both are oracle-checked via the
-portable md5-bucket / math conventions (FIXTURES.md discipline).
+All are training-data-pipeline staples, oracle-checked via the portable
+md5-bucket / math conventions (FIXTURES.md discipline).
 """
 
 from __future__ import annotations
@@ -138,4 +140,95 @@ def q63_event_transitions(spark, sf_dir):
         seq.filter(F.col("prev_type").isNotNull())
         .groupBy("prev_type", F.col("event_type").alias("next_type"))
         .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@register(
+    "q68_longest_streak",
+    tier="T2",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rnt
+  FROM events),
+runs AS (
+  SELECT user_id, count(*) AS len
+  FROM seq GROUP BY user_id, event_type, rn - rnt)
+SELECT user_id, max(len) AS longest_streak,
+       count(*) AS n_runs
+FROM runs GROUP BY user_id
+""",
+)
+def q68_longest_streak(spark, sf_dir):
+    """Per-user longest run of consecutive same-type events (plus run
+    count) via grouped ``applyInPandas`` — the custom-sequence-operator
+    escape hatch for logic that is awkward as window SQL (the oracle
+    shows the gaps-and-islands equivalent).
+
+    This is the reference's reduce phase generalized: one group = one
+    user's full ordered history, processed by arbitrary Python
+    (MapReduceClient.h:62-64 lets reduce see the whole group too).
+    Scale: state is one user's events, never the corpus; groups hash
+    across executors (one shuffle) and each Arrow batch runs a
+    vectorized run-length encoding, so skewless users cost O(n log n)
+    for the local sort only. All outputs are integers — exact oracle
+    parity, no FP discipline needed."""
+
+    def streaks(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(["ts", "event_id"])
+        et = pdf["event_type"]
+        run_id = (et != et.shift()).cumsum()
+        lens = run_id.value_counts()
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "longest_streak": [int(lens.max())],
+                "n_runs": [int(len(lens))],
+            }
+        )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    return ev.groupBy("user_id").applyInPandas(
+        streaks, schema="user_id bigint, longest_streak bigint, n_runs bigint"
+    )
+
+
+# x is centered at 2024-01-01 (epoch day 19723): the fixture's window is
+# ~30 days, so uncentered epoch-day x values (~19700) would put the
+# slope's denominator through catastrophic cancellation (sum(x^2) ~ 1e9
+# vs variance ~ 75). Centering makes both engines' two-pass/streaming
+# covariances agree to ~1e-12, far inside the round(3).
+_X_DAYS = "epoch_us(ts) / 86400000000.0 - 19723"
+
+
+@register(
+    "q69_regr_slope",
+    tier="T2",
+    oracle=f"""
+SELECT user_id,
+       round(regr_slope(value, {_X_DAYS}), 3) AS slope_per_day,
+       round(regr_avgy(value, {_X_DAYS}), 3) AS avg_value,
+       CAST(regr_count(value, {_X_DAYS}) AS BIGINT) AS n
+FROM events GROUP BY user_id
+""",
+)
+def q69_regr_slope(spark, sf_dir):
+    """Per-user linear trend of `value` over time (units: value per
+    day), via the built-in JVM regression aggregates — drift detection
+    over a metric stream without leaving whole-stage codegen. Single
+    partial+final aggregate on user_id; at 100 TB the partial phase
+    reduces each map task to 4 doubles per user before the shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    x = F.unix_micros(F.col("ts")) / F.lit(86400000000.0) - F.lit(19723)
+    return ev.groupBy("user_id").agg(
+        F.round(F.regr_slope(F.col("value"), x), 3).alias("slope_per_day"),
+        F.round(F.regr_avgy(F.col("value"), x), 3).alias("avg_value"),
+        F.regr_count(F.col("value"), x).alias("n"),
     )

@@ -33,6 +33,7 @@ from multi_threaded_mapreduce_framework_spark.functions.texthash import (
     distinct_token_hashes,
     lsh_band_keys,
     minhash_signature_np,
+    simhash_col,
     simhash_np,
     word_shingle_hashes,
 )
@@ -342,6 +343,97 @@ def q39_ivf_assign(spark, sf_dir):
         F.count(F.lit(1)).alias("n_assigned"),
         F.round(F.min("sim"), 4).alias("min_sim"),
         F.round(F.max("sim"), 4).alias("max_sim"),
+    )
+
+
+HAM_BANDS = 2
+HAM_BAND_BITS = 8
+HAM_MAX_DIST = 1  # pigeonhole: <=1 differing bit always shares one 8-bit band
+
+# DuckDB fragment: 16-bit simhash fingerprint per doc (same formula as q36).
+_DUCK_SIMHASH = f"""
+  SELECT doc_id, CAST(list_sum(list_transform(generate_series(0, 15),
+    j -> CASE WHEN list_sum(list_transform(hs,
+               h -> CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END)) > 0
+         THEN (1 << j) ELSE 0 END)) AS BIGINT) AS simhash
+  FROM (SELECT doc_id, list_distinct(list_transform(string_split(text, ' '),
+          w -> list_reduce(list_transform(string_split(w, ''),
+                c -> CAST(ascii(c) AS BIGINT)), (a,b) -> (a*31+b) % {P}))) AS hs
+        FROM documents)
+"""
+
+
+@register(
+    "q67_simhash_hamming_pairs",
+    tier="T2",
+    oracle=f"""
+WITH sh AS ({_DUCK_SIMHASH}),
+cl AS (SELECT simhash, count(*) AS sz FROM sh GROUP BY simhash)
+SELECT a.simhash AS f1, b.simhash AS f2,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming,
+       a.sz * b.sz AS n_pairs
+FROM cl a JOIN cl b ON a.simhash < b.simhash
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAM_MAX_DIST}
+""",
+)
+def q67_simhash_hamming_pairs(spark, sf_dir):
+    """Near-duplicate FINGERPRINT pairs at hamming distance <= 1,
+    weighted by cluster sizes — the cross-cluster tier above q36's
+    identical-fingerprint clusters.
+
+    Scale design: doc-level pair enumeration is O(cluster^2) (20k+
+    pairs even at sf0.01), so the pair join runs over DISTINCT
+    fingerprints — bounded by 2^16 forever, independent of corpus size
+    — after a first aggregation collapses docs to (fingerprint, size).
+    Candidates come from a 2x8-bit band self-join (shuffles 2 rows per
+    fingerprint); the pigeonhole bound makes <=1-bit recall EXACT, and
+    the oracle verifies that by brute-forcing all fingerprint pairs.
+    A 1-bit-differing pair matches in exactly one band, so the band
+    join emits no duplicates and needs no distinct."""
+    docs = load_table(spark, sf_dir, "documents")
+    # simhash_col (not the pandas UDF): the self-join needs both sides'
+    # sketch subtrees to compare sameResult so the aggregation exchange
+    # is computed once and reused; Python UDFs never do.
+    sh = docs.select(
+        simhash_col(distinct_token_hashes("text"), bits=16).alias("simhash")
+    )
+    # persist: both self-join branches read this <=2^16-row table; without
+    # it each branch re-scans and re-sketches the whole corpus (Spark
+    # plans the diamond as two independent subtrees here). The cache is
+    # tiny and keyed by canonical plan, so repeat builds share one entry.
+    cl = sh.groupBy("simhash").agg(F.count(F.lit(1)).alias("sz")).persist()
+    mask = (1 << HAM_BAND_BITS) - 1
+    bands = cl.select(
+        "simhash",
+        "sz",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftright("simhash", b * HAM_BAND_BITS)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("key"),
+                )
+                for b in range(HAM_BANDS)
+            ])
+        ).alias("bk"),
+    ).select("simhash", "sz", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a, b = bands.alias("a"), bands.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.simhash") < F.col("b.simhash")),
+        )
+        .filter(ham <= HAM_MAX_DIST)
+        .select(
+            F.col("a.simhash").alias("f1"),
+            F.col("b.simhash").alias("f2"),
+            ham.alias("hamming"),
+            (F.col("a.sz") * F.col("b.sz")).alias("n_pairs"),
+        )
     )
 
 
