@@ -13,7 +13,9 @@ from multi_threaded_mapreduce_framework_spark.plans.inspect import (
     executed_plan,
     has_broadcast_join,
     has_partial_aggregate,
+    join_strategies,
     num_exchanges,
+    plan_shape,
     pushed_filters,
     read_schema_columns,
     wholestage_codegen_ids,
@@ -23,7 +25,9 @@ __all__ = [
     "executed_plan",
     "has_broadcast_join",
     "has_partial_aggregate",
+    "join_strategies",
     "num_exchanges",
+    "plan_shape",
     "pushed_filters",
     "read_schema_columns",
     "wholestage_codegen_ids",

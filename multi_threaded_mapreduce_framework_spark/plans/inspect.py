@@ -74,6 +74,34 @@ def num_exchanges(df: DataFrame) -> int:
     return len(re.findall(r"Exchange (?:hashpartitioning|rangepartitioning|SinglePartition)", plan))
 
 
+_JOIN_KINDS = (
+    "BroadcastHashJoin",
+    "SortMergeJoin",
+    "ShuffledHashJoin",
+    "BroadcastNestedLoopJoin",
+    "CartesianProduct",
+)
+
+
+def join_strategies(df: DataFrame) -> dict[str, int]:
+    """Counts of each physical join strategy in the plan (empty = no
+    joins). The strategy, not the count of rows, is what survives a
+    1000x scale-up — a CartesianProduct here is a bug at any SF."""
+    plan = executed_plan(df)
+    out = {k: len(re.findall(rf"\b{k}\b", plan)) for k in _JOIN_KINDS}
+    return {k: v for k, v in out.items() if v}
+
+
+def plan_shape(df: DataFrame) -> dict:
+    """The scale-deciding plan features, as a stable snapshot dict
+    (see tools/snapshot_plans.py). Keys sorted for diff-friendliness."""
+    return {
+        "exchanges": num_exchanges(df),
+        "joins": join_strategies(df),
+        "partial_agg": has_partial_aggregate(df),
+    }
+
+
 def wholestage_codegen_ids(df: DataFrame) -> set[int]:
     """Distinct WholeStageCodegen span ids — wider spans = more of the
     plan fused into generated JVM code."""

@@ -34,6 +34,7 @@ _QUERY_MODULES = (
     "multi_threaded_mapreduce_framework_spark.queries.tpch",
     "multi_threaded_mapreduce_framework_spark.queries.tpch2",
     "multi_threaded_mapreduce_framework_spark.queries.t2_corpus",
+    "multi_threaded_mapreduce_framework_spark.queries.t2_join",
 )
 
 

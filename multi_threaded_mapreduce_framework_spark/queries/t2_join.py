@@ -1,0 +1,143 @@
+"""Temporal join operators (q70-q71): as-of join and interval join.
+
+Neither exists as a Spark built-in; both are training-pipeline /
+time-series staples the reference's generic shuffle could express as one
+map→group→reduce round (MapReduceClient.h:55-65 — map emits the join
+key, reduce scans the group). Here they are re-expressed as
+SINGLE-SHUFFLE compositions of DataFrame primitives:
+
+- as-of join = union both sides + one per-key window pass (the
+  sort-merge as-of strategy native engines like DuckDB/Pandas use,
+  expressed declaratively so Catalyst plans the sort);
+- interval join = bucketed equi-join (explode the probe side into
+  window-width buckets) + residual range filter, the standard
+  Flink-style interval-join decomposition that avoids the O(n·m)
+  inequality cross-join.
+
+Both oracles are native DuckDB forms (ASOF JOIN / inequality LEFT
+JOIN), so the decompositions are verified against an independent
+implementation, not against themselves.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Window
+
+from multi_threaded_mapreduce_framework_spark.queries.registry import register
+from multi_threaded_mapreduce_framework_spark.sources import load_table
+
+
+@register(
+    "q70_asof_join",
+    tier="T2",
+    oracle="""
+SELECT p.event_id, p.user_id,
+       round((epoch_us(p.ts) - epoch_us(c.ts)) / 1000000.0, 1) AS gap_s
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts > c.ts
+""",
+)
+def q70_asof_join(spark, sf_dir):
+    """As-of join: each purchase matched to the same user's most recent
+    STRICTLY-prior click; output the gap in seconds (null = no prior
+    click, preserved like ASOF LEFT JOIN).
+
+    Engine form: tag-union both sides, one window pass per user ordered
+    by (ts, is_click) taking ``last(click_ts, ignorenulls)`` over the
+    preceding-through-current frame. The is_click tiebreak orders a
+    same-timestamp click AFTER the purchase so strict ``>`` holds.
+    Scale: ONE shuffle on user_id and one local sort — no join at all,
+    so no skewed-key pair blowup when a user has many clicks (the
+    naive join+argmax shuffles |purchases|x|clicks| pairs per user);
+    state per key is one scalar. The gap is computed in exact int64
+    micros before one float division, so both engines round the same
+    IEEE double. Oracle: DuckDB's native ASOF JOIN — an independent
+    merge-join implementation of the same semantics."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    tagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.col("event_type") == "click").cast("int").alias("is_click"),
+        F.when(F.col("event_type") == "click", F.unix_micros("ts")).alias("c_us"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_click")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        tagged.withColumn("last_c_us", F.last("c_us", ignorenulls=True).over(w))
+        .filter(F.col("is_click") == 0)
+        .select(
+            "event_id",
+            "user_id",
+            F.round(
+                (F.unix_micros("ts") - F.col("last_c_us")) / F.lit(1000000.0), 1
+            ).alias("gap_s"),
+        )
+    )
+
+
+_WIN_MIN = 10  # interval width in minutes == bucket width (exact cover by 2 buckets)
+_WIN_US = _WIN_MIN * 60 * 1_000_000
+
+
+@register(
+    "q71_interval_join",
+    tier="T2",
+    oracle=f"""
+SELECT e.event_id, e.user_id, count(c.ts) AS n_clicks_10m
+FROM (SELECT * FROM events WHERE event_type = 'error') e
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON e.user_id = c.user_id
+ AND c.ts >= e.ts - INTERVAL {_WIN_MIN} MINUTE
+ AND c.ts < e.ts
+GROUP BY e.event_id, e.user_id
+""",
+)
+def q71_interval_join(spark, sf_dir):
+    """Interval join: for each error event, the count of clicks by the
+    same user in the preceding 10 minutes (zero-count errors kept).
+
+    Engine form: clicks explode into their own 10-minute bucket and the
+    next one (each click meets each error at most once, since an error
+    lives in exactly one bucket); the join is then a pure EQUI-join on
+    (user_id, bucket) with the exact [ts-10min, ts) range as a residual
+    predicate, left-outer to preserve errors with no clicks. Scale:
+    Catalyst plans a hash/sort-merge join instead of the O(errors x
+    clicks)-per-user nested loop a raw inequality join forces; shuffle
+    volume is 2x the click rows, and widening skew is handled by AQE
+    like any equi-join. Bucket arithmetic is exact int64 micros."""
+    ev = load_table(spark, sf_dir, "events")
+    err = ev.filter(F.col("event_type") == "error").select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("e_us"),
+        (F.unix_micros("ts") / F.lit(_WIN_US)).cast("long").alias("bucket"),
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.unix_micros("ts").alias("c_us"),
+            (F.unix_micros("ts") / F.lit(_WIN_US)).cast("long").alias("c_bucket"),
+        )
+        .withColumn("bucket", F.explode(F.array("c_bucket", F.col("c_bucket") + 1)))
+        .drop("c_bucket")
+    )
+    joined = err.join(
+        clicks,
+        (err.user_id == clicks.c_user)
+        & (err.bucket == clicks.bucket)
+        & (clicks.c_us >= err.e_us - F.lit(_WIN_US))
+        & (clicks.c_us < err.e_us),
+        "left",
+    )
+    return joined.groupBy("event_id", "user_id").agg(
+        F.count("c_us").alias("n_clicks_10m")
+    )

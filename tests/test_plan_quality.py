@@ -8,12 +8,18 @@ turn a pruned broadcast plan into a full-scan shuffle plan.
 
 from __future__ import annotations
 
+import json
+import os
+
 import pyspark.sql.functions as F
+import pytest
 
 from multi_threaded_mapreduce_framework_spark.plans import (
+    executed_plan,
     has_broadcast_join,
     has_partial_aggregate,
     num_exchanges,
+    plan_shape,
     pushed_filters,
     read_schema_columns,
 )
@@ -83,6 +89,67 @@ def test_events_tumbling_single_shuffle(spark, sf_dir):
     df = QUERIES["q24_window_tumbling"].builder(spark, sf_dir)
     assert num_exchanges(df) == 1
     assert has_partial_aggregate(df)
+
+
+with open(os.path.join(os.path.dirname(__file__), "plan_snapshot.json")) as _f:
+    PLAN_SNAPSHOT = json.load(_f)
+
+
+@pytest.mark.parametrize("name", sorted(PLAN_SNAPSHOT))
+def test_plan_shape_snapshot(spark, sf_dir, name):
+    """Every query's plan shape (exchange count, join strategies,
+    partial-agg presence) is pinned against tests/plan_snapshot.json.
+    A refactor that adds a shuffle or downgrades a broadcast join to a
+    shuffled one fails here; regenerate deliberately with
+    `python tools/snapshot_plans.py` when a change is intended."""
+    df = QUERIES[name].builder(spark, sf_dir)
+    assert plan_shape(df) == PLAN_SNAPSHOT[name], name
+
+
+def test_snapshot_covers_every_query():
+    assert sorted(PLAN_SNAPSHOT) == sorted(QUERIES)
+
+
+def test_q64_double_nation_broadcast(spark, sf_dir):
+    """Q7's signature: nation joined twice (two roles), both broadcast;
+    the fact side shuffles only for its joins/agg, never for a dim."""
+    df = QUERIES["q64_tpch_q7"].builder(spark, sf_dir)
+    plan = executed_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_q65_anti_join_is_broadcast(spark, sf_dir):
+    df = QUERIES["q65_tpch_q16"].builder(spark, sf_dir)
+    plan = executed_plan(df)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_q67_band_join_no_nested_loop(spark, sf_dir):
+    df = QUERIES["q67_simhash_hamming_pairs"].builder(spark, sf_dir)
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q70_asof_is_single_shuffle_no_join(spark, sf_dir):
+    """The as-of join compiles to union + window: exactly one exchange
+    (the per-user repartition) and NO join operator at all — the
+    skew-proof sort-merge as-of form."""
+    df = QUERIES["q70_asof_join"].builder(spark, sf_dir)
+    plan = executed_plan(df)
+    assert num_exchanges(df) == 1
+    assert "Join" not in plan
+
+
+def test_q71_interval_join_is_equi(spark, sf_dir):
+    """The bucketed decomposition must surface the equi keys to the
+    planner: a hash join with the range as residual condition, never an
+    inequality nested loop."""
+    df = QUERIES["q71_interval_join"].builder(spark, sf_dir)
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
 
 
 def test_narrow_scan_for_embeddings(spark, sf_dir):
