@@ -1,5 +1,16 @@
 """Structured Streaming demonstrations over the events table."""
 
+from multi_threaded_mapreduce_framework_spark.streaming.kafka_shim import (
+    KafkaConnectorUnavailable,
+    kafka_wire_stream,
+    parse_events,
+    real_kafka_stream,
+    write_kafka_replay,
+)
+from multi_threaded_mapreduce_framework_spark.streaming.sinks import (
+    foreach_batch_fanout,
+    foreach_batch_parquet,
+)
 from multi_threaded_mapreduce_framework_spark.streaming.stateful import (
     running_user_totals,
 )
@@ -14,6 +25,13 @@ from multi_threaded_mapreduce_framework_spark.streaming.windowed import (
 )
 
 __all__ = [
+    "KafkaConnectorUnavailable",
+    "kafka_wire_stream",
+    "parse_events",
+    "real_kafka_stream",
+    "write_kafka_replay",
+    "foreach_batch_fanout",
+    "foreach_batch_parquet",
     "running_user_totals",
     "events_stream",
     "replay_events",
