@@ -35,6 +35,8 @@ _QUERY_MODULES = (
     "multi_threaded_mapreduce_framework_spark.queries.tpch2",
     "multi_threaded_mapreduce_framework_spark.queries.t2_corpus",
     "multi_threaded_mapreduce_framework_spark.queries.t2_join",
+    "multi_threaded_mapreduce_framework_spark.queries.tpch3",
+    "multi_threaded_mapreduce_framework_spark.queries.relational3",
 )
 
 

@@ -102,6 +102,10 @@ def test_plan_shape_snapshot(spark, sf_dir, name):
     A refactor that adds a shuffle or downgrades a broadcast join to a
     shuffled one fails here; regenerate deliberately with
     `python tools/snapshot_plans.py` when a change is intended."""
+    # a query built earlier in the session may have left a persist()
+    # registered (q67's diamond): the CacheManager would then rewrite
+    # this build's subtree to InMemoryTableScan and change its shape
+    spark.catalog.clearCache()
     df = QUERIES[name].builder(spark, sf_dir)
     assert plan_shape(df) == PLAN_SNAPSHOT[name], name
 

@@ -32,10 +32,12 @@ OUT = os.path.join(
 
 def main() -> None:
     spark = get_spark("snapshot-plans", shuffle_partitions=4)
-    shapes = {
-        name: plan_shape(q.builder(spark, SF_DIR))
-        for name, q in sorted(all_queries().items())
-    }
+    shapes = {}
+    for name, q in sorted(all_queries().items()):
+        # same normalization as the test: a persist() left registered by
+        # an earlier query must not rewrite this plan to InMemoryTableScan
+        spark.catalog.clearCache()
+        shapes[name] = plan_shape(q.builder(spark, SF_DIR))
     with open(OUT, "w") as f:
         json.dump(shapes, f, indent=1, sort_keys=True)
         f.write("\n")
