@@ -37,6 +37,7 @@ _QUERY_MODULES = (
     "multi_threaded_mapreduce_framework_spark.queries.t2_join",
     "multi_threaded_mapreduce_framework_spark.queries.tpch3",
     "multi_threaded_mapreduce_framework_spark.queries.relational3",
+    "multi_threaded_mapreduce_framework_spark.queries.relational4",
 )
 
 

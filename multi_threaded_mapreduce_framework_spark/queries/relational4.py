@@ -1,0 +1,168 @@
+"""Breadth tier 4 (q82-q84): time-series gap-fill (dense hourly grid
+with zero backfill), window distribution functions (percent_rank /
+cume_dist), and blocked fuzzy matching by edit distance.
+
+Reference capability note: gap-fill is `map → group → reduce` with a
+generated dimension (the reference model can only emit from existing
+rows — emit2 per input pair, MapReduceClient.h:57-59 — so a dense grid
+needs the map side to *synthesize* keys; Spark's `sequence`+`explode`
+does exactly that declaratively). Distribution windows and blocked
+similarity are single-shuffle grouped computations.
+
+Scale notes (100 TB): the gap-fill grid is generated per group from two
+scalars (min/max hour), so grid size is independent of input row count
+— the dangerous alternative, a cross join against a global calendar
+table, is avoided. The fuzzy match is only feasible blocked: the
+(brand, size) equi-key bounds each block to ~tens of rows, so the
+quadratic edit-distance work is per-block-tiny and fully parallel;
+levenshtein runs JVM-side inside codegen.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Window
+
+from multi_threaded_mapreduce_framework_spark.queries.registry import register
+from multi_threaded_mapreduce_framework_spark.sources import load_table
+
+
+@register(
+    "q82_gap_fill",
+    tier="T2",
+    oracle="""
+WITH ev AS (
+  SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-08'),
+hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket_ts,
+         count(*) AS n_events, round(sum(value), 2) AS value_sum
+  FROM ev GROUP BY 1, 2),
+spans AS (
+  SELECT user_id, date_trunc('hour', min(ts)) AS h0,
+         date_trunc('hour', max(ts)) AS h1
+  FROM ev GROUP BY 1),
+grid AS (
+  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS bucket_ts
+  FROM spans)
+SELECT g.user_id, g.bucket_ts,
+       coalesce(h.n_events, 0) AS n_events,
+       coalesce(h.value_sum, 0.0) AS value_sum
+FROM grid g LEFT JOIN hourly h
+  ON g.user_id = h.user_id AND g.bucket_ts = h.bucket_ts
+""",
+)
+def q82_gap_fill(spark, sf_dir):
+    """Dense hourly activity series per user over the first week: every
+    hour between a user's first and last event appears, with zeros for
+    silent hours. The grid is synthesized per user from two aggregate
+    scalars via `sequence()` + `explode` — grid cost scales with
+    users × hours, not with event count, and no global calendar cross
+    join exists in the plan. Both the hourly aggregate and the grid
+    hash-partition by user_id, and Spark's `sequence` and DuckDB's
+    `generate_series` are both inclusive of the endpoint."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts") < F.lit("2024-01-08").cast("timestamp")
+    )
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("bucket_ts")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("value_sum"),
+    )
+    grid = (
+        ev.groupBy("user_id")
+        .agg(
+            F.date_trunc("hour", F.min("ts")).alias("_h0"),
+            F.date_trunc("hour", F.max("ts")).alias("_h1"),
+        )
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("_h0", "_h1", F.expr("INTERVAL 1 HOUR"))
+            ).alias("bucket_ts"),
+        )
+    )
+    return (
+        grid.join(hourly, ["user_id", "bucket_ts"], "left")
+        .select(
+            "user_id",
+            "bucket_ts",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.coalesce("value_sum", F.lit(0.0)).alias("value_sum"),
+        )
+    )
+
+
+@register(
+    "q83_window_distribution",
+    oracle="""
+SELECT o_orderkey, o_orderstatus,
+       round(percent_rank() OVER w, 6) AS price_pct_rank,
+       round(cume_dist() OVER w, 6) AS price_cume_dist
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice)
+""",
+)
+def q83_window_distribution(spark, sf_dir):
+    """Distribution-function windows: each order's price percentile
+    position within its status partition. percent_rank and cume_dist
+    are rank-based — `(rank-1)/(n-1)` and `rank/n` — so both engines
+    perform the identical IEEE division and the 6-dp rounding is
+    bit-stable. One shuffle (partition by status), one sort within
+    partitions, both functions share the same window frame."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.percent_rank().over(w), 6).alias("price_pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("price_cume_dist"),
+    )
+
+
+@register(
+    "q84_edit_distance_pairs",
+    tier="T2",
+    oracle="""
+SELECT a.p_partkey AS partkey_a, b.p_partkey AS partkey_b,
+       levenshtein(a.p_name, b.p_name) AS edit_dist
+FROM part a JOIN part b
+  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+ AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 6
+""",
+)
+def q84_edit_distance_pairs(spark, sf_dir):
+    """Blocked fuzzy name matching: part pairs in the same
+    (brand, size) block whose names are within edit distance 6.
+    The equi-join on the blocking key turns an O(n²) all-pairs edit
+    distance into per-block quadratic work over ~tens of rows — the
+    standard blocking trick for fuzzy dedup at scale (same pattern as
+    q35's LSH bands, with a semantic key instead of a sketch).
+    Levenshtein is an exact integer, identical on both engines."""
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_brand", "p_size"
+    )
+    a = p.select(
+        F.col("p_partkey").alias("partkey_a"),
+        F.col("p_name").alias("_name_a"),
+        "p_brand",
+        "p_size",
+    )
+    b = p.select(
+        F.col("p_partkey").alias("partkey_b"),
+        F.col("p_name").alias("_name_b"),
+        F.col("p_brand").alias("_brand_b"),
+        F.col("p_size").alias("_size_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("p_brand") == F.col("_brand_b"))
+            & (F.col("p_size") == F.col("_size_b"))
+            & (F.col("partkey_a") < F.col("partkey_b")),
+        )
+        .withColumn("edit_dist", F.levenshtein("_name_a", "_name_b"))
+        .filter(F.col("edit_dist") <= 6)
+        .select("partkey_a", "partkey_b", "edit_dist")
+    )
