@@ -121,6 +121,42 @@ def q83_window_distribution(spark, sf_dir):
 
 
 @register(
+    "q85_chunk_documents",
+    tier="T2",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+c AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(0, greatest(len(toks) - 1, 0), 24)) AS start
+  FROM t)
+SELECT doc_id,
+       CAST(start // 24 AS INT) AS chunk_idx,
+       array_to_string(toks[start + 1 : least(start + 32, len(toks))], ' ')
+           AS chunk_text,
+       CAST(least(start + 32, len(toks)) - start AS INT) AS n_tokens
+FROM c
+""",
+)
+def q85_chunk_documents(spark, sf_dir):
+    """Context-window chunking of the corpus: 32-token chunks with
+    stride 24 (8-token overlap) per document — the canonical LLM
+    training-data preprocessing step. Pure column algebra
+    (`split` → `sequence` → `explode` → `slice` → `array_join`, see
+    functions/chunking.py): no shuffle at all — chunking is embarrassingly
+    parallel per document, and the explode fan-out (~n/stride ×) happens
+    inside the scan stage's codegen. A UDTF variant with identical
+    semantics (the tokenizer-aware escape hatch) ships alongside in
+    `functions.chunking.ChunkText`."""
+    from multi_threaded_mapreduce_framework_spark.functions.chunking import chunk_expr
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_expr(docs, "text", size=32, stride=24).select(
+        "doc_id", "chunk_idx", "chunk_text", "n_tokens"
+    )
+
+
+@register(
     "q84_edit_distance_pairs",
     tier="T2",
     oracle="""
