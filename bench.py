@@ -80,17 +80,22 @@ def main() -> None:
             per_query[name] = -1.0
     suite_wall = round(time.time() - t_suite0, 3)
 
-    print(
-        json.dumps(
-            {
-                "metric": "suite_wall_s",
-                "value": suite_wall,
-                "unit": "sec",
-                "queries": per_query,
-                "sf": sf_of(args.sf_dir),
-            }
-        )
-    )
+    payload = {
+        "metric": "suite_wall_s",
+        "value": suite_wall,
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf_of(args.sf_dir),
+    }
+    # Full-precision record on disk for BASELINE.md round-over-round diffs.
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.json"), "w") as f:
+        json.dump(payload, f, indent=1)
+    # The driver captures only the tail (~4 KB) of stdout; round 1's
+    # 3-dp line with default separators truncated mid-object and parsed
+    # as null.  Print a compact line (2 dp, no separator spaces): ~2 KB
+    # for 85 queries, comfortably inside the tail window.
+    compact = dict(payload, queries={k: round(v, 2) for k, v in per_query.items()})
+    print(json.dumps(compact, separators=(",", ":")))
 
 
 if __name__ == "__main__":
