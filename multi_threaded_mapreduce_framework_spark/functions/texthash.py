@@ -132,7 +132,10 @@ def minhash_signature_np(hashes: Column, k: int = 16) -> Column:
     :func:`minhash_signature` (identical outputs; pure int64 math has no
     FP divergence), ~4x faster: the 16-permutation inner loop runs as
     one numpy broadcast per document instead of 16 interpreted
-    higher-order-function traversals."""
+    higher-order-function traversals.
+
+    Empty input hashes yield ``[null] * k`` — the same as the Column
+    form, where ``array_min`` over an empty array is null per slot."""
     @F.pandas_udf("array<bigint>")
     def _sig(hs_series):
         import numpy as np
@@ -144,7 +147,7 @@ def minhash_signature_np(hashes: Column, k: int = 16) -> Column:
         for h in hs_series:
             arr = np.asarray(h, dtype=np.int64)
             if arr.size == 0:
-                out.append([])
+                out.append([None] * k)
                 continue
             out.append(((a * arr[None, :] + b) % P).min(axis=1).tolist())
         return pd.Series(out)

@@ -126,7 +126,6 @@ class JobHandle:
     _result: list = field(default_factory=list)
     _error: list = field(default_factory=list)
     _done: threading.Event = field(default_factory=threading.Event)
-    _join_lock: threading.Lock = field(default_factory=threading.Lock)
 
     def get_job_state(self) -> JobState:
         """Reference ``getJobState`` — decode {stage, percentage} from the
@@ -162,11 +161,14 @@ class JobHandle:
         pct = 100.0 * done / total if total else 0.0
         return JobState(stage, min(pct, 100.0))
 
-    def wait(self, timeout: float | None = None) -> None:
+    def wait(self, timeout: float | None = None) -> bool:
         """Reference ``waitForJob`` — blocks until done; safe to call from
-        multiple threads / multiple times (join-once semantics)."""
-        with self._join_lock:
-            self._thread.join(timeout)
+        multiple threads / multiple times (join-once semantics). Waits on
+        the completion event rather than ``Thread.join`` so a timed wait
+        can never block behind another caller's untimed wait. Returns
+        True iff the job completed within ``timeout`` (always True for
+        ``timeout=None``)."""
+        return self._done.wait(timeout)
 
     def result(self) -> list[Row]:
         """The output bag (reference ``OutputVec``); blocks until done."""

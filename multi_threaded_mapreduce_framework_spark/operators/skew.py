@@ -33,12 +33,16 @@ def salted_agg(
     sum/count/min/max (algebraic, so phase-2 re-aggregation is exact:
     count re-aggregates as sum of partial counts).
 
-    The salt is deterministic (hash of all input columns mod n_salts):
-    reruns produce identical partials, which keeps tests and retries
-    stable — randomness has no advantage here, spreading does.
+    The salt mixes ``spark_partition_id()`` with a hash of the row's
+    columns: byte-identical duplicate rows (the most common hot-key
+    shape) land in different input partitions and therefore spread
+    across salts, while a pure row-hash salt would send every duplicate
+    to one reducer — defeating the point. Still deterministic for a
+    fixed partition layout, so retries of a task produce identical
+    partials.
     """
     salted = df.withColumn(
-        SALT_COL, F.pmod(F.hash(*df.columns), F.lit(n_salts))
+        SALT_COL, F.pmod(F.hash(F.spark_partition_id(), *df.columns), F.lit(n_salts))
     )
 
     phase1, phase2 = [], []

@@ -63,8 +63,13 @@ def has_partial_aggregate(df: DataFrame) -> bool:
     map-side-combine upgrade over the reference's full-shuffle design,
     reference MapReduceFramework.cpp:160-218)."""
     plan = executed_plan(df)
-    return bool(re.search(r"HashAggregate\(.*keys=.*functions=\[partial_", plan)) or (
-        "partial_" in plan and "HashAggregate" in plan
+    # partial_ must appear inside an aggregate node's functions list —
+    # a loose "both substrings somewhere in the plan" check could match
+    # a partial_ function and a HashAggregate from unrelated subtrees.
+    return bool(
+        re.search(
+            r"(?:Hash|ObjectHash|Sort)Aggregate\([^\n]*functions=\[partial_", plan
+        )
     )
 
 

@@ -29,9 +29,15 @@ def foreach_batch_parquet(
     """Stream ``agg`` into ``out_dir`` one parquet subdirectory per
     micro-batch (``batch_id=N/``). A replayed batch id overwrites its
     own directory and nothing else — idempotent, so the sink is
-    exactly-once end to end. Readers get the current state with
-    ``read.parquet(out_dir + "/batch_id=*")`` keeping the LAST row per
-    key (update mode emits changed keys per batch).
+    exactly-once end to end.
+
+    Reader contract: a plain ``read.parquet(out_dir)`` returns EVERY
+    batch's rows (update mode re-emits a key each time it changes), in
+    no particular order. To reconstruct current state a reader MUST
+    keep, per key, the row with the highest ``batch_id`` — use
+    :func:`read_current_state`, or equivalently a
+    ``row_number() over (partition by key order by batch_id desc)``
+    filter as ``tests/test_streaming_sinks.py`` does.
     """
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -43,6 +49,27 @@ def foreach_batch_parquet(
         .option("checkpointLocation", checkpoint_dir)
         .foreachBatch(write_batch)
         .start()
+    )
+
+
+def read_current_state(
+    spark,
+    out_dir: str,
+    key_cols: list[str],
+) -> DataFrame:
+    """Reader for :func:`foreach_batch_parquet` output: latest row per
+    key across all batch directories (highest ``batch_id`` wins; the
+    hive-style ``batch_id=N`` path component is read back as a column).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = spark.read.option("basePath", out_dir).parquet(f"{out_dir}/batch_id=*")
+    w = Window.partitionBy(*key_cols).orderBy(F.col("batch_id").desc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "batch_id")
     )
 
 
