@@ -87,9 +87,14 @@ def main() -> None:
         "queries": per_query,
         "sf": sf_of(args.sf_dir),
     }
-    # Full-precision record on disk for BASELINE.md round-over-round diffs.
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.json"), "w") as f:
-        json.dump(payload, f, indent=1)
+    # Full-precision record on disk for BASELINE.md round-over-round
+    # diffs (full-suite runs only — a name-filtered run must not clobber
+    # the last complete record).
+    if not args.names:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.json"), "w"
+        ) as f:
+            json.dump(payload, f, indent=1)
     # The driver captures only the tail (~4 KB) of stdout; round 1's
     # 3-dp line with default separators truncated mid-object and parsed
     # as null.  Print a compact line (2 dp, no separator spaces): ~2 KB

@@ -163,3 +163,27 @@ def test_narrow_scan_for_embeddings(spark, sf_dir):
     assert has_broadcast_join(df)
     cols = read_schema_columns(df)
     assert "vec_id" in cols and "embedding" in cols
+
+
+def test_q68_native_no_python(spark, sf_dir):
+    """The declared q68 is pure JVM gaps-and-islands (window + two
+    aggregates): no PythonUDF/ArrowEvalPython node anywhere, one
+    exchange, map-side partial aggregation."""
+    df = QUERIES["q68_longest_streak"].builder(spark, sf_dir)
+    plan = executed_plan(df)
+    assert "Python" not in plan
+    assert num_exchanges(df) == 1
+    assert has_partial_aggregate(df)
+
+
+def test_q68_pandas_alternate_parity(spark, sf_dir):
+    """The applyInPandas custom-sequence-operator alternate computes the
+    same bag as the declared native window form."""
+    from multi_threaded_mapreduce_framework_spark.queries.t2_corpus import (
+        longest_streak_pandas,
+    )
+
+    native = QUERIES["q68_longest_streak"].builder(spark, sf_dir)
+    alt = longest_streak_pandas(spark, sf_dir)
+    key = lambda r: (r["user_id"], r["longest_streak"], r["n_runs"])  # noqa: E731
+    assert sorted(map(key, native.collect())) == sorted(map(key, alt.collect()))
