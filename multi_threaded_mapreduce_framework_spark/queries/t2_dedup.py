@@ -189,55 +189,80 @@ FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.v, b.v) >= {COSINE_NEARDUP_THRESHOLD}
 """,
 )
-def q37_embedding_neardup(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs (cosine >= 0.4, brute
-    force) as a blocked GEMM: the corpus matrix is broadcast, each
-    Arrow batch of rows multiplies against it with one numpy matmul,
-    and only above-threshold (v1 < v2) pairs are emitted.
+def q37_embedding_neardup(spark, sf_dir, n_blocks: int = 4):
+    """Embedding-cosine near-duplicate pairs (cosine >= 0.4, exact
+    brute force) as a fully distributed blocked GEMM — no driver
+    materialization anywhere.
 
-    This is the vectorized brute-force pattern (numpy inside
-    ``mapInPandas``, ~50x the per-pair higher-order-function form). It
-    is honest about its scale limit: the broadcast side must fit in
-    executor memory, so at 100 TB the same kernel runs *inside* q35/q38
-    LSH buckets or q39 IVF partitions, where each block is bounded —
-    the pair generation is blocked there, not all-pairs.
+    Rows hash into ``n_blocks`` blocks; every unordered block pair
+    (i <= j) becomes one group key, and each row replicates to the
+    n_blocks group keys its block participates in (explode of a
+    map-side-computed key array — replication factor is exactly
+    n_blocks). One shuffle co-locates each block pair, then a grouped
+    ``applyInPandas`` runs one numpy matmul per pair: diagonal groups
+    take the id-ordered upper triangle, off-diagonal groups cross the
+    two sides. Every (v1 < v2) pair lands in exactly one group, so the
+    union is the exact all-pairs answer.
+
+    Scale: each task holds two blocks (~2/n_blocks of the corpus), so
+    n_blocks scales with corpus/executor-memory and the driver holds
+    nothing (round 1 collected the corpus to the driver to build a
+    broadcast — a driver OOM at 100 TB). Total work is inherently
+    quadratic: this is the exact baseline that q35/q38/q39 are the
+    sub-quadratic paths for.
     """
-    import numpy as np
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    rows = emb.select("vec_id", "embedding").collect()  # build broadcast side
-    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
-    mat = np.array([r.embedding for r in rows], dtype=np.float64)
-    norms = np.sqrt((mat * mat).sum(axis=1))
-    bc = spark.sparkContext.broadcast((ids, mat, norms))
     thr = COSINE_NEARDUP_THRESHOLD
+    b = F.pmod(F.xxhash64("vec_id"), F.lit(n_blocks))
+    # Block b joins pairs (b, j) for j >= b and (i, b) for i < b.
+    pair_keys = F.expr(
+        f"""concat(
+          transform(sequence(b, {n_blocks - 1}), j -> struct(b AS i, j AS j)),
+          IF(b = 0, array(),
+             transform(sequence(0, b - 1), i -> struct(i AS i, b AS j))))"""
+    )
 
-    def kernel(batches):
+    def kernel(key, pdf):
         import numpy as np
         import pandas as pd
 
-        b_ids, b_mat, b_norms = bc.value
-        for pdf in batches:
-            a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            a_mat = np.array(list(pdf["embedding"]), dtype=np.float64)
-            a_norms = np.sqrt((a_mat * a_mat).sum(axis=1))
-            # cos = dot / sqrt(n1^2 * n2^2) — same scalar formula as the
-            # column-expression form, so oracle parity carries over
-            sims = (a_mat @ b_mat.T) / np.sqrt(
-                np.outer(a_norms**2, b_norms**2)
-            )
-            ai, bj = np.nonzero(
-                (sims >= thr) & (a_ids[:, None] < b_ids[None, :])
-            )
-            yield pd.DataFrame(
-                {
-                    "v1": a_ids[ai],
-                    "v2": b_ids[bj],
-                    "cos_sim": np.round(sims[ai, bj], 4),
-                }
-            )
+        i, j = key
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+        norms2 = (mat * mat).sum(axis=1)
+        blk = pdf["b"].to_numpy()
+        if i == j:
+            a_idx = b_idx = np.arange(len(ids))
+        else:
+            a_idx = np.nonzero(blk == i)[0]
+            b_idx = np.nonzero(blk == j)[0]
+        # cos = dot / sqrt(n1^2 * n2^2) — same scalar formula as the
+        # column-expression form, so oracle parity carries over
+        sims = (mat[a_idx] @ mat[b_idx].T) / np.sqrt(
+            np.outer(norms2[a_idx], norms2[b_idx])
+        )
+        ida = ids[a_idx][:, None]
+        idb = ids[b_idx][None, :]
+        if i == j:
+            # upper triangle by id; each unordered pair appears once
+            mask = (sims >= thr) & (ida < idb)
+        else:
+            # disjoint blocks: every cross pair appears once, in either
+            # id order — normalize to v1 < v2 on output
+            mask = sims >= thr
+        ai, bj = np.nonzero(mask)
+        v1 = np.minimum(ids[a_idx][ai], ids[b_idx][bj])
+        v2 = np.maximum(ids[a_idx][ai], ids[b_idx][bj])
+        return pd.DataFrame(
+            {"v1": v1, "v2": v2, "cos_sim": np.round(sims[ai, bj], 4)}
+        )
 
-    return emb.select("vec_id", "embedding").mapInPandas(
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", b.alias("b")
+    )
+    exploded = emb.select(
+        "vec_id", "embedding", "b", F.explode(pair_keys).alias("pk")
+    ).select("vec_id", "embedding", "b", F.col("pk.i").alias("pi"), F.col("pk.j").alias("pj"))
+    return exploded.groupBy("pi", "pj").applyInPandas(
         kernel, schema="v1 bigint, v2 bigint, cos_sim double"
     )
 

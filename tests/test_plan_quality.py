@@ -187,3 +187,21 @@ def test_q68_pandas_alternate_parity(spark, sf_dir):
     alt = longest_streak_pandas(spark, sf_dir)
     key = lambda r: (r["user_id"], r["longest_streak"], r["n_runs"])  # noqa: E731
     assert sorted(map(key, native.collect())) == sorted(map(key, alt.collect()))
+
+
+def test_q37_no_driver_materialization(spark, sf_dir):
+    """Blocked all-pairs GEMM is fully distributed: building the
+    DataFrame must launch zero Spark jobs (round 1 collect()ed the
+    corpus to the driver at build time), and the plan is one shuffle
+    into a grouped-pandas kernel with no join or broadcast."""
+    tracker = spark.sparkContext.statusTracker()
+    jobs_before = len(tracker.getJobIdsForGroup(None) or [])
+    df = QUERIES["q37_embedding_neardup"].builder(spark, sf_dir)
+    jobs_after = len(tracker.getJobIdsForGroup(None) or [])
+    # every builder costs exactly one job (parquet footer/schema read);
+    # the round-1 driver collect() was a second, corpus-sized job
+    assert jobs_after - jobs_before <= 1, "build phase ran extra Spark jobs (driver collect?)"
+    plan = executed_plan(df)
+    assert "Join" not in plan and "Broadcast" not in plan
+    assert "FlatMapGroupsInPandas" in plan
+    assert num_exchanges(df) == 1
