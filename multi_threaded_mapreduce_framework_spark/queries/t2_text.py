@@ -170,37 +170,50 @@ def q27_jaccard_neardup(spark, sf_dir):
     """Document pairs with token-set Jaccard >= 0.5 (exact).
 
     Token-inverted-index self-join -> per-pair intersection counts ->
-    Jaccard via |A|+|B|-|A∩B|. Exact brute force on a capped slice
-    (doc_id < 500): the fixture vocabulary is tiny, so token buckets are
-    dense and both the join AND the qualifying-pair output are inherently
-    O(n^2) — the uncapped version of this op does not exist at scale.
-    The scale path is MinHash-LSH (``q35_minhash_lsh``), which bounds
-    candidates by bucket collision instead of joining every shared token.
+    Jaccard via |A|+|B|-|A∩B|, with a LOSSLESS size-band block on the
+    join: J = i/(n1+n2-i) <= min(n1,n2)/max(n1,n2) because i <= min and
+    the union >= max, so any qualifying pair satisfies
+    2*min(n1,n2) >= max(n1,n2) at threshold 0.5. The band prunes
+    candidate pairs inside the join condition — before the intersection
+    count is ever aggregated — bounding the quadratic blow-up to
+    similarly-sized documents (SURVEY §7 M3 risk note). Token-set sizes
+    are computed map-side (size of the distinct token array) and ride
+    along the explode, so the band needs no extra join or aggregate;
+    the two size-lookup joins of the unbanded form disappear too.
+
+    Exact brute force on a capped slice (doc_id < 500): the fixture
+    vocabulary is tiny, so token buckets are dense and the qualifying
+    output itself is inherently O(n^2) — the uncapped version of this
+    op does not exist at scale. The scale path is MinHash-LSH
+    (``q35_minhash_lsh``), which bounds candidates by bucket collision
+    instead of joining every shared token.
     """
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
-    tok = docs.select(
-        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 500)
+        .select("doc_id", F.array_distinct(F.split("text", " ")).alias("toks"))
+        .select("doc_id", F.size("toks").alias("n"), F.explode("toks").alias("w"))
     )
-    sz = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a, b = tok.alias("a"), tok.alias("b")
+    a, b = docs.alias("a"), docs.alias("b")
     inter = (
         a.join(
             b,
             (F.col("a.w") == F.col("b.w"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # size-band block: necessary condition for J >= 0.5
+            & (F.least("a.n", "b.n") * 2 >= F.greatest("a.n", "b.n")),
         )
         .groupBy(
-            F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            F.col("a.n").alias("n1"),
+            F.col("b.n").alias("n2"),
         )
         .agg(F.count(F.lit(1)).alias("i"))
     )
-    s1 = sz.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
-    s2 = sz.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
     jac = F.col("i").cast("double") / (F.col("n1") + F.col("n2") - F.col("i"))
     return (
-        inter.join(s1, "d1")
-        .join(s2, "d2")
-        .filter(jac >= 0.5)
+        inter.filter(jac >= 0.5)
         .select("d1", "d2", F.round(jac, 2).alias("jaccard"))
     )
 
