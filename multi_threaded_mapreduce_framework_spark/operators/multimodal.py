@@ -3,11 +3,20 @@
 Media is modeled the way a 100 TB training-data lake stores it: an
 opaque ``binary`` payload column plus typed metadata, processed with
 Arrow-batched ``mapInPandas`` so payload bytes never take the
-row-at-a-time Python path. The decode kernels themselves are STUBBED —
-this container has no image/audio libraries — behind
-:func:`_require_codec`, with a deterministic fake used by tests so the
-Spark-side plumbing (schema, batch shape, partitioning, UDF signatures)
-is real and verified even though the pixel math is fake.
+row-at-a-time Python path.
+
+Decode paths come in three tiers:
+
+- REAL, codec-free: WAV audio (:func:`decode_audio` parses genuine
+  RIFF/PCM payloads with stdlib ``wave`` + numpy) and P6 PPM images
+  (:func:`decode_images` parses the raw-RGB format directly). These run
+  end-to-end on real bytes in any environment.
+- REAL, codec-gated: JPEG/PNG (PIL), video frames (pyav) — gated by
+  :func:`_require_codec`; this container has neither, so these raise
+  the documented stub error unless ``fake=True``.
+- FAKE: deterministic header/sha256 kernels used by tests so the
+  Spark-side plumbing (schema, batch shape, partitioning, UDF
+  signatures) stays verified even where the codec tier is absent.
 
 Schema convention::
 
@@ -84,16 +93,47 @@ def synthesize_media(spark: SparkSession, n: int = 64, parts: int = 4) -> DataFr
     return spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(parts)
 
 
+def _decode_ppm(raw: bytes) -> tuple[int, int, float]:
+    """Real P6 PPM decode: (width, height, mean pixel intensity).
+
+    P6 is raw 8-bit RGB behind an ASCII header — a genuine on-disk image
+    format decodable without any codec library, which makes it the
+    container-portable real path (PIL handles it too, identically).
+    """
+    import numpy as np
+
+    if not raw.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    # header: 'P6' <ws> width <ws> height <ws> maxval <single-ws> pixels
+    fields: list[int] = []
+    pos = 2
+    while len(fields) < 3:
+        while raw[pos : pos + 1].isspace():
+            pos += 1
+        if raw[pos : pos + 1] == b"#":  # comment to end of line
+            pos = raw.index(b"\n", pos) + 1
+            continue
+        end = pos
+        while not raw[end : end + 1].isspace():
+            end += 1
+        fields.append(int(raw[pos:end]))
+        pos = end
+    pos += 1  # the single whitespace after maxval
+    w, h, _maxval = fields
+    pixels = np.frombuffer(raw, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return w, h, float(pixels.mean())
+
+
 def decode_images(df: DataFrame, fake: bool = True) -> DataFrame:
     """Decode image payloads -> (media_id, width, height, mean_intensity).
 
-    Real path: PIL decode per payload inside the Arrow batch. Stub path:
-    header-packed dims + byte-mean as 'intensity' — deterministic, so
-    tests can assert exact values while exercising the identical
-    mapInPandas batch shape the real kernel uses.
+    Real path (``fake=False``): P6 PPM payloads are decoded directly
+    (:func:`_decode_ppm` — real bytes, no codec needed); any other
+    format requires PIL on the executors. Stub path: header-packed dims
+    + byte-mean as 'intensity' — deterministic, so tests can assert
+    exact values while exercising the identical mapInPandas batch shape
+    the real kernel uses.
     """
-    if not fake:
-        _require_codec("PIL")
 
     def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
@@ -102,16 +142,145 @@ def decode_images(df: DataFrame, fake: bool = True) -> DataFrame:
             out = {"media_id": [], "width": [], "height": [], "mean_intensity": []}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 raw = bytes(payload)
-                w, h = struct.unpack_from("<ii", raw, 0)
-                body = raw[8:]
+                if fake:
+                    w, h = struct.unpack_from("<ii", raw, 0)
+                    body = raw[8:]
+                    mean = round(sum(body) / len(body), 2)
+                elif raw.startswith(b"P6"):
+                    w, h, mean = _decode_ppm(raw)
+                    mean = round(mean, 2)
+                else:
+                    from io import BytesIO
+
+                    pil_image = _require_codec("PIL.Image").Image
+                    with pil_image.open(BytesIO(raw)) as im:
+                        w, h = im.size
+                        gray = im.convert("L")
+                        data = list(gray.getdata())
+                        mean = round(sum(data) / len(data), 2)
                 out["media_id"].append(mid)
                 out["width"].append(w)
                 out["height"].append(h)
-                out["mean_intensity"].append(round(sum(body) / len(body), 2))
+                out["mean_intensity"].append(mean)
             yield pd.DataFrame(out)
 
     return df.filter(F.col("kind") == "image").mapInPandas(
         kernel, schema="media_id bigint, width int, height int, mean_intensity double"
+    )
+
+
+def synthesize_ppm_media(spark: SparkSession, n: int = 12, parts: int = 4) -> DataFrame:
+    """Media table whose payloads are GENUINE P6 PPM images: row i is a
+    (8+i) x (6+i) RGB ramp where pixel byte k has value (i + k) % 256.
+    Real decodable bytes — :func:`decode_images` with ``fake=False``
+    must recover the dims and the exact ramp mean from the payload."""
+    rows = []
+    for i in range(n):
+        w, h = 8 + i, 6 + i
+        header = f"P6\n# ramp {i}\n{w} {h}\n255\n".encode()
+        body = bytes((i + k) % 256 for k in range(w * h * 3))
+        rows.append((i, "image", bytearray(header + body), (w, h, "ppm", 0, 0)))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(parts)
+
+
+def synthesize_wav_media(
+    spark: SparkSession,
+    n: int = 16,
+    sample_rate: int = 8_000,
+    parts: int = 4,
+) -> DataFrame:
+    """Media table whose payloads are GENUINE WAV files (RIFF header +
+    16-bit PCM mono written by stdlib ``wave``): row i is a
+    (220 + 55*i) Hz sine of (200 + 50*i) ms at amplitude 0.5. Real
+    bytes end to end — :func:`decode_audio` must recover the declared
+    duration/rate and the sine's RMS (0.5/sqrt(2)) from the payload
+    alone."""
+    import io
+    import math
+    import wave as wave_mod
+
+    rows = []
+    for i in range(n):
+        duration_ms = 200 + 50 * i
+        freq = 220.0 + 55.0 * i
+        n_frames = sample_rate * duration_ms // 1000
+        buf = io.BytesIO()
+        with wave_mod.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(sample_rate)
+            w.writeframes(
+                b"".join(
+                    struct.pack(
+                        "<h",
+                        int(16383 * math.sin(2 * math.pi * freq * t / sample_rate)),
+                    )
+                    for t in range(n_frames)
+                )
+            )
+        rows.append(
+            (i, "audio", bytearray(buf.getvalue()), (0, 0, "wav", duration_ms, sample_rate))
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(parts)
+
+
+def decode_audio(df: DataFrame, fake: bool = False) -> DataFrame:
+    """Decode audio payloads -> (media_id, sample_rate, duration_ms,
+    rms, peak).
+
+    REAL path by default: stdlib ``wave`` parses the RIFF container and
+    numpy computes RMS/peak over the PCM samples (normalized to
+    [-1, 1]) — no codec library involved, so this is a genuine
+    bytes-to-features kernel in any environment. Compressed codecs
+    (mp3/ogg) would gate on torchaudio in the same kernel. Fake path:
+    metadata passthrough with sha256-derived pseudo-levels, for
+    plumbing tests that don't construct real WAV bytes.
+    """
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import io
+        import wave as wave_mod
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = {
+                "media_id": [],
+                "sample_rate": [],
+                "duration_ms": [],
+                "rms": [],
+                "peak": [],
+            }
+            for mid, payload, meta in zip(
+                pdf["media_id"], pdf["payload"], pdf["meta"]
+            ):
+                if fake:
+                    digest = hashlib.sha256(bytes(payload)).digest()
+                    rate = int(meta["sample_rate"])
+                    dur = int(meta["duration_ms"])
+                    rms = round(digest[0] / 512, 6)
+                    peak = round(digest[1] / 256, 6)
+                else:
+                    with wave_mod.open(io.BytesIO(bytes(payload)), "rb") as w:
+                        rate = w.getframerate()
+                        n_frames = w.getnframes()
+                        dur = int(round(1000 * n_frames / rate))
+                        pcm = np.frombuffer(
+                            w.readframes(n_frames), dtype=np.int16
+                        ).astype(np.float64) / 32768.0
+                    rms = round(float(np.sqrt((pcm * pcm).mean())), 6) if len(pcm) else 0.0
+                    peak = round(float(np.abs(pcm).max()), 6) if len(pcm) else 0.0
+                out["media_id"].append(mid)
+                out["sample_rate"].append(rate)
+                out["duration_ms"].append(dur)
+                out["rms"].append(rms)
+                out["peak"].append(peak)
+            yield pd.DataFrame(out)
+
+    return df.filter(F.col("kind") == "audio").mapInPandas(
+        kernel,
+        schema="media_id bigint, sample_rate int, duration_ms int, rms double, peak double",
     )
 
 

@@ -81,12 +81,68 @@ def test_sample_frames_flatmap_shape(media):
 
 
 def test_real_codec_gate_raises(media):
-    with pytest.raises(NotImplementedError, match="PIL"):
-        decode_images(media, fake=False)
+    # decode_images gates lazily inside the kernel (executors need the
+    # codec, not the driver): non-PPM payloads without PIL fail at
+    # execution, wrapped in Spark's PythonException
+    from pyspark.errors.exceptions.captured import PythonException
+
+    with pytest.raises(PythonException, match="PIL"):
+        decode_images(media, fake=False).collect()
     with pytest.raises(NotImplementedError, match="torch"):
         extract_features(media, fake=False)
     with pytest.raises(NotImplementedError, match="av"):
         sample_frames(media, fake=False)
+
+
+def test_decode_images_real_ppm(spark):
+    """REAL image decode: genuine P6 PPM payloads parsed from bytes —
+    dims and exact ramp mean recovered with no codec library."""
+    from multi_threaded_mapreduce_framework_spark.operators.multimodal import (
+        synthesize_ppm_media,
+    )
+
+    ppm = synthesize_ppm_media(spark, n=12, parts=4)
+    rows = {r.media_id: r for r in decode_images(ppm, fake=False).collect()}
+    assert len(rows) == 12
+    for i, r in rows.items():
+        w, h = 8 + i, 6 + i
+        assert (r.width, r.height) == (w, h)
+        expected = round(sum((i + k) % 256 for k in range(w * h * 3)) / (w * h * 3), 2)
+        assert r.mean_intensity == expected, (i, r.mean_intensity, expected)
+
+
+def test_decode_audio_real_wav(spark):
+    """REAL audio decode: stdlib wave parses genuine RIFF/PCM payloads;
+    recovered rate/duration match the writer and the sine's RMS is
+    amplitude/sqrt(2) to 3 decimal places."""
+    from multi_threaded_mapreduce_framework_spark.operators.multimodal import (
+        decode_audio,
+        synthesize_wav_media,
+    )
+
+    wav = synthesize_wav_media(spark, n=8, sample_rate=8_000, parts=4)
+    rows = {r.media_id: r for r in decode_audio(wav, fake=False).collect()}
+    assert len(rows) == 8
+    for i, r in rows.items():
+        assert r.sample_rate == 8_000
+        assert r.duration_ms == 200 + 50 * i
+        assert abs(r.rms - (16383 / 32768) / 2**0.5) < 2e-3, (i, r.rms)
+        assert 0.4 < r.peak <= 0.5
+
+
+def test_decode_audio_fake_real_schema_parity(spark):
+    """Fake and real audio kernels produce the identical output schema
+    (the plumbing contract the fake path exists to pin)."""
+    from multi_threaded_mapreduce_framework_spark.operators.multimodal import (
+        decode_audio,
+        synthesize_wav_media,
+    )
+
+    wav = synthesize_wav_media(spark, n=2, parts=1)
+    real = decode_audio(wav, fake=False)
+    fake = decode_audio(wav, fake=True)
+    assert real.schema == fake.schema
+    assert fake.count() == real.count() == 2
 
 
 def test_metadata_query_never_reads_payload(spark, media, tmp_path):
