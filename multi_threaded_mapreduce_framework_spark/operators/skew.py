@@ -21,6 +21,13 @@ from pyspark.sql import DataFrame
 SALT_COL = "__salt"
 
 
+def salt_column(df: DataFrame, n_salts: int) -> F.Column:
+    """The salt expression used by :func:`salted_agg`: partition id
+    mixed with a row hash, mod ``n_salts``. Exposed so tests (and
+    custom two-phase aggregations) can assert its spreading behavior."""
+    return F.pmod(F.hash(F.spark_partition_id(), *df.columns), F.lit(n_salts))
+
+
 def salted_agg(
     df: DataFrame,
     keys: list[str],
@@ -41,9 +48,7 @@ def salted_agg(
     fixed partition layout, so retries of a task produce identical
     partials.
     """
-    salted = df.withColumn(
-        SALT_COL, F.pmod(F.hash(F.spark_partition_id(), *df.columns), F.lit(n_salts))
-    )
+    salted = df.withColumn(SALT_COL, salt_column(df, n_salts))
 
     phase1, phase2 = [], []
     for out_name, spec in aggs.items():

@@ -57,3 +57,79 @@ def test_two_shuffles_by_design(spark, skewed):
 def test_rejects_non_algebraic(spark, skewed):
     with pytest.raises(ValueError):
         salted_agg(skewed, ["k"], {"a": "avg(v)"})
+
+
+def test_salt_spreads_identical_rows(spark):
+    """Byte-identical duplicate rows (the most common hot-key shape)
+    must land on several salts: the partition-id mix guarantees spread
+    wherever the duplicates span more than one input partition."""
+    from multi_threaded_mapreduce_framework_spark.operators.skew import salt_column
+
+    dup = (
+        spark.range(4_000)
+        .select(F.lit("hot").alias("k"), F.lit(1).alias("v"))
+        .repartition(4)
+    )
+    n = dup.select(salt_column(dup, 16).alias("s")).distinct().count()
+    assert n > 1, "identical rows all mapped to one salt"
+
+
+def _write_skewed_corpus(spark, path: str, n_hot: int = 120, n_bg: int = 100):
+    """documents.parquet with one hot LSH bucket: n_hot byte-identical
+    docs (same shingles -> same key in every band) plus n_bg mutually
+    dissimilar background docs."""
+    hot_text = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, hot_text) for i in range(n_hot)]
+    rows += [
+        (
+            n_hot + i,
+            " ".join(f"bg{i}tok{j}" for j in range(12)),
+        )
+        for i in range(n_bg)
+    ]
+    spark.createDataFrame(rows, "doc_id bigint, text string").write.mode(
+        "overwrite"
+    ).parquet(f"{path}/documents.parquet")
+
+
+def test_q35_hot_bucket_aqe_skew_split(spark, tmp_path):
+    """Dedup-tier skew hardening: q35's band self-join on a corpus with
+    one hot bucket still returns the exact answer, and with AQE skew
+    thresholds scaled down to test size the runtime actually splits the
+    skewed partition (OptimizeSkewedJoin marks the join skew=true)."""
+    from multi_threaded_mapreduce_framework_spark.queries import all_queries
+
+    q35 = all_queries()["q35_minhash_lsh"]
+    _write_skewed_corpus(spark, str(tmp_path))
+    n_hot = 120
+
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        # scale AQE's skew detection down to test-sized shuffles (and
+        # keep partition coalescing from papering over the imbalance)
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1k",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "2k",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        # broadcast would bypass the shuffle join entirely at this size
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        df = q35.builder(spark, str(tmp_path))
+        rows = df.collect()
+        # exact answer under skew: every hot pair at jaccard 1.0, no
+        # cross/background pairs
+        assert len(rows) == n_hot * (n_hot - 1) // 2
+        assert all(r.jaccard == 1.0 and r.d1 < r.d2 < n_hot for r in rows)
+        final_plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final_plan, final_plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
