@@ -81,11 +81,23 @@ class ChunkText:
                 break
 
 
-def register_chunk_udtf(spark, name: str = "chunk_text") -> None:
+def register_chunk_udtf(
+    spark, name: str = "chunk_text", use_arrow: bool = False
+) -> None:
     """Register :class:`ChunkText` for SQL LATERAL use:
     ``SELECT d.doc_id, c.* FROM documents d, LATERAL chunk_text(d.text, 32, 24) c``
+
+    ``use_arrow=True`` registers the Arrow-optimized form: input rows
+    reach ``eval`` in Arrow batches instead of pickled one at a time,
+    cutting serialization overhead the way pandas UDFs do for scalar
+    functions — the variant to prefer on wide fan-out at scale
+    (identical semantics; parity pinned in tests/test_chunking.py).
     """
     from pyspark.sql.functions import udtf
 
-    wrapped = udtf(ChunkText, returnType="chunk_idx int, chunk_text string, n_tokens int")
+    wrapped = udtf(
+        ChunkText,
+        returnType="chunk_idx int, chunk_text string, n_tokens int",
+        useArrow=use_arrow,
+    )
     spark.udtf.register(name, wrapped)

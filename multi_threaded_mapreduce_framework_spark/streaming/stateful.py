@@ -58,3 +58,60 @@ def running_user_totals(stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def running_user_totals_tws(stream: DataFrame) -> DataFrame:
+    """Per-user running (event count, value sum) on the
+    ``transformWithStateInPandas`` API (Spark 4 state-v2): same
+    semantics as :func:`running_user_totals`, but state is a named
+    ``ValueState`` in the state store rather than an opaque
+    ``GroupState`` tuple.
+
+    Why the new API matters at scale: named state variables
+    (value/list/map) are stored and evicted independently, TTL is per
+    state variable instead of per key-group timeout, and timers are
+    first-class — the shape Spark is converging on for custom stateful
+    operators. Convergence to the q04 batch answer is asserted in
+    tests/test_streaming.py alongside the v1 operator.
+
+    Environment gate: the transformWithState driver worker speaks
+    protobuf to the JVM state server, so running a query over this
+    DataFrame requires the ``protobuf`` package on the driver (and the
+    RocksDB state store provider conf). This container ships neither
+    protobuf nor pip access, so the convergence test skips itself
+    in-container; the operator is the real production shape.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState(
+                "totals", "cnt bigint, sum_value double"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            cnt, total = (
+                self._totals.get() if self._totals.exists() else (0, 0.0)
+            )
+            for pdf in rows:
+                cnt += len(pdf)
+                total += float(pdf["value"].sum())
+            self._totals.update((cnt, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "cnt": [cnt], "sum_value": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningTotals(),
+        outputStructType="user_id bigint, cnt bigint, sum_value double",
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -32,6 +32,23 @@ def test_udtf_matches_column_algebra(spark, sf_dir):
     assert _rows(expr_side) == _rows(udtf_side)
 
 
+def test_arrow_udtf_matches_pickled_udtf(spark, sf_dir):
+    """The Arrow-optimized UDTF registration (useArrow=True) is
+    semantically identical to the pickled row-at-a-time form and to the
+    column-algebra scale path."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(100)
+    register_chunk_udtf(spark, "chunk_text_arrow", use_arrow=True)
+    docs.createOrReplaceTempView("_chunk_docs_arrow")
+    arrow_side = spark.sql(
+        """SELECT d.doc_id, c.chunk_idx, c.chunk_text, c.n_tokens
+           FROM _chunk_docs_arrow d, LATERAL chunk_text_arrow(d.text, 32, 24) c"""
+    )
+    expr_side = chunk_expr(docs, "text", size=32, stride=24).select(
+        "doc_id", "chunk_idx", "chunk_text", "n_tokens"
+    )
+    assert _rows(arrow_side) == _rows(expr_side)
+
+
 @pytest.mark.parametrize(
     "n_tokens,size,stride,expected_chunks",
     [

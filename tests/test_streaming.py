@@ -153,3 +153,41 @@ def test_checkpoint_recovery_no_duplicates(spark, tmp_path_factory):
         for r in all_queries()["q24_window_tumbling"].builder(spark, SF).collect()
     }
     assert got == batch
+
+def test_tws_running_totals_converges_to_batch_q04(spark, replay_dir):
+    """transformWithStateInPandas (state-v2) operator converges to the
+    same batch answer as the applyInPandasWithState form.
+
+    Skips where protobuf is unavailable: the TWS driver worker requires
+    it (STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE otherwise), and
+    this container has no protobuf and no pip."""
+    import importlib.util
+
+    if importlib.util.find_spec("google") is None:
+        pytest.skip("protobuf not installed; transformWithState needs it")
+    from multi_threaded_mapreduce_framework_spark.streaming.stateful import (
+        running_user_totals_tws,
+    )
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    agg = running_user_totals_tws(events_stream(spark, replay_dir))
+    q = run_to_convergence(agg, "stream_q04_tws", output_mode="update")
+    try:
+        rows = spark.table("stream_q04_tws").collect()
+        latest = {}
+        for r in rows:
+            if r.user_id not in latest or r.cnt > latest[r.user_id].cnt:
+                latest[r.user_id] = r
+        batch = {
+            r.user_id: r
+            for r in all_queries()["q04_user_event_stats"].builder(spark, SF).collect()
+        }
+        assert set(latest) == set(batch)
+        for uid, r in latest.items():
+            assert r.cnt == batch[uid].cnt
+            assert abs(r.sum_value - batch[uid].sum_value) < 0.05
+    finally:
+        q.stop()
