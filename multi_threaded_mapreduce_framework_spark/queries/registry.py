@@ -38,6 +38,7 @@ _QUERY_MODULES = (
     "multi_threaded_mapreduce_framework_spark.queries.tpch3",
     "multi_threaded_mapreduce_framework_spark.queries.relational3",
     "multi_threaded_mapreduce_framework_spark.queries.relational4",
+    "multi_threaded_mapreduce_framework_spark.queries.tpch4",
 )
 
 
@@ -94,6 +95,15 @@ _DRIVER_PRIORITY = (
     "q83_window_distribution",
     "q84_edit_distance_pairs",
     "q85_chunk_documents",
+    # new this round (no driver row yet) — keep inside the 50-entry window
+    "q86_tpch_q8",
+    "q87_tpch_q9",
+    "q88_tpch_q12",
+    "q89_tpch_q13",
+    "q90_tpch_q15",
+    "q91_tpch_q17",
+    "q92_tpch_q20",
+    "q93_tpch_q21",
 )
 
 

@@ -1,0 +1,406 @@
+"""TPC-H-shaped tier 4 (q86-q93): the last eight classic plan shapes,
+completing the 22-query family — national market share (Q8), product
+profit rollup (Q9), late-line priority classes (Q12), customer order
+distribution (Q13), top-supplier scalar-max (Q15), small-quantity
+correlated-avg (Q17), nested-semi-join promotion (Q20), and the
+exists/not-exists waiting-supplier join (Q21).
+
+Adaptation rules as in ``tpch.py``/``tpch2.py``/``tpch3.py``: the
+fixture schema (TESTDATA.md) has no partsupp table and lacks
+l_commitdate / l_receiptdate / l_shipmode / p_container, so each query
+is re-shaped onto existing columns while preserving the plan shape
+that makes the original a benchmark — what shuffles, what broadcasts,
+where the correlated subquery decorrelates to.
+Reference capability note: each is one-to-three `map → shuffle(group)
+→ reduce` rounds of the reference's model (MapReduceClient.h:55-65);
+here they are declarative Catalyst plans.
+
+Scale notes (100 TB): Q8/Q9 join one fact (lineitem) against a chain
+of broadcastable dims — only orders/customer shuffles survive; Q12/Q21
+join two facts on orderkey (shuffle on the key both sides, no
+broadcast); Q13 is the canonical left-outer fact join whose first
+aggregate is map-side partial; Q15/Q17's scalar aggregates are 1-row
+broadcasts; Q17's per-part average decorrelates into a groupBy that
+reuses the fact's partitioning; Q20's nested IN becomes a semi-join
+pipeline with the HAVING filter applied before the join.
+
+FP discipline (FIXTURES.md): l_quantity is integral, so Q17/Q20
+threshold comparisons are exact; ratio queries round both component
+sums to 2 dp before dividing (the q74/Q14 pattern) so the quotient is
+computed from identical inputs on both engines.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from multi_threaded_mapreduce_framework_spark.queries.registry import register
+from multi_threaded_mapreduce_framework_spark.sources import load_table
+
+
+def _rev():
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+@register(
+    "q86_tpch_q8",
+    oracle="""
+WITH vol AS (
+  SELECT year(o_orderdate) AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         n2.n_name AS supp_nation
+  FROM lineitem
+  JOIN orders    ON l_orderkey = o_orderkey
+  JOIN customer  ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region    ON n1.n_regionkey = r_regionkey
+  JOIN supplier  ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  JOIN part      ON l_partkey = p_partkey
+  WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+    AND o_orderdate >= TIMESTAMP '1995-01-01'
+    AND o_orderdate < TIMESTAMP '1997-01-01'),
+yr AS (
+  SELECT o_year,
+         round(sum(CASE WHEN supp_nation = 'NATION_7' THEN volume ELSE 0 END), 2)
+           AS nation_rev,
+         round(sum(volume), 2) AS total_rev
+  FROM vol GROUP BY o_year)
+SELECT o_year, round(nation_rev / total_rev, 4) AS mkt_share
+FROM yr
+""",
+)
+def q86_tpch_q8(spark, sf_dir):
+    """TPC-H Q8 (national market share): NATION_7's share of PROMO-part
+    revenue sold into ASIA customers, by order year. Seven-table join
+    where every dim chain (nation x2, region, part, supplier) is a
+    broadcast; the only shuffles are lineitem->orders->customer on
+    their keys. Both component sums round to 2 dp before the division
+    so the share is computed from identical inputs on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n1 = load_table(spark, sf_dir, "nation")
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_nationkey"), F.col("n_name").alias("supp_nation")
+    )
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    s = load_table(spark, sf_dir, "supplier")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    vol = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), c.c_nationkey == n1.n_nationkey)
+        .join(F.broadcast(r), n1.n_regionkey == r.r_regionkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), s.s_nationkey == F.col("n2_nationkey"))
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            _rev().alias("volume"),
+            "supp_nation",
+        )
+    )
+    yr = vol.groupBy("o_year").agg(
+        F.round(
+            F.sum(F.when(F.col("supp_nation") == "NATION_7", F.col("volume")).otherwise(0.0)),
+            2,
+        ).alias("nation_rev"),
+        F.round(F.sum("volume"), 2).alias("total_rev"),
+    )
+    return yr.select(
+        "o_year", F.round(F.col("nation_rev") / F.col("total_rev"), 4).alias("mkt_share")
+    )
+
+
+@register(
+    "q87_tpch_q9",
+    oracle="""
+SELECT n_name AS nation, year(l_shipdate) AS o_year,
+       round(sum(l_extendedprice * (1 - l_discount)
+                 - 0.5 * p_retailprice * l_quantity), 2) AS sum_profit
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN part     ON l_partkey = p_partkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%gear%'
+GROUP BY n_name, year(l_shipdate)
+""",
+)
+def q87_tpch_q9(spark, sf_dir):
+    """TPC-H Q9 (product-type profit, adapted: no partsupp table, so
+    supply cost is modeled as half the part's retail price). One fact
+    scan against three broadcast dims, then a two-key rollup — at scale
+    the only shuffle is the final (nation, year) aggregate, and the
+    LIKE filter prunes part before it broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    n = load_table(spark, sf_dir, "nation")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.5 * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("l_shipdate").alias("o_year"))
+        .agg(F.round(F.sum(profit), 2).alias("sum_profit"))
+    )
+
+
+@register(
+    "q88_tpch_q12",
+    oracle="""
+SELECT l_returnflag,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS low_line_count
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 30 DAY
+  AND l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_returnflag
+""",
+)
+def q88_tpch_q12(spark, sf_dir):
+    """TPC-H Q12 (shipping modes and priority, adapted: no l_shipmode,
+    so lines group by return flag; "late" = shipped >30 days after the
+    order date). Two facts join on orderkey — a shuffled join on both
+    sides at scale, never a broadcast — with the priority
+    classification as conditional integer sums (exact, no FP)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(
+            li,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q89_tpch_q13",
+    oracle="""
+WITH c_orders AS (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+  GROUP BY c_custkey)
+SELECT c_count, count(*) AS custdist
+FROM c_orders GROUP BY c_count
+""",
+)
+def q89_tpch_q13(spark, sf_dir):
+    """TPC-H Q13 (customer order-count distribution): left outer join
+    keeps zero-order customers, first aggregate counts orders per
+    customer (map-side partial on the join's partitioning), second
+    aggregate histograms the counts. count(o_orderkey) — not count(*)
+    — so unmatched customers contribute c_count=0, exactly the LEFT
+    JOIN semantics the query exists to exercise."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "5-LOW"
+    )
+    c_orders = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return c_orders.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "q90_tpch_q15",
+    oracle="""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+""",
+)
+def q90_tpch_q15(spark, sf_dir):
+    """TPC-H Q15 (top supplier): a quarter's revenue per supplier, then
+    the supplier(s) hitting the maximum. The scalar max is a 1-row
+    broadcast (cross join against the single aggregated row), the
+    revenue CTE is computed once and reused for both the max and the
+    final filter, and supplier broadcasts. Revenue rounds to 2 dp
+    before the equality so both engines compare identical values."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(F.sum(_rev()), 2).alias("total_revenue")
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        revenue.crossJoin(F.broadcast(max_rev))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "q91_tpch_q17",
+    oracle="""
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#3' AND p_size < 15
+  AND l_quantity < (SELECT 0.5 * avg(l_quantity)
+                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+""",
+)
+def q91_tpch_q17(spark, sf_dir):
+    """TPC-H Q17 (small-quantity-order revenue, adapted: p_container
+    doesn't exist, so the part filter is brand + size). The correlated
+    per-part average decorrelates into a groupBy over the SAME fact
+    scan joined back on partkey — at scale the per-part aggregate
+    reuses lineitem's partitioning and broadcasts nothing but the
+    filtered part dim. l_quantity is integral so the 0.5*avg threshold
+    compare is exact on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#3") & (F.col("p_size") < 15)
+    )
+    part_avg = li.groupBy(F.col("l_partkey").alias("avg_partkey")).agg(
+        (0.5 * F.avg("l_quantity")).alias("qty_threshold")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(part_avg, li.l_partkey == F.col("avg_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@register(
+    "q92_tpch_q20",
+    oracle="""
+SELECT s_name, s_acctbal
+FROM supplier
+WHERE s_suppkey IN (
+    SELECT l_suppkey
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_name LIKE 'blue%'
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l_suppkey, l_partkey
+    HAVING sum(l_quantity) > 60)
+  AND s_nationkey < 13
+""",
+)
+def q92_tpch_q20(spark, sf_dir):
+    """TPC-H Q20 (part promotion, adapted: no partsupp/ps_availqty, so
+    the inner predicate is "shipped more than 60 units of some blue
+    part this year"). Plan shape: the HAVING aggregate runs entirely
+    before the semi join, so only qualifying (supplier, part) groups —
+    a tiny set — reach the join against the supplier dim. sum of
+    integral quantities: exact."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("blue%"))
+    heavy = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 60)
+        .select("l_suppkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").filter(F.col("s_nationkey") < 13)
+    return s.join(
+        heavy, s.s_suppkey == heavy.l_suppkey, "left_semi"
+    ).select("s_name", "s_acctbal")
+
+
+@register(
+    "q93_tpch_q21",
+    oracle="""
+WITH pairs AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+late AS (
+  SELECT DISTINCT l_orderkey, l_suppkey
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  WHERE o_orderstatus = 'F'
+    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+SELECT s_name, count(*) AS numwait
+FROM late l1
+JOIN supplier ON s_suppkey = l1.l_suppkey
+WHERE EXISTS (SELECT 1 FROM pairs l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM late l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey)
+GROUP BY s_name
+""",
+)
+def q93_tpch_q21(spark, sf_dir):
+    """TPC-H Q21 (suppliers who kept orders waiting, adapted: "late" =
+    shipped >60 days after the order date of a finished order; counts
+    distinct waiting (order, supplier) pairs). The signature shape:
+    one EXISTS (another supplier participated) and one NOT EXISTS (no
+    other supplier was late) over the same order — a left-semi and a
+    left-anti join on orderkey with the supplier-inequality as residual
+    condition. All three legs reuse the same distinct-pairs shuffle
+    key; counts are integers, exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    pairs = li.select("l_orderkey", "l_suppkey").distinct()
+    late = (
+        li.join(
+            o,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    l1 = late
+    l2 = pairs.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = late.select(
+        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
+    )
+    waiting = (
+        l1.join(
+            l2,
+            (F.col("l_orderkey") == F.col("o2")) & (F.col("l_suppkey") != F.col("s2")),
+            "left_semi",
+        ).join(
+            l3,
+            (F.col("l_orderkey") == F.col("o3")) & (F.col("l_suppkey") != F.col("s3")),
+            "left_anti",
+        )
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        waiting.join(F.broadcast(s), waiting.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
