@@ -39,6 +39,7 @@ _QUERY_MODULES = (
     "multi_threaded_mapreduce_framework_spark.queries.relational3",
     "multi_threaded_mapreduce_framework_spark.queries.relational4",
     "multi_threaded_mapreduce_framework_spark.queries.tpch4",
+    "multi_threaded_mapreduce_framework_spark.queries.t2_cluster",
 )
 
 
@@ -104,6 +105,8 @@ _DRIVER_PRIORITY = (
     "q91_tpch_q17",
     "q92_tpch_q20",
     "q93_tpch_q21",
+    "q94_dedup_clusters",
+    "q95_corpus_select",
 )
 
 

@@ -1,0 +1,170 @@
+"""Dedup-pipeline completion (q94-q95): from near-dup pairs to a
+training corpus.
+
+q35 detects near-duplicate PAIRS; a real training-data pipeline then
+(a) groups pairs into duplicate CLUSTERS and (b) selects one canonical
+document per cluster plus quality/length gates. These two queries are
+that tail of the pipeline, oracle-checked end to end:
+
+- q94: connected components over the q35 pair graph — every document
+  labeled with its cluster id (min doc_id reachable via near-dup
+  edges; singletons label themselves).
+- q95: corpus selection — drop near-dup "losers" (the d2 side of any
+  pair), then gate on quality score and token count.
+
+Reference capability note: iterative label propagation is repeated
+`map → shuffle(group) → reduce` rounds — the reference could express
+one round per job (MapReduceClient.h:55-65); Spark expresses the loop
+as repeated DataFrame plans with the driver checking convergence.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from multi_threaded_mapreduce_framework_spark.queries.registry import _REGISTRY, register
+from multi_threaded_mapreduce_framework_spark.queries.t2_dedup import q35_minhash_lsh
+from multi_threaded_mapreduce_framework_spark.sources import load_table
+
+# The q35 oracle SELECT (d1, d2, jaccard) — reused verbatim so the
+# cluster oracle runs the identical pair-detection algorithm.
+_PAIR_SQL = _REGISTRY["q35_minhash_lsh"].oracle
+
+
+@register(
+    "q94_dedup_clusters",
+    tier="T2",
+    oracle=f"""
+WITH RECURSIVE pairs AS (SELECT d1, d2 FROM ({_PAIR_SQL})),
+edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+          UNION ALL SELECT d2, d1 FROM pairs),
+reach(src, node) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a)
+SELECT src AS doc_id, min(node) AS cluster_id
+FROM reach GROUP BY src
+""",
+)
+def q94_dedup_clusters(spark, sf_dir, max_iters: int = 15):
+    """Near-duplicate cluster assignment: connected components over the
+    q35 pair graph by iterative min-label propagation. Every document
+    gets ``cluster_id`` = the smallest doc_id reachable through
+    near-dup edges (documents with no near-dups label themselves).
+
+    Iterative-algorithm pattern: each round is one distributed
+    edges-x-labels join + min-aggregate; the driver only checks the
+    scalar changed-row count for convergence (bounded by the cluster
+    diameter — near-dup clusters are dense, so 2-3 rounds in practice;
+    at extreme scale the large-star/small-star variant halves diameter
+    per round, same loop skeleton). Each round's labels are
+    ``localCheckpoint``-ed: persist() alone leaves the logical plan
+    growing by one join per iteration (a 50-join tree after
+    convergence, re-executed from scratch if the cache drops), while
+    checkpointing truncates lineage so every round — and the returned
+    DataFrame — plans against the previous round's materialized rows.
+    The oracle's recursive CTE computes the identical fixpoint
+    declaratively.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    pairs = q35_minhash_lsh(spark, sf_dir).select("d1", "d2")
+    edges = (
+        pairs.union(pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2")))
+        .select(F.col("d1").alias("a"), F.col("d2").alias("b"))
+        .localCheckpoint()
+    )
+
+    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id")).localCheckpoint()
+    for _ in range(max_iters):
+        prop = (
+            edges.join(labels, edges.a == labels.doc_id)
+            .groupBy(F.col("b").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(prop, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+@register(
+    "q95_corpus_select",
+    tier="T2",
+    oracle=f"""
+WITH pairs AS (SELECT d1, d2 FROM ({_PAIR_SQL})),
+scored AS (
+  SELECT doc_id, lang, source,
+         len(string_split(text, ' ')) AS n_tokens,
+         least(1.0, len(string_split(text, ' ')) / 40.0) * 0.6
+         + least(1.0, (length(replace(text, ' ', ''))
+                       / CAST(len(string_split(text, ' ')) AS DOUBLE)) / 8.0)
+           * 0.4 AS q
+  FROM documents)
+SELECT doc_id, lang, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(floor(q * 100) AS BIGINT) AS quality_centi
+FROM scored d
+WHERE q >= 0.5 AND n_tokens BETWEEN 5 AND 1000
+  AND NOT EXISTS (SELECT 1 FROM pairs p WHERE p.d2 = d.doc_id)
+""",
+)
+def q95_corpus_select(spark, sf_dir):
+    """Training-corpus selection — the pipeline-composition query:
+    near-dup losers out (anti join against the d2 side of q35's pairs,
+    keeping the smaller doc_id of every pair), then quality-score and
+    token-count gates (q31's score formula, q32's whitespace tokens).
+
+    Plan shape: the gates are map-side column math evaluated in the
+    scan's project, the anti join is against the (tiny) pair set —
+    broadcastable at any scale because near-dup pairs are a vanishing
+    fraction of the corpus. One pass over documents, no aggregate.
+
+    FP discipline: the score is emitted as ``floor(q*100)`` (integer
+    centi-units), not ``round(q, 2)`` — q is bit-identical IEEE math in
+    both engines, but their ROUND functions disagree at the x.xx5
+    boundary (Spark HALF_UP on the binary double vs DuckDB's
+    decimal-string rounding), while floor of identical doubles is
+    identical."""
+    docs = load_table(spark, sf_dir, "documents")
+    losers = q35_minhash_lsh(spark, sf_dir).select(F.col("d2").alias("doc_id"))
+    ws = F.split("text", " ")
+    n_tok = F.size(ws)
+    awl = F.length(F.regexp_replace("text", " ", "")) / n_tok.cast("double")
+    q = (
+        F.least(F.lit(1.0), n_tok / F.lit(40.0)) * 0.6
+        + F.least(F.lit(1.0), awl / F.lit(8.0)) * 0.4
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            "source",
+            n_tok.cast("bigint").alias("n_tokens"),
+            q.alias("q"),
+        )
+        .filter((F.col("q") >= 0.5) & F.col("n_tokens").between(5, 1000))
+        .join(F.broadcast(losers), "doc_id", "left_anti")
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "n_tokens",
+            F.floor(F.col("q") * 100).cast("bigint").alias("quality_centi"),
+        )
+    )
