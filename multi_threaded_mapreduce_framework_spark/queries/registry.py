@@ -40,6 +40,7 @@ _QUERY_MODULES = (
     "multi_threaded_mapreduce_framework_spark.queries.relational4",
     "multi_threaded_mapreduce_framework_spark.queries.tpch4",
     "multi_threaded_mapreduce_framework_spark.queries.t2_cluster",
+    "multi_threaded_mapreduce_framework_spark.queries.t2_mining",
 )
 
 
@@ -107,6 +108,13 @@ _DRIVER_PRIORITY = (
     "q93_tpch_q21",
     "q94_dedup_clusters",
     "q95_corpus_select",
+    "q96_repetition_stats",
+    "q97_trigram_lm",
+    "q98_contamination",
+    "q99_stratified_sample",
+    "q100_pii_redact",
+    "q101_repeated_passages",
+    "q102_cc_star",
 )
 
 

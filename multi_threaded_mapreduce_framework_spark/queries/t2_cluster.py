@@ -105,6 +105,90 @@ def q94_dedup_clusters(spark, sf_dir, max_iters: int = 15):
 
 
 @register(
+    "q102_cc_star",
+    tier="T2",
+    oracle=f"""
+WITH RECURSIVE pairs AS (SELECT d1, d2 FROM ({_PAIR_SQL})),
+edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+          UNION ALL SELECT d2, d1 FROM pairs),
+reach(src, node) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a)
+SELECT src AS doc_id, min(node) AS cluster_id
+FROM reach GROUP BY src
+""",
+)
+def q102_cc_star(spark, sf_dir, max_iters: int = 10):
+    """Connected components by alternating large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond") — the same fixpoint as q94 (every doc labeled with the min
+    doc_id reachable over q35 near-dup edges) but converging in
+    O(log diameter) rounds instead of O(diameter).
+
+    Each round is two grouped-min + join passes over the edge list:
+    large-star attaches every strictly-larger neighbor of u to
+    min(N(u) ∪ u); small-star re-hangs each node's parents on the
+    parents' min. Edges keep the parent < child invariant, so
+    convergence (edge set unchanged) leaves exactly the star forest:
+    child -> component-min. q94 is the simple loop for dense low-
+    diameter dedup clusters; this variant is the one you run when a
+    boilerplate passage chains thousands of docs into a long path.
+    Rounds are ``localCheckpoint``-ed for the same lineage reason as
+    q94. The oracle recursive CTE computes the identical fixpoint.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    pairs = q35_minhash_lsh(spark, sf_dir).select("d1", "d2")
+    edges = (
+        pairs.select(
+            F.greatest("d1", "d2").alias("c"), F.least("d1", "d2").alias("p")
+        )
+        .filter(F.col("c") != F.col("p"))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        bidir = edges.select(F.col("c").alias("u"), F.col("p").alias("v")).union(
+            edges.select(F.col("p").alias("u"), F.col("c").alias("v"))
+        )
+        mins = (
+            bidir.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least("mv", F.col("u")).alias("m"))
+        )
+        large = (
+            bidir.filter(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(F.col("v").alias("c"), F.col("m").alias("p"))
+            .filter(F.col("c") != F.col("p"))
+            .distinct()
+        )
+        par_min = large.groupBy("c").agg(F.min("p").alias("m"))
+        small = (
+            large.join(par_min, "c")
+            .filter(F.col("p") != F.col("m"))
+            .select(F.col("p").alias("c"), F.col("m").alias("p"))
+            .union(par_min.select("c", F.col("m").alias("p")))
+            .distinct()
+            .localCheckpoint()
+        )
+        # both sides are distinct sets: equal iff same count and no row
+        # of the new set is outside the old (count + one anti check; at
+        # cluster scale swap the anti-join for a count+checksum compare)
+        changed = (
+            small.count() != edges.count() or small.exceptAll(edges).count() != 0
+        )
+        edges = small
+        if not changed:
+            break
+    star = edges.select(F.col("c").alias("doc_id"), F.col("p").alias("cluster_id"))
+    return docs.join(star, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+    )
+
+
+@register(
     "q95_corpus_select",
     tier="T2",
     oracle=f"""

@@ -1,0 +1,325 @@
+"""Corpus-mining tier (q96-q101): the text-analysis operators a
+training-data pipeline runs between raw scrape and tokenizer.
+
+All six are expressible as the reference's map -> shuffle -> reduce
+model (MapReduceClient.h:55-65 capability: per-record emit + grouped
+reduce); here each is a single declarative DataFrame plan so Catalyst
+keeps the per-document work map-side and only shuffles the (small)
+aggregate keyspace:
+
+- q96: per-document repetition stats (boilerplate / spam signal),
+- q97: corpus trigram language-model counts (top next-token contexts),
+- q98: benchmark-contamination scan (shingle overlap vs a held-out set),
+- q99: deterministic stratified sampling (per-language quotas),
+- q100: PII-style redaction + masked-cardinality over event payloads,
+- q101: repeated-passage mining (cross-document duplicated shingles).
+
+Scale notes are per-query; the common rule: everything per-document is
+array algebra inside the scan's project (no explode before the doc-level
+result exists, no Python), so the shuffle carries only aggregate keys.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from multi_threaded_mapreduce_framework_spark.queries.registry import register
+from multi_threaded_mapreduce_framework_spark.sources import load_table
+
+
+@register(
+    "q96_repetition_stats",
+    tier="T2",
+    oracle="""
+WITH s AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+SELECT doc_id,
+       CAST(len(ws) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct,
+       CAST(list_max(list_transform(list_distinct(ws),
+                t -> len(list_filter(ws, x -> x = t)))) AS BIGINT)
+         AS max_tok_freq,
+       CAST(floor((1.0 - len(list_distinct(ws)) / CAST(len(ws) AS DOUBLE))
+                  * 100) AS BIGINT) AS rep_centi
+FROM s WHERE len(ws) > 0
+""",
+)
+def q96_repetition_stats(spark, sf_dir):
+    """Per-document repetition statistics: token count, distinct-token
+    count, the highest single-token frequency, and the repeated-mass
+    ratio ``floor((1 - distinct/total) * 100)`` — the standard
+    boilerplate/spam gate in corpus cleaning.
+
+    The max-frequency is computed *inside the row* — for each distinct
+    token, count its occurrences with a higher-order ``filter`` — so the
+    whole query is one scan-project with zero shuffles and zero explode:
+    O(tokens * distinct) per document (documents are bounded; corpus
+    size is not), embarrassingly parallel at any scale. The ratio is
+    emitted in floor-centi units, not round(), because both engines
+    compute bit-identical doubles here and floor is IEEE-exact while
+    their ROUND rules differ at x.xx5.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    stats = F.expr(
+        "struct(size(ws) AS n, size(array_distinct(ws)) AS nd,"
+        " array_max(transform(array_distinct(ws),"
+        "   t -> size(filter(ws, x -> x = t)))) AS mf)"
+    )
+    return (
+        docs.select("doc_id", F.split("text", " ").alias("ws"))
+        .filter(F.size("ws") > 0)
+        .select("doc_id", stats.alias("st"))
+        .select(
+            "doc_id",
+            F.col("st.n").cast("bigint").alias("n_tokens"),
+            F.col("st.nd").cast("bigint").alias("n_distinct"),
+            F.col("st.mf").cast("bigint").alias("max_tok_freq"),
+            F.floor(
+                (F.lit(1.0) - F.col("st.nd") / F.col("st.n").cast("double")) * 100
+            ).cast("bigint").alias("rep_centi"),
+        )
+    )
+
+
+@register(
+    "q97_trigram_lm",
+    tier="T2",
+    oracle="""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents),
+tri AS (
+  SELECT w AS w1,
+         lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2,
+         lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w3
+  FROM words)
+SELECT w1 || ' ' || w2 AS ctx, w3 AS nxt, count(*) AS cnt
+FROM tri WHERE w3 IS NOT NULL
+GROUP BY ctx, nxt
+ORDER BY cnt DESC, ctx, nxt LIMIT 20
+""",
+)
+def q97_trigram_lm(spark, sf_dir):
+    """Trigram language-model counts: the 20 most frequent
+    (bigram-context, next-token) pairs corpus-wide — the count table an
+    n-gram LM (or a contamination 13-gram index) is built from.
+
+    Trigrams are assembled inside each row with array ops (q26's
+    slice+transform pattern, one position per element, no
+    posexplode+window), so the only shuffle is the partially-aggregated
+    trigram count; top-k carries a total order (cnt desc, ctx, nxt) for
+    determinism. At 100 TB the trigram keyspace is Zipf-bounded and the
+    map-side partial aggregate absorbs the bulk of the traffic.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tri = F.expr(
+        "transform(slice(ws, 1, greatest(size(ws) - 2, 0)),"
+        " (w, i) -> struct(concat(w, ' ', ws[i + 1]) AS ctx, ws[i + 2] AS nxt))"
+    )
+    return (
+        docs.select(F.split("text", " ").alias("ws"))
+        .select(F.explode(tri).alias("t"))
+        .groupBy(F.col("t.ctx").alias("ctx"), F.col("t.nxt").alias("nxt"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("ctx"), F.asc("nxt"))
+        .limit(20)
+    )
+
+
+@register(
+    "q98_contamination",
+    tier="T2",
+    oracle="""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(ws) - 3, 1)),
+             i -> array_to_string(ws[i:i+4], ' '))) AS sh
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+bench AS (SELECT DISTINCT unnest(sh) AS p FROM sh WHERE doc_id % 97 = 0),
+ev AS (SELECT doc_id, unnest(sh) AS p FROM sh
+       WHERE doc_id % 97 <> 0 AND len(sh) > 0)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN p IN (SELECT p FROM bench) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hits,
+       CAST(floor(sum(CASE WHEN p IN (SELECT p FROM bench) THEN 1 ELSE 0 END)
+                  / CAST(count(*) AS DOUBLE) * 100) AS BIGINT) AS overlap_centi
+FROM ev GROUP BY doc_id
+HAVING sum(CASE WHEN p IN (SELECT p FROM bench) THEN 1 ELSE 0 END) > 0
+""",
+)
+def q98_contamination(spark, sf_dir):
+    """Benchmark-contamination scan: for every training document, the
+    fraction of its distinct 5-token shingles that appear anywhere in a
+    held-out benchmark set (docs with ``doc_id % 97 == 0`` stand in for
+    the eval suite); only contaminated docs (>= 1 hit) are emitted.
+
+    Scale shape: the benchmark shingle set is *fixed-size* (eval suites
+    don't grow with the corpus), so it broadcasts at any corpus scale
+    and the scan side never shuffles — explode distinct shingles, probe
+    the broadcast set, re-aggregate per doc on the already-partitioned
+    doc_id. This is exactly how 13-gram decontamination runs in
+    production pipelines, minus the tokenizer.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = F.expr(
+        "array_distinct(transform(slice(ws, 1, greatest(size(ws) - 4, 0)),"
+        " (w, i) -> concat_ws(' ', slice(ws, i + 1, 5))))"
+    )
+    with_sh = docs.select("doc_id", F.split("text", " ").alias("ws")).select(
+        "doc_id", sh.alias("sh")
+    )
+    bench = (
+        with_sh.filter(F.col("doc_id") % 97 == 0)
+        .select(F.explode("sh").alias("p"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    ev = (
+        with_sh.filter((F.col("doc_id") % 97 != 0) & (F.size("sh") > 0))
+        .select("doc_id", F.explode("sh").alias("p"))
+    )
+    return (
+        ev.join(F.broadcast(bench), "p", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hits"),
+        )
+        .filter(F.col("n_hits") > 0)
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_hits",
+            F.floor(
+                F.col("n_hits") / F.col("n_shingles").cast("double") * 100
+            ).cast("bigint").alias("overlap_centi"),
+        )
+    )
+
+
+@register(
+    "q99_stratified_sample",
+    tier="T2",
+    oracle="""
+WITH b AS (
+  SELECT doc_id, lang, source,
+         ((doc_id % 1000003) * 31 + 7) % 100 AS bucket
+  FROM documents)
+SELECT doc_id, lang, source, CAST(bucket AS BIGINT) AS bucket
+FROM b
+WHERE bucket < CASE lang WHEN 'en' THEN 80 WHEN 'de' THEN 60 ELSE 35 END
+""",
+)
+def q99_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling: per-language keep-rates (en
+    80%, de 60%, rest 35%) applied via an arithmetic hash of the
+    primary key — the language-rebalancing step of corpus assembly.
+
+    The bucket is pure key arithmetic (``(doc_id % 1000003) * 31 + 7
+    mod 100``) — reproducible across engines and runs, unlike
+    ``rand()``; the inner modulus keeps the product far from int64
+    overflow at any conceivable key range. Map-side filter only: no
+    shuffle, no sample() nondeterminism, and the predicate pushes into
+    the scan. Re-running on a grown corpus keeps previously-selected
+    docs selected (hash sampling is append-stable), which is what makes
+    this the production pattern for dataset versioning.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = ((F.col("doc_id") % 1000003) * 31 + 7) % 100
+    rate = (
+        F.when(F.col("lang") == "en", 80)
+        .when(F.col("lang") == "de", 60)
+        .otherwise(35)
+    )
+    return (
+        docs.select(
+            "doc_id", "lang", "source", bucket.cast("bigint").alias("bucket"), rate.alias("rate")
+        )
+        .filter(F.col("bucket") < F.col("rate"))
+        .drop("rate")
+    )
+
+
+@register(
+    "q100_pii_redact",
+    tier="T2",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(len(regexp_extract_all(props, '[0-9]+'))) AS BIGINT)
+         AS total_digit_runs,
+       CAST(count(DISTINCT regexp_replace(props, '[0-9]', '#', 'g'))
+            AS BIGINT) AS n_masked_shapes,
+       CAST(sum(CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT))
+            AS BIGINT) AS sum_first_num
+FROM events
+GROUP BY event_type
+""",
+)
+def q100_pii_redact(spark, sf_dir):
+    """PII-style payload redaction audit over event payloads: per event
+    type, how many digit runs appear, how many distinct *masked* shapes
+    remain after replacing every digit with ``#`` (the
+    cardinality-after-redaction check that verifies scrubbing collapses
+    identifiers), and a checksum of the first extracted number.
+
+    All regex work (extract-all, global replace, first-group extract)
+    is per-row JVM codegen feeding a 5-key aggregate — the shuffle
+    carries five rows. Engine parity note: Spark's ``regexp_replace``
+    is global by default; the oracle passes DuckDB's explicit ``'g'``
+    flag to match.
+    """
+    events = load_table(spark, sf_dir, "events")
+    masked = F.regexp_replace("props", r"[0-9]", "#")
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.size(F.regexp_extract_all("props", F.lit(r"([0-9]+)"), 1)))
+        .cast("bigint").alias("total_digit_runs"),
+        F.countDistinct(masked).alias("n_masked_shapes"),
+        F.sum(F.regexp_extract("props", r"([0-9]+)", 1).cast("bigint"))
+        .cast("bigint").alias("sum_first_num"),
+    )
+
+
+@register(
+    "q101_repeated_passages",
+    tier="T2",
+    oracle="""
+WITH sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, greatest(len(ws) - 3, 1)),
+             i -> array_to_string(ws[i:i+4], ' ')))) AS p
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))
+SELECT p AS passage, CAST(count(*) AS BIGINT) AS n_docs
+FROM sh GROUP BY p HAVING count(*) >= 2
+ORDER BY n_docs DESC, passage LIMIT 20
+""",
+)
+def q101_repeated_passages(spark, sf_dir):
+    """Repeated-passage mining: 5-token shingles that occur in two or
+    more distinct documents, top-20 by document count — the signal
+    behind template/boilerplate removal and the exact complement of
+    q35's document-level near-dup (here the *passage* is the unit).
+
+    Shingles are deduplicated per document in the row (array_distinct)
+    before the explode, so ``count(*)`` over the exploded rows IS the
+    distinct-document count — no count(distinct) shuffle. One partial-
+    aggregated count shuffle; the >= 2 filter drops the long unique
+    tail before the (bounded) top-k. Zipf makes hot shingles skew-prone
+    at scale: the partial aggregate absorbs them map-side.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = F.expr(
+        "array_distinct(transform(slice(ws, 1, greatest(size(ws) - 4, 0)),"
+        " (w, i) -> concat_ws(' ', slice(ws, i + 1, 5))))"
+    )
+    return (
+        docs.select(F.split("text", " ").alias("ws"))
+        .select(F.explode(sh).alias("passage"))
+        .groupBy("passage")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_docs"), F.asc("passage"))
+        .limit(20)
+    )
