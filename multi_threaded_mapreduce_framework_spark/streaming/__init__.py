@@ -7,6 +7,10 @@ from multi_threaded_mapreduce_framework_spark.streaming.kafka_shim import (
     real_kafka_stream,
     write_kafka_replay,
 )
+from multi_threaded_mapreduce_framework_spark.streaming.joins import (
+    stream_stream_inner_join,
+    stream_stream_left_join,
+)
 from multi_threaded_mapreduce_framework_spark.streaming.sinks import (
     foreach_batch_fanout,
     foreach_batch_parquet,
@@ -30,6 +34,8 @@ __all__ = [
     "parse_events",
     "real_kafka_stream",
     "write_kafka_replay",
+    "stream_stream_inner_join",
+    "stream_stream_left_join",
     "foreach_batch_fanout",
     "foreach_batch_parquet",
     "running_user_totals",

@@ -1,0 +1,77 @@
+"""Stream-stream joins (SURVEY.md §2.4): correlating two unbounded
+event streams with bounded state.
+
+The reference's model joins nothing — but two MapReduce jobs whose
+outputs meet on a key is the batch ancestor of this operator. In
+Structured Streaming a stream-stream join buffers both sides in the
+state store; the *event-time range condition* plus per-side watermarks
+are what let Spark evict state (a row can be dropped once the other
+side's watermark passes its join window). Without the time bound the
+state grows without limit — that is the difference between a demo and
+an operator that survives an unbounded 100 TB/day stream.
+
+Semantics verified batch-vs-stream in ``tests/test_streaming_joins.py``:
+the converged streaming answer equals the same join run as a batch
+DataFrame query on the same data.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def _sides(left: DataFrame, right: DataFrame, watermark: str):
+    l = left.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("l_user"),
+        F.col("ts").alias("l_ts"),
+        F.col("event_id").alias("l_event"),
+    )
+    r = right.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("r_user"),
+        F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_event"),
+    )
+    return l, r
+
+
+def _range_cond(max_lag: str):
+    return (
+        (F.col("l_user") == F.col("r_user"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"interval {max_lag}"))
+    )
+
+
+def stream_stream_inner_join(
+    left: DataFrame,
+    right: DataFrame,
+    max_lag: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Inner-join two event streams on user_id where the right event
+    lands within ``[l_ts, l_ts + max_lag]`` — "purchase within an hour
+    of the click". Matches are emitted as soon as both rows arrive;
+    each side's buffered state is evicted once the opposite watermark
+    clears its join window (watermark + range bound = bounded state).
+    """
+    l, r = _sides(left, right, watermark)
+    return l.join(r, _range_cond(max_lag), "inner")
+
+
+def stream_stream_left_join(
+    left: DataFrame,
+    right: DataFrame,
+    max_lag: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Left-outer variant: a left event with no match emits its
+    null-padded row only after the watermark passes ``l_ts + max_lag``
+    (until then a match could still arrive). Converging a replay to the
+    exact batch answer therefore needs the watermark advanced past the
+    last real event — the test appends a far-future sentinel row to
+    both streams to flush the tail, which is how a production pipeline
+    drains a historical backfill too.
+    """
+    l, r = _sides(left, right, watermark)
+    return l.join(r, _range_cond(max_lag), "left_outer")

@@ -1,0 +1,122 @@
+"""Stream-stream join convergence: the converged streaming join must
+equal the identical join run as a batch query on the same events.
+
+Covers the two state-semantics regimes: inner (matches emitted eagerly,
+state evicted by watermark + range bound) and left-outer (null-padded
+rows emitted only after the watermark passes the join window — the test
+drains the tail with far-future sentinel rows, the same way a
+production backfill is flushed)."""
+
+from __future__ import annotations
+
+import datetime
+
+import pyspark.sql.functions as F
+import pytest
+
+from multi_threaded_mapreduce_framework_spark.streaming import (
+    events_stream,
+    replay_events,
+    stream_stream_inner_join,
+    stream_stream_left_join,
+)
+
+SF = "/root/testdata/sf0.001"
+LAG = "1 hour"
+# the replay is hash-partitioned, not time-ordered: a tight watermark
+# would drop legitimately-late input (stream-stream join state ops drop
+# older-than-watermark rows on arrival). The fixture spans one month, so
+# 45 days admits every row; production replays are roughly time-ordered
+# and keep a tight watermark for bounded state.
+WM = "45 days"
+
+
+@pytest.fixture()
+def replay_dir(spark, tmp_path):
+    d = str(tmp_path / "events_replay")
+    replay_events(spark, SF, d, n_chunks=4)
+    return d
+
+
+def _batch_join(spark, replay_dir, how):
+    ev = spark.read.parquet(replay_dir).filter(F.col("user_id") >= 0)
+    l = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("l_user"),
+        F.col("ts").alias("l_ts"),
+        F.col("event_id").alias("l_event"),
+    )
+    r = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("r_user"),
+        F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_event"),
+    )
+    cond = (
+        (l.l_user == r.r_user)
+        & (r.r_ts >= l.l_ts)
+        & (r.r_ts <= l.l_ts + F.expr(f"interval {LAG}"))
+    )
+    return {tuple(row) for row in l.join(r, cond, how).collect()}
+
+
+def _write_sentinels(spark, replay_dir, days_ahead):
+    base = datetime.datetime(2025, 1, 1) + datetime.timedelta(days=days_ahead)
+    rows = [
+        (-1, base, -1, "click", 0.0, "{}"),
+        (-2, base + datetime.timedelta(hours=6), -2, "purchase", 0.0, "{}"),
+    ]
+    schema = spark.read.parquet(replay_dir).schema
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(
+        replay_dir
+    )
+
+
+def test_inner_join_converges_to_batch(spark, replay_dir):
+    joined = stream_stream_inner_join(
+        events_stream(spark, replay_dir).filter(F.col("event_type") == "click"),
+        events_stream(spark, replay_dir).filter(F.col("event_type") == "purchase"),
+        max_lag=LAG,
+        watermark=WM,
+    )
+    q = joined.writeStream.outputMode("append").format("memory").queryName(
+        "ss_inner"
+    ).start()
+    try:
+        q.processAllAvailable()
+        got = {tuple(row) for row in spark.table("ss_inner").collect()}
+        assert got == _batch_join(spark, replay_dir, "inner")
+        assert len(got) > 0
+    finally:
+        q.stop()
+
+
+def test_left_outer_join_flushes_after_watermark(spark, replay_dir):
+    joined = stream_stream_left_join(
+        events_stream(spark, replay_dir).filter(F.col("event_type") == "click"),
+        events_stream(spark, replay_dir).filter(F.col("event_type") == "purchase"),
+        max_lag=LAG,
+        watermark=WM,
+    )
+    q = joined.writeStream.outputMode("append").format("memory").queryName(
+        "ss_left"
+    ).start()
+    try:
+        q.processAllAvailable()
+        # two sentinel generations: the first advances the watermark past
+        # every real event, the second triggers the batch in which the
+        # now-expired left state emits its null-padded rows
+        _write_sentinels(spark, replay_dir, days_ahead=0)
+        q.processAllAvailable()
+        _write_sentinels(spark, replay_dir, days_ahead=30)
+        q.processAllAvailable()
+        got = {
+            tuple(row)
+            for row in spark.table("ss_left")
+            .filter(F.col("l_user") >= 0)
+            .collect()
+        }
+        batch = _batch_join(spark, replay_dir, "left_outer")
+        assert got == batch
+        # the outer rows (clicks with no purchase inside the lag) exist
+        assert any(row[3] is None for row in got)
+    finally:
+        q.stop()
