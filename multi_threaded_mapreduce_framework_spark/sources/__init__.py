@@ -4,5 +4,18 @@ from multi_threaded_mapreduce_framework_spark.sources.fixtures import (
     register_views,
     table_path,
 )
+from multi_threaded_mapreduce_framework_spark.sources.pydatasource import (
+    DocGenDataSource,
+    JsonlDataSource,
+    register_python_sources,
+)
 
-__all__ = ["TABLES", "load_table", "register_views", "table_path"]
+__all__ = [
+    "TABLES",
+    "load_table",
+    "register_views",
+    "table_path",
+    "DocGenDataSource",
+    "JsonlDataSource",
+    "register_python_sources",
+]

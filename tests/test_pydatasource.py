@@ -1,0 +1,64 @@
+"""Python DataSource API sources: docgen (deterministic generator with
+filter pushdown -> partition pruning) and jsonl (reader/writer with
+commit-manifest)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from multi_threaded_mapreduce_framework_spark.sources import register_python_sources
+
+DDL = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    register_python_sources(spark)
+
+
+def test_docgen_counts_and_parallelism(spark):
+    df = spark.read.format("docgen").option("rows", 500).option("partitions", 8).load()
+    assert df.count() == 500
+    assert df.rdd.getNumPartitions() == 8
+    assert df.select("doc_id").distinct().count() == 500
+
+
+def test_docgen_deterministic_across_partitionings(spark):
+    a = spark.read.format("docgen").option("rows", 200).load().collect()
+    b = (
+        spark.read.format("docgen")
+        .option("rows", 200)
+        .option("partitions", 3)
+        .load()
+        .collect()
+    )
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_docgen_pushdown_prunes_partitions(spark):
+    df = spark.read.format("docgen").option("rows", 500).option("partitions", 8).load()
+    pruned = df.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 163))
+    # 500 rows / 8 partitions = 63-row splits; [100, 163) touches exactly 2
+    assert pruned.rdd.getNumPartitions() == 2
+    assert pruned.count() == 63
+    # residual (non-range) predicates stay in Spark and still apply
+    mixed = df.filter((F.col("doc_id") < 63) & (F.col("lang") == "en"))
+    assert mixed.rdd.getNumPartitions() == 1
+    assert mixed.count() == df.filter("doc_id < 63").filter("lang = 'en'").count()
+
+
+def test_jsonl_roundtrip_with_manifest(spark, tmp_path):
+    d = str(tmp_path / "corpus")
+    src = spark.read.format("docgen").option("rows", 120).option("partitions", 4).load()
+    src.write.format("jsonl").mode("overwrite").option("path", d).save()
+
+    manifest = json.load(open(os.path.join(d, "_MANIFEST.json")))
+    assert manifest["rows"] == 120
+    assert len(manifest["files"]) == 4
+
+    back = spark.read.format("jsonl").schema(DDL).option("path", d).load()
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
