@@ -115,6 +115,9 @@ _DRIVER_PRIORITY = (
     "q100_pii_redact",
     "q101_repeated_passages",
     "q102_cc_star",
+    "q103_stratum_topk_sample",
+    "q104_length_histogram",
+    "q105_funnel_conversion",
 )
 
 

@@ -1,7 +1,7 @@
-"""Corpus-mining tier (q96-q101): the text-analysis operators a
+"""Corpus-mining tier (q96-q105): the text-analysis operators a
 training-data pipeline runs between raw scrape and tokenizer.
 
-All six are expressible as the reference's map -> shuffle -> reduce
+All are expressible as the reference's map -> shuffle -> reduce
 model (MapReduceClient.h:55-65 capability: per-record emit + grouped
 reduce); here each is a single declarative DataFrame plan so Catalyst
 keeps the per-document work map-side and only shuffles the (small)
@@ -10,9 +10,12 @@ aggregate keyspace:
 - q96: per-document repetition stats (boilerplate / spam signal),
 - q97: corpus trigram language-model counts (top next-token contexts),
 - q98: benchmark-contamination scan (shingle overlap vs a held-out set),
-- q99: deterministic stratified sampling (per-language quotas),
+- q99: deterministic stratified sampling (per-language rates),
 - q100: PII-style redaction + masked-cardinality over event payloads,
-- q101: repeated-passage mining (cross-document duplicated shingles).
+- q101: repeated-passage mining (cross-document duplicated shingles),
+- q103: fixed-quota per-stratum sampling (hash-min top-k),
+- q104: document-length histogram (integer bucket algebra),
+- q105: click->purchase funnel (batch twin of the stream-stream join).
 
 Scale notes are per-query; the common rule: everything per-document is
 array algebra inside the scan's project (no explode before the doc-level
@@ -22,6 +25,7 @@ result exists, no Python), so the shuffle carries only aggregate keys.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+from pyspark.sql import Window
 
 from multi_threaded_mapreduce_framework_spark.queries.registry import register
 from multi_threaded_mapreduce_framework_spark.sources import load_table
@@ -322,4 +326,154 @@ def q101_repeated_passages(spark, sf_dir):
         .filter(F.col("n_docs") >= 2)
         .orderBy(F.desc("n_docs"), F.asc("passage"))
         .limit(20)
+    )
+
+
+@register(
+    "q103_stratum_topk_sample",
+    tier="T2",
+    oracle="""
+WITH h AS (
+  SELECT doc_id, lang, source,
+         ((doc_id % 1000003) * 37 + 11) % 100000 AS hkey
+  FROM documents),
+r AS (
+  SELECT doc_id, lang, source, CAST(hkey AS BIGINT) AS hkey,
+         row_number() OVER (PARTITION BY lang ORDER BY hkey, doc_id) AS rk
+  FROM h)
+SELECT doc_id, lang, source, hkey, CAST(rk AS BIGINT) AS rk
+FROM r WHERE rk <= 20
+""",
+)
+def q103_stratum_topk_sample(spark, sf_dir, quota: int = 20):
+    """Fixed-quota stratified sampling: exactly ``quota`` documents per
+    language, chosen as the smallest values of a deterministic key hash
+    (ties broken by doc_id) — the balanced-mini-corpus complement of
+    q99's rate-based sampling. Hash-min selection is append-stable in
+    expectation and fully reproducible, where ``ORDER BY rand()`` is
+    neither.
+
+    One shuffle (the per-stratum window sort); at 100 TB the per-
+    partition TakeOrdered semantics of rank<=k keep state tiny, and a
+    skewed stratum can be pre-thinned with a map-side filter on hkey
+    (keep hkey < quota * safety / stratum_rows * 100000) before the
+    window — the exact top-k survives any such thinning.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    hkey = ((F.col("doc_id") % 1000003) * 37 + 11) % 100000
+    w = Window.partitionBy("lang").orderBy(F.asc("hkey"), F.asc("doc_id"))
+    return (
+        docs.select(
+            "doc_id", "lang", "source", hkey.cast("bigint").alias("hkey")
+        )
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= quota)
+    )
+
+
+@register(
+    "q104_length_histogram",
+    tier="T2",
+    oracle="""
+SELECT lang,
+       CAST(least(n_chars // 50, 9) AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(n_chars) AS BIGINT) AS min_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars
+FROM documents
+GROUP BY lang, least(n_chars // 50, 9)
+""",
+)
+def q104_length_histogram(spark, sf_dir):
+    """Document-length histogram per language: 50-char buckets capped
+    at bucket 9 (the corpus-shape diagnostic run before setting chunk /
+    truncation limits). All-integer bucket math — ``least(n_chars div
+    50, 9)`` — so the oracle comparison is exact by construction, and
+    the whole query is one partially-aggregated shuffle over at most
+    langs x 10 keys.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.least(F.floor(F.col("n_chars") / 50), F.lit(9))
+    return docs.groupBy(
+        "lang", bucket.cast("bigint").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_chars").cast("bigint").alias("min_chars"),
+        F.max("n_chars").cast("bigint").alias("max_chars"),
+    )
+
+
+@register(
+    "q105_funnel_conversion",
+    tier="T2",
+    oracle="""
+WITH ev AS (
+  SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+         CAST(ts AS DATE) AS day
+  FROM events WHERE event_type IN ('click', 'purchase')),
+clicks AS (SELECT user_id, sec, day FROM ev WHERE event_type = 'click')
+SELECT day,
+       CAST(count(*) AS BIGINT) AS n_clicks,
+       CAST(sum(CASE WHEN EXISTS (
+              SELECT 1 FROM ev p
+              WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+                AND p.sec BETWEEN c.sec + 1 AND c.sec + 3600)
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+       CAST(floor(sum(CASE WHEN EXISTS (
+              SELECT 1 FROM ev p
+              WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+                AND p.sec BETWEEN c.sec + 1 AND c.sec + 3600)
+            THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE) * 100) AS BIGINT)
+         AS conv_centi
+FROM clicks c GROUP BY day
+""",
+)
+def q105_funnel_conversion(spark, sf_dir):
+    """Click -> purchase funnel: per click-day, how many clicks see a
+    purchase by the same user within the following hour — the batch
+    twin of ``streaming.joins.stream_stream_inner_join`` (same keys,
+    same range bound).
+
+    Join-free plan: clicks and purchases stay in ONE per-user stream;
+    a range-framed window (``rangeBetween(1, 3600)`` over epoch
+    seconds) asks "is there a purchase in the next hour" without
+    materializing click x purchase pairs. One shuffle on user_id plus
+    the final per-day aggregate, versus the oracle's correlated EXISTS
+    (a quadratic nested loop the optimizer must decorrelate). The
+    conversion rate is floor-centi integer math — exact across engines.
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select(
+            "user_id",
+            "event_type",
+            F.unix_timestamp("ts").alias("sec"),
+            F.to_date("ts").alias("day"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(1, 3600)
+    )
+    purchase_near = F.max(
+        F.when(F.col("event_type") == "purchase", F.lit(1)).otherwise(F.lit(0))
+    ).over(w)
+    return (
+        ev.withColumn("conv", F.coalesce(purchase_near, F.lit(0)))
+        .filter(F.col("event_type") == "click")
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_clicks"),
+            F.sum("conv").cast("bigint").alias("n_converted"),
+        )
+        .select(
+            "day",
+            "n_clicks",
+            "n_converted",
+            F.floor(
+                F.col("n_converted") / F.col("n_clicks").cast("double") * 100
+            ).cast("bigint").alias("conv_centi"),
+        )
     )

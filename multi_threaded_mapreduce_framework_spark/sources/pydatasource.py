@@ -39,6 +39,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
@@ -114,8 +115,31 @@ class _DocGenReader(DataSourceReader):
             yield _doc_row(doc_id)
 
 
+class _DocGenStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch form of the generator: the offset is just the next
+    doc_id, so replay-from-checkpoint is exact by construction (the
+    same offset range regenerates byte-identical rows — the property a
+    real ingest source gets from a durable log)."""
+
+    def __init__(self, options):
+        self.batch_rows = int(options.get("rowsPerBatch", 100))
+        self.max_rows = int(options.get("maxRows", 1000))
+
+    def initialOffset(self):
+        return {"offset": 0}
+
+    def read(self, start):
+        lo = start["offset"]
+        hi = min(lo + self.batch_rows, self.max_rows)
+        return (iter([_doc_row(i) for i in range(lo, hi)]), {"offset": hi})
+
+    def readBetweenOffsets(self, start, end):
+        return iter([_doc_row(i) for i in range(start["offset"], end["offset"])])
+
+
 class DocGenDataSource(DataSource):
-    """`spark.read.format("docgen").option("rows", N).load()`."""
+    """`spark.read.format("docgen").option("rows", N).load()` or
+    `spark.readStream.format("docgen").option("maxRows", N).load()`."""
 
     @classmethod
     def name(cls) -> str:
@@ -126,6 +150,9 @@ class DocGenDataSource(DataSource):
 
     def reader(self, schema: StructType) -> DataSourceReader:
         return _DocGenReader(self.options)
+
+    def simpleStreamReader(self, schema: StructType) -> SimpleDataSourceStreamReader:
+        return _DocGenStreamReader(self.options)
 
 
 class _JsonlReader(DataSourceReader):

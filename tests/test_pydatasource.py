@@ -51,6 +51,30 @@ def test_docgen_pushdown_prunes_partitions(spark):
     assert mixed.count() == df.filter("doc_id < 63").filter("lang = 'en'").count()
 
 
+def test_docgen_stream_converges_to_batch(spark):
+    stream = (
+        spark.readStream.format("docgen")
+        .option("rowsPerBatch", 64)
+        .option("maxRows", 300)
+        .load()
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("docgen_stream")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(map(tuple, spark.table("docgen_stream").collect()))
+        batch = sorted(
+            map(tuple, spark.read.format("docgen").option("rows", 300).load().collect())
+        )
+        assert got == batch
+    finally:
+        q.stop()
+
+
 def test_jsonl_roundtrip_with_manifest(spark, tmp_path):
     d = str(tmp_path / "corpus")
     src = spark.read.format("docgen").option("rows", 120).option("partitions", 4).load()
