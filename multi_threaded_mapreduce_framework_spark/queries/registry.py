@@ -118,6 +118,7 @@ _DRIVER_PRIORITY = (
     "q103_stratum_topk_sample",
     "q104_length_histogram",
     "q105_funnel_conversion",
+    "q106_variant_json",
 )
 
 

@@ -15,7 +15,8 @@ aggregate keyspace:
 - q101: repeated-passage mining (cross-document duplicated shingles),
 - q103: fixed-quota per-stratum sampling (hash-min top-k),
 - q104: document-length histogram (integer bucket algebra),
-- q105: click->purchase funnel (batch twin of the stream-stream join).
+- q105: click->purchase funnel (batch twin of the stream-stream join),
+- q106: VARIANT-typed payload aggregation (parse once, extract many).
 
 Scale notes are per-query; the common rule: everything per-document is
 array algebra inside the scan's project (no explode before the doc-level
@@ -475,5 +476,43 @@ def q105_funnel_conversion(spark, sf_dir):
             F.floor(
                 F.col("n_converted") / F.col("n_clicks").cast("double") * 100
             ).cast("bigint").alias("conv_centi"),
+        )
+    )
+
+
+@register(
+    "q106_variant_json",
+    tier="T2",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(min(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(max(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS max_k
+FROM events
+GROUP BY event_type
+""",
+)
+def q106_variant_json(spark, sf_dir):
+    """Semi-structured payload aggregation through the VARIANT type
+    (Spark 4): ``parse_json`` decodes each payload ONCE into the binary
+    variant encoding, then ``variant_get`` extracts typed paths without
+    re-parsing — the scale answer to q22's per-access
+    ``get_json_object`` string parsing. On a 100 TB event log the
+    parse-once/extract-many difference is the dominant CPU term; with a
+    variant-typed parquet column the parse disappears from the query
+    entirely (shredded storage). Integer-exact aggregates per event
+    type; the oracle reads the same paths with DuckDB's JSON operators.
+    """
+    events = load_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "bigint")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.min("k").cast("bigint").alias("min_k"),
+            F.max("k").cast("bigint").alias("max_k"),
         )
     )
