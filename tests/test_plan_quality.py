@@ -205,3 +205,42 @@ def test_q37_no_driver_materialization(spark, sf_dir):
     assert "Join" not in plan and "Broadcast" not in plan
     assert "FlatMapGroupsInPandas" in plan
     assert num_exchanges(df) == 1
+
+
+def test_runtime_bloom_filter_on_selective_fact_join(spark, sf_dir):
+    """Runtime row-level filtering: a selective filter on one fact side
+    of a shuffled join should inject a bloom filter (might_contain) into
+    the other side's scan, cutting shuffle volume before the join. The
+    application-side size threshold (default 10GB) is lowered because
+    the test fixture scan is tiny; a 100 TB fact scan passes the default
+    threshold on its own."""
+    conf = spark.conf
+    saved = {
+        k: conf.get(k)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = load_table(spark, sf_dir, "lineitem")
+        orders = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_totalprice") > 400000
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        plan = executed_plan(j)
+        assert "might_contain" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
