@@ -39,7 +39,7 @@ from multi_threaded_mapreduce_framework_spark.functions.texthash import (
 )
 from multi_threaded_mapreduce_framework_spark.functions.vector import cosine_similarity
 from multi_threaded_mapreduce_framework_spark.queries.registry import register
-from multi_threaded_mapreduce_framework_spark.sources import load_table
+from multi_threaded_mapreduce_framework_spark.sources import load_table, spread_small_scan
 
 MINHASH_K = 16
 LSH_BANDS = 4
@@ -101,10 +101,13 @@ def q35_minhash_lsh(spark, sf_dir):
     back to the shingle sets for exact verification of the (tiny)
     candidate set.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_small_scan(load_table(spark, sf_dir, "documents"))
+    # pre-filter on the CHEAP equivalent predicate (hs is empty iff the
+    # doc has < 3 words): filtering on size(hs) would inline the whole
+    # sketch expression into the Filter and compute it twice per row
     sh = (
-        docs.select("doc_id", word_shingle_hashes("text").alias("hs"))
-        .filter(F.size("hs") > 0)
+        docs.filter(F.size(F.split("text", " ")) >= 3)
+        .select("doc_id", word_shingle_hashes("text").alias("hs"))
     )
     sig = sh.select(
         "doc_id", "hs", minhash_signature_np(F.col("hs"), MINHASH_K).alias("sig")

@@ -29,7 +29,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Window
 
 from multi_threaded_mapreduce_framework_spark.queries.registry import register
-from multi_threaded_mapreduce_framework_spark.sources import load_table
+from multi_threaded_mapreduce_framework_spark.sources import load_table, spread_small_scan
 
 
 @register(
@@ -116,6 +116,9 @@ def q97_trigram_lm(spark, sf_dir):
     determinism. At 100 TB the trigram keyspace is Zipf-bounded and the
     map-side partial aggregate absorbs the bulk of the traffic.
     """
+    # no spread_small_scan here: trigram assembly is cheap enough that
+    # the round-robin exchange costs more than the parallelism buys
+    # (measured 0.55s -> 0.92s at sf0.1); the partial agg is the work
     docs = load_table(spark, sf_dir, "documents")
     tri = F.expr(
         "transform(slice(ws, 1, greatest(size(ws) - 2, 0)),"
@@ -166,7 +169,7 @@ def q98_contamination(spark, sf_dir):
     doc_id. This is exactly how 13-gram decontamination runs in
     production pipelines, minus the tokenizer.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_small_scan(load_table(spark, sf_dir, "documents"))
     sh = F.expr(
         "array_distinct(transform(slice(ws, 1, greatest(size(ws) - 4, 0)),"
         " (w, i) -> concat_ws(' ', slice(ws, i + 1, 5))))"
@@ -180,9 +183,11 @@ def q98_contamination(spark, sf_dir):
         .distinct()
         .withColumn("hit", F.lit(1))
     )
-    ev = (
-        with_sh.filter((F.col("doc_id") % 97 != 0) & (F.size("sh") > 0))
-        .select("doc_id", F.explode("sh").alias("p"))
+    # no size(sh) > 0 filter: explode of an empty array emits no rows
+    # already, and referencing sh in a filter would inline the whole
+    # shingle expression a second time (computed twice per row)
+    ev = with_sh.filter(F.col("doc_id") % 97 != 0).select(
+        "doc_id", F.explode("sh").alias("p")
     )
     return (
         ev.join(F.broadcast(bench), "p", "left")
@@ -314,7 +319,7 @@ def q101_repeated_passages(spark, sf_dir):
     tail before the (bounded) top-k. Zipf makes hot shingles skew-prone
     at scale: the partial aggregate absorbs them map-side.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_small_scan(load_table(spark, sf_dir, "documents"))
     sh = F.expr(
         "array_distinct(transform(slice(ws, 1, greatest(size(ws) - 4, 0)),"
         " (w, i) -> concat_ws(' ', slice(ws, i + 1, 5))))"

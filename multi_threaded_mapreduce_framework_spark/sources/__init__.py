@@ -2,6 +2,7 @@ from multi_threaded_mapreduce_framework_spark.sources.fixtures import (
     TABLES,
     load_table,
     register_views,
+    spread_small_scan,
     table_path,
 )
 from multi_threaded_mapreduce_framework_spark.sources.pydatasource import (
@@ -14,6 +15,7 @@ __all__ = [
     "TABLES",
     "load_table",
     "register_views",
+    "spread_small_scan",
     "table_path",
     "DocGenDataSource",
     "JsonlDataSource",
