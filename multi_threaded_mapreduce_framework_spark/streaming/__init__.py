@@ -8,6 +8,7 @@ from multi_threaded_mapreduce_framework_spark.streaming.kafka_shim import (
     write_kafka_replay,
 )
 from multi_threaded_mapreduce_framework_spark.streaming.joins import (
+    funnel_daily_counts,
     stream_stream_inner_join,
     stream_stream_left_join,
 )
@@ -34,6 +35,7 @@ __all__ = [
     "parse_events",
     "real_kafka_stream",
     "write_kafka_replay",
+    "funnel_daily_counts",
     "stream_stream_inner_join",
     "stream_stream_left_join",
     "foreach_batch_fanout",

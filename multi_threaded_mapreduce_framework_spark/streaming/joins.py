@@ -75,3 +75,28 @@ def stream_stream_left_join(
     """
     l, r = _sides(left, right, watermark)
     return l.join(r, _range_cond(max_lag), "left_outer")
+
+
+def funnel_daily_counts(
+    left: DataFrame,
+    right: DataFrame,
+    max_lag: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Chained stateful operators: the stream-stream inner join feeds a
+    1-day tumbling-window aggregate — the streaming form of the q105
+    funnel (clicks that converted, counted per click-day). Spark allows
+    stateful-after-stateful in append mode because the join emits rows
+    with an event-time column (l_ts) still governed by the watermark;
+    the downstream window finalizes once the watermark passes the day
+    boundary plus the join's lag allowance.
+    """
+    joined = stream_stream_inner_join(left, right, max_lag, watermark)
+    return (
+        joined.groupBy(F.window("l_ts", "1 day").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_converted_events"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd").alias("day"),
+            "n_converted_events",
+        )
+    )

@@ -120,3 +120,53 @@ def test_left_outer_join_flushes_after_watermark(spark, replay_dir):
         assert any(row[3] is None for row in got)
     finally:
         q.stop()
+
+
+def test_chained_stateful_funnel_converges_to_batch(spark, replay_dir):
+    from multi_threaded_mapreduce_framework_spark.streaming import funnel_daily_counts
+
+    agg = funnel_daily_counts(
+        events_stream(spark, replay_dir).filter(F.col("event_type") == "click"),
+        events_stream(spark, replay_dir).filter(F.col("event_type") == "purchase"),
+        max_lag=LAG,
+        watermark=WM,
+    )
+    q = agg.writeStream.outputMode("append").format("memory").queryName(
+        "ss_funnel"
+    ).start()
+    try:
+        q.processAllAvailable()
+        # append-mode windows only emit once the watermark passes them:
+        # flush with two sentinel generations (see left-outer test)
+        _write_sentinels(spark, replay_dir, days_ahead=0)
+        q.processAllAvailable()
+        _write_sentinels(spark, replay_dir, days_ahead=30)
+        q.processAllAvailable()
+        got = {
+            tuple(row)
+            for row in spark.table("ss_funnel").collect()
+            if not row.day.startswith("2025")  # sentinel windows
+        }
+        batch = {
+            (str(r.day), r.n)
+            for r in spark.read.parquet(replay_dir)
+            .filter(F.col("user_id") >= 0)
+            .filter(F.col("event_type") == "click")
+            .alias("c")
+            .join(
+                spark.read.parquet(replay_dir)
+                .filter(F.col("user_id") >= 0)
+                .filter(F.col("event_type") == "purchase")
+                .alias("p"),
+                (F.col("c.user_id") == F.col("p.user_id"))
+                & (F.col("p.ts") >= F.col("c.ts"))
+                & (F.col("p.ts") <= F.col("c.ts") + F.expr(f"interval {LAG}")),
+            )
+            .groupBy(F.to_date("c.ts").alias("day"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert got == batch
+        assert len(got) > 0
+    finally:
+        q.stop()
