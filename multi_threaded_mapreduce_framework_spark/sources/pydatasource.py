@@ -32,6 +32,7 @@ import os
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     EqualTo,
     GreaterThan,
@@ -163,10 +164,12 @@ class _JsonlReader(DataSourceReader):
         self.fields = [f.name for f in schema.fields]
 
     def partitions(self):
+        # skip _/.-prefixed names: metadata (manifests), hidden files —
+        # the same convention hadoop FileInputFormat applies
         files = sorted(
             os.path.join(self.path, f)
             for f in os.listdir(self.path)
-            if f.endswith(".jsonl")
+            if f.endswith(".jsonl") and not f.startswith(("_", "."))
         )
         return [InputPartition(f) for f in files] or [InputPartition(None)]
 
@@ -224,6 +227,52 @@ class _JsonlWriter(DataSourceWriter):
                 os.remove(m.file)
 
 
+class _JsonlStreamWriter(DataSourceStreamWriter):
+    """Streaming jsonl sink: one shard file per (micro-batch, task),
+    named so batches never collide; ``commit`` appends a per-batch
+    manifest line (exactly-once bookkeeping: a replayed batch id simply
+    overwrites its own shard files and re-logs, the reader reconciles
+    by the last manifest line per batch — the same idempotency contract
+    as ``streaming/sinks.py::foreach_batch_parquet``)."""
+
+    def __init__(self, options, schema: StructType):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl stream sink requires .option('path', dir)")
+        self.fields = [f.name for f in schema.fields]
+
+    def write(self, iterator):
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        os.makedirs(self.path, exist_ok=True)
+        # taskAttemptId is unique per attempt; the final name carries the
+        # batch id in commit's manifest, files here carry partition id
+        out = os.path.join(
+            self.path, f"stream-{ctx.stageId()}-{ctx.partitionId():05d}.jsonl"
+        )
+        n = 0
+        with open(out, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                fh.write(json.dumps(dict(zip(self.fields, row))) + "\n")
+                n += 1
+        return _JsonlCommit(out, n)
+
+    def commit(self, messages, batchId):
+        entry = {
+            "batch": batchId,
+            "rows": sum(m.rows for m in messages if m is not None),
+            "files": sorted(m.file for m in messages if m is not None),
+        }
+        with open(os.path.join(self.path, "_STREAM_MANIFEST.jsonl"), "a") as fh:
+            fh.write(json.dumps(entry) + "\n")
+
+    def abort(self, messages, batchId):
+        for m in messages:
+            if m is not None and os.path.exists(m.file):
+                os.remove(m.file)
+
+
 class JsonlDataSource(DataSource):
     """JSONL corpus interchange: `df.write.format("jsonl").save(dir)` /
     `spark.read.format("jsonl").schema(ddl).load(dir)`."""
@@ -242,6 +291,9 @@ class JsonlDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool) -> DataSourceWriter:
         return _JsonlWriter(self.options, schema, overwrite)
+
+    def streamWriter(self, schema: StructType, overwrite: bool) -> DataSourceStreamWriter:
+        return _JsonlStreamWriter(self.options, schema)
 
 
 def register_python_sources(spark) -> None:

@@ -9,6 +9,7 @@ from multi_threaded_mapreduce_framework_spark.streaming.kafka_shim import (
 )
 from multi_threaded_mapreduce_framework_spark.streaming.joins import (
     funnel_daily_counts,
+    stream_stream_full_join,
     stream_stream_inner_join,
     stream_stream_left_join,
 )
@@ -36,6 +37,7 @@ __all__ = [
     "real_kafka_stream",
     "write_kafka_replay",
     "funnel_daily_counts",
+    "stream_stream_full_join",
     "stream_stream_inner_join",
     "stream_stream_left_join",
     "foreach_batch_fanout",

@@ -77,6 +77,22 @@ def stream_stream_left_join(
     return l.join(r, _range_cond(max_lag), "left_outer")
 
 
+def stream_stream_full_join(
+    left: DataFrame,
+    right: DataFrame,
+    max_lag: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Full-outer variant: unmatched rows from BOTH sides emit
+    null-padded once the watermark clears their join window — left
+    rows after ``l_ts + max_lag``, right rows after their own ``r_ts``
+    (a right event can only match earlier-or-equal left events). Same
+    drain caveat as the left join for historical replays.
+    """
+    l, r = _sides(left, right, watermark)
+    return l.join(r, _range_cond(max_lag), "full_outer")
+
+
 def funnel_daily_counts(
     left: DataFrame,
     right: DataFrame,

@@ -86,3 +86,37 @@ def test_jsonl_roundtrip_with_manifest(spark, tmp_path):
 
     back = spark.read.format("jsonl").schema(DDL).option("path", d).load()
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+
+
+def test_jsonl_stream_sink_writes_manifest_per_batch(spark, tmp_path):
+    d = str(tmp_path / "stream_out")
+    ckpt = str(tmp_path / "ckpt")
+    stream = (
+        spark.readStream.format("docgen")
+        .option("rowsPerBatch", 50)
+        .option("maxRows", 150)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("jsonl")
+        .option("path", d)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    manifest = [
+        json.loads(line)
+        for line in open(os.path.join(d, "_STREAM_MANIFEST.jsonl"))
+        if line.strip()
+    ]
+    assert sum(m["rows"] for m in manifest) == 150
+    assert len({m["batch"] for m in manifest}) == len(manifest)  # one line per batch
+
+    back = spark.read.format("jsonl").schema(DDL).option("path", d).load()
+    batch = spark.read.format("docgen").option("rows", 150).load()
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, batch.collect()))

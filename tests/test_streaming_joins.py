@@ -170,3 +170,41 @@ def test_chained_stateful_funnel_converges_to_batch(spark, replay_dir):
         assert len(got) > 0
     finally:
         q.stop()
+
+
+def test_full_outer_join_flushes_both_sides(spark, replay_dir):
+    from multi_threaded_mapreduce_framework_spark.streaming import (
+        stream_stream_full_join,
+    )
+
+    joined = stream_stream_full_join(
+        events_stream(spark, replay_dir).filter(F.col("event_type") == "click"),
+        events_stream(spark, replay_dir).filter(F.col("event_type") == "purchase"),
+        max_lag=LAG,
+        watermark=WM,
+    )
+    q = joined.writeStream.outputMode("append").format("memory").queryName(
+        "ss_full"
+    ).start()
+    try:
+        q.processAllAvailable()
+        _write_sentinels(spark, replay_dir, days_ahead=0)
+        q.processAllAvailable()
+        _write_sentinels(spark, replay_dir, days_ahead=30)
+        q.processAllAvailable()
+        got = {
+            tuple(row)
+            for row in spark.table("ss_full")
+            .filter(
+                (F.coalesce(F.col("l_user"), F.lit(0)) >= 0)
+                & (F.coalesce(F.col("r_user"), F.lit(0)) >= 0)
+            )
+            .collect()
+        }
+        batch = _batch_join(spark, replay_dir, "full_outer")
+        assert got == batch
+        # unmatched rows from BOTH sides are present
+        assert any(row[3] is None for row in got)  # click, no purchase
+        assert any(row[0] is None for row in got)  # purchase, no click
+    finally:
+        q.stop()
