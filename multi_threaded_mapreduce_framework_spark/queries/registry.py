@@ -119,6 +119,7 @@ _DRIVER_PRIORITY = (
     "q104_length_histogram",
     "q105_funnel_conversion",
     "q106_variant_json",
+    "q107_retention_cohorts",
 )
 
 

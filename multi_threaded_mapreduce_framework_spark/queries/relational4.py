@@ -1,6 +1,7 @@
-"""Breadth tier 4 (q82-q84): time-series gap-fill (dense hourly grid
-with zero backfill), window distribution functions (percent_rank /
-cume_dist), and blocked fuzzy matching by edit distance.
+"""Breadth tier 4 (q82-q85, q107): time-series gap-fill (dense hourly
+grid with zero backfill), window distribution functions (percent_rank /
+cume_dist), blocked fuzzy matching by edit distance, document chunking,
+and retention cohorts.
 
 Reference capability note: gap-fill is `map → group → reduce` with a
 generated dimension (the reference model can only emit from existing
@@ -201,4 +202,65 @@ def q84_edit_distance_pairs(spark, sf_dir):
         .withColumn("edit_dist", F.levenshtein("_name_a", "_name_b"))
         .filter(F.col("edit_dist") <= 6)
         .select("partkey_a", "partkey_b", "edit_dist")
+    )
+
+
+@register(
+    "q107_retention_cohorts",
+    tier="T2",
+    oracle="""
+WITH cohorts AS (
+  SELECT user_id,
+         min(CAST(date_trunc('week', ts) AS DATE)) AS cohort_week
+  FROM events WHERE event_type = 'signup'
+  GROUP BY user_id),
+activity AS (
+  SELECT DISTINCT e.user_id,
+         CAST(date_trunc('week', e.ts) AS DATE) AS act_week
+  FROM events e)
+SELECT c.cohort_week,
+       CAST(date_diff('day', c.cohort_week, a.act_week) // 7 AS BIGINT)
+         AS week_offset,
+       CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_active
+FROM cohorts c JOIN activity a ON a.user_id = c.user_id
+WHERE a.act_week >= c.cohort_week
+GROUP BY c.cohort_week, week_offset
+""",
+)
+def q107_retention_cohorts(spark, sf_dir):
+    """Retention triangle: users are cohorted by the ISO week of their
+    first signup event; each later activity week counts them as active
+    at ``week_offset = (activity_week - cohort_week) / 7``. Classic
+    product analytics, and a distinct plan class: a self-derived
+    dimension (the cohort table comes from the fact table itself)
+    joined back to the fact.
+
+    Plan shape: the cohort aggregate and the distinct-activity set both
+    partial-aggregate on user_id before one co-partitioned join (same
+    key, so AQE plans it shuffle-reusing); the final (cohort, offset)
+    rollup is a second small shuffle. ``count(DISTINCT user)`` is exact
+    here because the join key is already user_id — the expand trick
+    Spark uses stays within the existing partitioning. Week math is
+    integer day arithmetic (ISO Monday truncation in both engines), so
+    the oracle comparison is exact.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cohorts = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.to_date(F.min(F.date_trunc("week", "ts"))).alias("cohort_week"))
+    )
+    activity = ev.select(
+        "user_id", F.to_date(F.date_trunc("week", "ts")).alias("act_week")
+    ).distinct()
+    return (
+        activity.join(cohorts, "user_id")
+        .filter(F.col("act_week") >= F.col("cohort_week"))
+        .groupBy(
+            "cohort_week",
+            F.floor(F.datediff("act_week", "cohort_week") / 7)
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
     )
