@@ -120,6 +120,7 @@ _DRIVER_PRIORITY = (
     "q105_funnel_conversion",
     "q106_variant_json",
     "q107_retention_cohorts",
+    "q108_mixture_allocation",
 )
 
 

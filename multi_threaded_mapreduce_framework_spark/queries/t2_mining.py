@@ -16,7 +16,8 @@ aggregate keyspace:
 - q103: fixed-quota per-stratum sampling (hash-min top-k),
 - q104: document-length histogram (integer bucket algebra),
 - q105: click->purchase funnel (batch twin of the stream-stream join),
-- q106: VARIANT-typed payload aggregation (parse once, extract many).
+- q106: VARIANT-typed payload aggregation (parse once, extract many),
+- q108: sqrt-weighted corpus mixture allocation (stratum shares).
 
 Scale notes are per-query; the common rule: everything per-document is
 array algebra inside the scan's project (no explode before the doc-level
@@ -519,5 +520,52 @@ def q106_variant_json(spark, sf_dir):
             F.sum("k").cast("bigint").alias("sum_k"),
             F.min("k").cast("bigint").alias("min_k"),
             F.max("k").cast("bigint").alias("max_k"),
+        )
+    )
+
+
+@register(
+    "q108_mixture_allocation",
+    tier="T2",
+    oracle="""
+WITH g AS (
+  SELECT lang, source, count(*) AS n_docs,
+         CAST(floor(sqrt(count(*))) AS BIGINT) AS alloc_weight
+  FROM documents GROUP BY lang, source)
+SELECT lang, source, CAST(n_docs AS BIGINT) AS n_docs, alloc_weight,
+       CAST(floor(alloc_weight
+                  / CAST(sum(alloc_weight) OVER () AS DOUBLE) * 1000)
+            AS BIGINT) AS share_milli
+FROM g
+""",
+)
+def q108_mixture_allocation(spark, sf_dir):
+    """Corpus mixture planning: per (lang, source) stratum, a
+    square-root allocation weight (the standard temperature-style
+    flattening that keeps small sources represented without letting the
+    biggest dominate) and each stratum's share of the total mix in
+    milli-units.
+
+    The global-window share is computed over the AGGREGATED strata —
+    bounded by lang x source cardinality, never by corpus size — so the
+    single-partition window is a few-row driver-sized step at any SF.
+    FP discipline: sqrt is correctly-rounded IEEE (bit-identical in
+    both engines on integer inputs) so floor(sqrt(n)) is exact, and the
+    share divides two exact integers before one floor.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = F.floor(F.sqrt(F.col("n_docs"))).cast("bigint")
+    total = F.sum("alloc_weight").over(Window.partitionBy())
+    return (
+        g.withColumn("alloc_weight", w)
+        .select(
+            "lang",
+            "source",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            "alloc_weight",
+            F.floor(
+                F.col("alloc_weight") / total.cast("double") * 1000
+            ).cast("bigint").alias("share_milli"),
         )
     )
