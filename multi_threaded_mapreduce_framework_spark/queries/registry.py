@@ -121,6 +121,7 @@ _DRIVER_PRIORITY = (
     "q106_variant_json",
     "q107_retention_cohorts",
     "q108_mixture_allocation",
+    "q109_rolling_wau",
 )
 
 

@@ -1,7 +1,7 @@
-"""Breadth tier 4 (q82-q85, q107): time-series gap-fill (dense hourly
-grid with zero backfill), window distribution functions (percent_rank /
-cume_dist), blocked fuzzy matching by edit distance, document chunking,
-and retention cohorts.
+"""Breadth tier 4 (q82-q85, q107, q109): time-series gap-fill (dense
+hourly grid with zero backfill), window distribution functions
+(percent_rank / cume_dist), blocked fuzzy matching by edit distance,
+document chunking, retention cohorts, and rolling distinct counts.
 
 Reference capability note: gap-fill is `map → group → reduce` with a
 generated dimension (the reference model can only emit from existing
@@ -263,4 +263,47 @@ def q107_retention_cohorts(spark, sf_dir):
             .alias("week_offset"),
         )
         .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
+@register(
+    "q109_rolling_wau",
+    tier="T2",
+    oracle="""
+WITH presence AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+contrib AS (
+  SELECT p.user_id, p.day + CAST(o.off AS INTEGER) AS obs_day
+  FROM presence p CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS off) o)
+SELECT obs_day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+FROM contrib GROUP BY obs_day
+""",
+)
+def q109_rolling_wau(spark, sf_dir):
+    """Rolling 7-day active users per day (trailing WAU): each
+    (user, presence-day) pair contributes that user to the seven
+    observation days it covers, then a distinct count per observation
+    day — the standard rewrite for the query SQL windows cannot express
+    (COUNT(DISTINCT) over a moving frame is unsupported in every
+    engine's window clause).
+
+    Scale shape: presence is deduplicated FIRST (one row per user-day,
+    partial agg), so the x7 explode multiplies the already-collapsed
+    set, not the raw event stream; the distinct count shuffles on
+    observation day. Window length w multiplies shuffle volume by w —
+    for long windows (MAU) the same skeleton carries (user, day)
+    presence into a sketch (HLL per day, q55's operator) instead of
+    exact distinct.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    presence = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    return (
+        presence.select(
+            "user_id",
+            "day",
+            F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"),
+        )
+        .select("user_id", F.expr("date_add(day, off)").alias("obs_day"))
+        .groupBy("obs_day")
+        .agg(F.countDistinct("user_id").alias("wau"))
     )
