@@ -214,10 +214,19 @@ class _JsonlWriter(DataSourceWriter):
         # driver-side: the reference collects the output bag after the
         # reduce barrier; here the commit messages carry shard manifests
         total = sum(m.rows for m in messages if m is not None)
-        manifest = {
-            "rows": total,
-            "files": sorted(m.file for m in messages if m is not None),
-        }
+        files = sorted(m.file for m in messages if m is not None)
+        if self.overwrite:
+            # an overwrite with fewer tasks than the previous write must
+            # not leave stale shards behind for the reader to pick up
+            keep = {os.path.basename(f) for f in files}
+            for name in os.listdir(self.path):
+                if (
+                    name.endswith(".jsonl")
+                    and not name.startswith(("_", "."))
+                    and name not in keep
+                ):
+                    os.remove(os.path.join(self.path, name))
+        manifest = {"rows": total, "files": files}
         with open(os.path.join(self.path, "_MANIFEST.json"), "w") as fh:
             json.dump(manifest, fh)
 

@@ -120,3 +120,18 @@ def test_jsonl_stream_sink_writes_manifest_per_batch(spark, tmp_path):
     back = spark.read.format("jsonl").schema(DDL).option("path", d).load()
     batch = spark.read.format("docgen").option("rows", 150).load()
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_jsonl_overwrite_sweeps_stale_shards(spark, tmp_path):
+    d = str(tmp_path / "over")
+    big = spark.read.format("docgen").option("rows", 100).option("partitions", 4).load()
+    big.write.format("jsonl").mode("overwrite").option("path", d).save()
+    small = (
+        spark.read.format("docgen").option("rows", 30).option("partitions", 1).load()
+    )
+    small.write.format("jsonl").mode("overwrite").option("path", d).save()
+
+    back = spark.read.format("jsonl").schema(DDL).option("path", d).load()
+    # a stale shard from the 4-task write would make this 100-ish
+    assert back.count() == 30
+    assert json.load(open(os.path.join(d, "_MANIFEST.json")))["rows"] == 30
