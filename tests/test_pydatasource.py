@@ -135,3 +135,32 @@ def test_jsonl_overwrite_sweeps_stale_shards(spark, tmp_path):
     # a stale shard from the 4-task write would make this 100-ish
     assert back.count() == 30
     assert json.load(open(os.path.join(d, "_MANIFEST.json")))["rows"] == 30
+
+
+def test_streaming_corpus_ingest_pipeline(spark, tmp_path):
+    """End-to-end ingest: docgen stream -> exact dedup on doc_id ->
+    jsonl sink. The full custom-source/custom-sink path with a stateful
+    operator in the middle, converging to the batch read."""
+    d = str(tmp_path / "ingest")
+    ckpt = str(tmp_path / "ingest_ckpt")
+    stream = (
+        spark.readStream.format("docgen")
+        .option("rowsPerBatch", 40)
+        .option("maxRows", 120)
+        .load()
+        .dropDuplicates(["doc_id"])
+    )
+    q = (
+        stream.writeStream.format("jsonl")
+        .option("path", d)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    back = spark.read.format("jsonl").schema(DDL).option("path", d).load()
+    batch = spark.read.format("docgen").option("rows", 120).load()
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, batch.collect()))
