@@ -59,9 +59,38 @@ _REGISTRY: dict[str, Query] = {}
 # correctness rows for a bounded window of entries in declared order (50 in
 # round 1).  Every query passes the local oracle harness, so we rotate the
 # declared order each round to put queries WITHOUT a green driver row first.
-# Round 1 checked q01–q49 + q67; round 2 therefore leads with q50–q66 and
-# q68–q85 (plus any queries new this round), then the already-green set.
+# Round 1 checked q01-q49 + q67 (and the judge locally verified q50-q85).
+# 59 queries lack a driver row — more than the window — so the order
+# maximizes NEW hard signal: the 24 queries no external party has ever
+# checked (q86-q109, added in round 2) lead, then the q50-q85 band (judge
+# locally verified in r01), then the driver-green set.
 _DRIVER_PRIORITY = (
+    # --- never externally checked (round-2 additions) ---
+    "q86_tpch_q8",
+    "q87_tpch_q9",
+    "q88_tpch_q12",
+    "q89_tpch_q13",
+    "q90_tpch_q15",
+    "q91_tpch_q17",
+    "q92_tpch_q20",
+    "q93_tpch_q21",
+    "q94_dedup_clusters",
+    "q95_corpus_select",
+    "q96_repetition_stats",
+    "q97_trigram_lm",
+    "q98_contamination",
+    "q99_stratified_sample",
+    "q100_pii_redact",
+    "q101_repeated_passages",
+    "q102_cc_star",
+    "q103_stratum_topk_sample",
+    "q104_length_histogram",
+    "q105_funnel_conversion",
+    "q106_variant_json",
+    "q107_retention_cohorts",
+    "q108_mixture_allocation",
+    "q109_rolling_wau",
+    # --- no driver row yet, but judge-verified locally in round 1 ---
     "q50_mapreduce_wordcount",
     "q51_tpch_q1",
     "q52_tpch_q3",
@@ -97,31 +126,6 @@ _DRIVER_PRIORITY = (
     "q83_window_distribution",
     "q84_edit_distance_pairs",
     "q85_chunk_documents",
-    # new this round (no driver row yet) — keep inside the 50-entry window
-    "q86_tpch_q8",
-    "q87_tpch_q9",
-    "q88_tpch_q12",
-    "q89_tpch_q13",
-    "q90_tpch_q15",
-    "q91_tpch_q17",
-    "q92_tpch_q20",
-    "q93_tpch_q21",
-    "q94_dedup_clusters",
-    "q95_corpus_select",
-    "q96_repetition_stats",
-    "q97_trigram_lm",
-    "q98_contamination",
-    "q99_stratified_sample",
-    "q100_pii_redact",
-    "q101_repeated_passages",
-    "q102_cc_star",
-    "q103_stratum_topk_sample",
-    "q104_length_histogram",
-    "q105_funnel_conversion",
-    "q106_variant_json",
-    "q107_retention_cohorts",
-    "q108_mixture_allocation",
-    "q109_rolling_wau",
 )
 
 
