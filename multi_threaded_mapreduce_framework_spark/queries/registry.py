@@ -90,6 +90,7 @@ _DRIVER_PRIORITY = (
     "q107_retention_cohorts",
     "q108_mixture_allocation",
     "q109_rolling_wau",
+    "q110_unpivot",
     # --- no driver row yet, but judge-verified locally in round 1 ---
     "q50_mapreduce_wordcount",
     "q51_tpch_q1",

@@ -1,7 +1,8 @@
-"""Breadth tier 4 (q82-q85, q107, q109): time-series gap-fill (dense
-hourly grid with zero backfill), window distribution functions
+"""Breadth tier 4 (q82-q85, q107, q109-q110): time-series gap-fill
+(dense hourly grid with zero backfill), window distribution functions
 (percent_rank / cume_dist), blocked fuzzy matching by edit distance,
-document chunking, retention cohorts, and rolling distinct counts.
+document chunking, retention cohorts, rolling distinct counts, and
+unpivot (melt).
 
 Reference capability note: gap-fill is `map → group → reduce` with a
 generated dimension (the reference model can only emit from existing
@@ -306,4 +307,41 @@ def q109_rolling_wau(spark, sf_dir):
         .select("user_id", F.expr("date_add(day, off)").alias("obs_day"))
         .groupBy("obs_day")
         .agg(F.countDistinct("user_id").alias("wau"))
+    )
+
+
+@register(
+    "q110_unpivot",
+    tier="T1",
+    oracle="""
+WITH agg AS (
+  SELECT l_returnflag,
+         round(sum(l_quantity), 2) AS sum_qty,
+         round(sum(l_extendedprice), 2) AS sum_price,
+         round(sum(l_discount), 2) AS sum_disc
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag, measure, value
+FROM agg UNPIVOT (value FOR measure IN (sum_qty, sum_price, sum_disc))
+""",
+)
+def q110_unpivot(spark, sf_dir):
+    """UNPIVOT (melt): the inverse of q45's pivot — three wide measure
+    columns become (measure, value) rows, the long format every
+    metrics-warehouse export wants. Run on the 3-row-per-flag aggregate
+    (unpivot is a zero-shuffle row-local expansion, like a typed
+    explode), so the only shuffle is the upstream sum. Measures are
+    rounded BEFORE the unpivot on both sides, keeping the row-value
+    multiset comparison exact.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.sum("l_discount"), 2).alias("sum_disc"),
+    )
+    return agg.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_price", "sum_disc"],
+        variableColumnName="measure",
+        valueColumnName="value",
     )
