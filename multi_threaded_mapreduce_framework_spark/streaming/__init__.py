@@ -27,6 +27,7 @@ from multi_threaded_mapreduce_framework_spark.streaming.windowed import (
     session_counts,
     sliding_window_counts,
     stream_dedup,
+    stream_dedup_within_watermark,
     tumbling_window_counts,
 )
 
@@ -49,5 +50,6 @@ __all__ = [
     "session_counts",
     "sliding_window_counts",
     "stream_dedup",
+    "stream_dedup_within_watermark",
     "tumbling_window_counts",
 ]

@@ -115,6 +115,21 @@ def stream_dedup(stream: DataFrame, keys: list[str], watermark: str | None = Non
     return stream.dropDuplicates(keys)
 
 
+def stream_dedup_within_watermark(
+    stream: DataFrame, keys: list[str], watermark: str = "2 hours"
+) -> DataFrame:
+    """Bounded-state streaming dedup WITHOUT event-time in the key:
+    ``dropDuplicatesWithinWatermark`` evicts a key's state once the
+    watermark passes its first-seen event time, so state is
+    O(keys-per-watermark-window) instead of O(all keys ever) — the
+    operator ``stream_dedup`` documents wanting. The contract weakens
+    correspondingly: duplicates are only guaranteed dropped if they
+    arrive within the watermark delay of the first occurrence, which is
+    exactly the at-least-once-redelivery window a real ingest pipeline
+    needs deduped."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def run_to_convergence(
     agg: DataFrame, name: str, output_mode: str = "complete"
 ) -> StreamingQuery:

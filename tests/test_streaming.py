@@ -191,3 +191,27 @@ def test_tws_running_totals_converges_to_batch_q04(spark, replay_dir):
             assert abs(r.sum_value - batch[uid].sum_value) < 0.05
     finally:
         q.stop()
+
+
+def test_dedup_within_watermark_drops_redelivered_events(spark, replay_dir):
+    """An at-least-once source redelivers events (simulated by unioning
+    two independent streams over the same replay): the watermark-bounded
+    dedup must converge to exactly the distinct event set."""
+    from multi_threaded_mapreduce_framework_spark.streaming import (
+        stream_dedup_within_watermark,
+    )
+
+    # two independent file streams over the same dir = every event twice
+    doubled = events_stream(spark, replay_dir).union(
+        events_stream(spark, replay_dir)
+    )
+    # 45 days >> the replay's disorder: no duplicate arrives after its
+    # key's state was evicted, so the drop guarantee is total here
+    s = stream_dedup_within_watermark(doubled, ["event_id"], watermark="45 days")
+    q = run_to_convergence(s.select("event_id"), "stream_dedup_wm", "append")
+    try:
+        got = spark.table("stream_dedup_wm").count()
+        distinct = spark.read.parquet(replay_dir).select("event_id").distinct().count()
+        assert got == distinct
+    finally:
+        q.stop()
