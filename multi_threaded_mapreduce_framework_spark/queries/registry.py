@@ -55,68 +55,17 @@ class Query:
 
 _REGISTRY: dict[str, Query] = {}
 
-# Driver-check rotation (VERDICT.md r01 item 1): the verify driver records
-# correctness rows for a bounded window of entries in declared order (50 in
-# round 1).  Every query passes the local oracle harness, so we rotate the
-# declared order each round to put queries WITHOUT a green driver row first.
-# Round 1 checked q01-q49 + q67 (and the judge locally verified q50-q85).
-# 59 queries lack a driver row — more than the window — so the order
-# maximizes NEW hard signal: the 24 queries no external party has ever
-# checked (q86-q109, added in round 2) lead, then the q50-q85 band (judge
-# locally verified in r01), then the driver-green set.
+# Driver-check rotation (VERDICT.md r02 item 2): the verify driver records
+# correctness rows for a bounded window of entries in declared order (~50
+# per round).  Rounds 1+2 together drove q01-q49+q67 (r01) and q50-q110
+# minus q76-q85 (r02).  Round-3 order therefore puts first the 10 queries
+# that have NEVER had a driver row (q76-q85, judge-local only), then the
+# two just-fixed red rows (q88 hash-type artifact, q56 canonicalizer
+# crash), then new round-3 queries (q111+ register after the priority
+# list and sort before the green backlog via _ordered), then the oldest
+# driver-green band (q01-q49, checked in r01 only) for re-confirmation.
 _DRIVER_PRIORITY = (
-    # --- never externally checked (round-2 additions) ---
-    "q86_tpch_q8",
-    "q87_tpch_q9",
-    "q88_tpch_q12",
-    "q89_tpch_q13",
-    "q90_tpch_q15",
-    "q91_tpch_q17",
-    "q92_tpch_q20",
-    "q93_tpch_q21",
-    "q94_dedup_clusters",
-    "q95_corpus_select",
-    "q96_repetition_stats",
-    "q97_trigram_lm",
-    "q98_contamination",
-    "q99_stratified_sample",
-    "q100_pii_redact",
-    "q101_repeated_passages",
-    "q102_cc_star",
-    "q103_stratum_topk_sample",
-    "q104_length_histogram",
-    "q105_funnel_conversion",
-    "q106_variant_json",
-    "q107_retention_cohorts",
-    "q108_mixture_allocation",
-    "q109_rolling_wau",
-    "q110_unpivot",
-    # --- no driver row yet, but judge-verified locally in round 1 ---
-    "q50_mapreduce_wordcount",
-    "q51_tpch_q1",
-    "q52_tpch_q3",
-    "q53_tpch_q5",
-    "q54_tpch_q10",
-    "q55_approx_count_distinct",
-    "q56_approx_percentile",
-    "q57_date_arith",
-    "q58_string_funcs2",
-    "q59_window_range_frame",
-    "q60_min_max_by",
-    "q61_deterministic_split",
-    "q62_tfidf_top_terms",
-    "q63_event_transitions",
-    "q64_tpch_q7",
-    "q65_tpch_q16",
-    "q66_tpch_q2",
-    "q68_longest_streak",
-    "q69_regr_slope",
-    "q70_asof_join",
-    "q71_interval_join",
-    "q72_tpch_q6",
-    "q73_tpch_q4",
-    "q74_tpch_q14",
-    "q75_tpch_q18",
+    # --- never driver-checked (judge-local green in r02) ---
     "q76_tpch_q19",
     "q77_tpch_q11",
     "q78_tpch_q22",
@@ -127,6 +76,14 @@ _DRIVER_PRIORITY = (
     "q83_window_distribution",
     "q84_edit_distance_pairs",
     "q85_chunk_documents",
+    # --- red in r02, fixed this round ---
+    "q88_tpch_q12",
+    "q56_approx_percentile",
+    # --- round-3 additions (each new query is appended here on creation
+    #     so it gets a driver row in its debut round) ---
+    "q111_global_quantile_buckets",
+    "q112_bucketed_join",
+    "q113_tpch_q5_asia_keys",
 )
 
 

@@ -291,10 +291,14 @@ def q56_approx_percentile(spark, sf_dir):
     (accuracy 10000 ~= 0.01% rank error). Mergeable-sketch counterpart
     of q43's exact percentile — the 100 TB path (exact percentile
     requires a per-group sort; the sketch is one streaming pass).
-    tests/test_approx.py bounds its rank error against q43-style exact."""
+    tests/test_approx.py bounds its rank error against q43-style exact.
+    Scalar p50/p99 columns (not an array) so the driver's rows-only
+    canonicalizer can hash the frame."""
     li = load_table(spark, sf_dir, "lineitem")
+    pcts = F.percentile_approx("l_extendedprice", [0.5, 0.99], 10000)
     return li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", [0.5, 0.99], 10000).alias("pcts")
+        F.round(F.element_at(pcts, 1), 2).alias("p50"),
+        F.round(F.element_at(pcts, 2), 2).alias("p99"),
     )
 
 
