@@ -120,14 +120,36 @@ GROUP BY n_name
 def q53_tpch_q5(spark, sf_dir):
     """TPC-H Q5 (local supplier volume): 5-way join where the
     supplier join carries the co-location predicate (customer and
-    supplier in the same nation). nation/region broadcast always;
-    supplier broadcasts at bench scale by size."""
+    supplier in the same nation).
+
+    Scale shape (VERDICT r02 item 3): Catalyst pushes ``r_name='ASIA'``
+    into the region scan but cannot infer the implied
+    ``c_nationkey IN (ASIA nations)`` through two join hops, so a naive
+    plan shuffles all-region customer/orders/lineitem rows (5x the
+    needed data at 100 TB).  Here the ASIA nation-key set (nation x
+    filtered region, <=25 rows forever) broadcast-SEMI-joins customer
+    and supplier BEFORE the fact chain, so every fact shuffle carries
+    ASIA-only rows; nation broadcasts once more at the end for n_name.
+    tests/test_plan_quality.py pins the two LeftSemi builds."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
-    r = load_table(spark, sf_dir, "region")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia_keys = n.join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    ).select("n_nationkey")
+    c = c.join(
+        F.broadcast(asia_keys),
+        c.c_nationkey == asia_keys.n_nationkey,
+        "left_semi",
+    )
+    s = s.join(
+        F.broadcast(asia_keys),
+        s.s_nationkey == asia_keys.n_nationkey,
+        "left_semi",
+    )
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         c.join(o, c.c_custkey == o.o_custkey)
@@ -137,8 +159,6 @@ def q53_tpch_q5(spark, sf_dir):
             (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-        .filter(F.col("r_name") == "ASIA")
         .groupBy("n_name")
         .agg(F.round(F.sum(rev), 2).alias("revenue"))
     )

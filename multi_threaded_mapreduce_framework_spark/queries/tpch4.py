@@ -76,7 +76,13 @@ def q86_tpch_q8(spark, sf_dir):
     where every dim chain (nation x2, region, part, supplier) is a
     broadcast; the only shuffles are lineitem->orders->customer on
     their keys. Both component sums round to 2 dp before the division
-    so the share is computed from identical inputs on both engines."""
+    so the share is computed from identical inputs on both engines.
+
+    Scale shape (VERDICT r02 item 3, same family as q53): customer is
+    broadcast-semi-restricted to ASIA nation keys BEFORE any shuffle,
+    and orders joins that restricted customer first, so the widest
+    shuffle (lineitem) probes an orders side already cut to ASIA
+    customers in the date window."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
@@ -90,11 +96,19 @@ def q86_tpch_q8(spark, sf_dir):
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     s = load_table(spark, sf_dir, "supplier")
     p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    asia_keys = n1.join(
+        F.broadcast(r), n1.n_regionkey == r.r_regionkey
+    ).select("n_nationkey")
+    c = c.join(
+        F.broadcast(asia_keys),
+        c.c_nationkey == asia_keys.n_nationkey,
+        "left_semi",
+    )
+    # the semi-join above already enforces r_name='ASIA'; no further
+    # nation/region join is needed on the customer side
     vol = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n1), c.c_nationkey == n1.n_nationkey)
-        .join(F.broadcast(r), n1.n_regionkey == r.r_regionkey)
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n2), s.s_nationkey == F.col("n2_nationkey"))
         .join(F.broadcast(p), li.l_partkey == p.p_partkey)

@@ -47,9 +47,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         except Exception:
             pass
         df = spark.read.parquet(table_path(sf_dir, name))
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             # ns -> us truncation == DuckDB epoch_us(ts); session tz is UTC
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # parquet TIMESTAMP(MICROS, isAdjustedToUTC=false): wall-clock
+            # equals the UTC instant under the engine's UTC session tz, so
+            # the cast is exact and matches DuckDB's naive read
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(table_path(sf_dir, name))
 

@@ -244,3 +244,18 @@ def test_runtime_bloom_filter_on_selective_fact_join(spark, sf_dir):
     finally:
         for k, v in saved.items():
             conf.set(k, v)
+
+
+def test_q53_semi_restricts_facts_before_join(spark, sf_dir):
+    """q53's scale fix (VERDICT r02 item 3): customer AND supplier are
+    broadcast-semi-joined against the ASIA nation-key set before the
+    fact joins, so at 100 TB the c/o/li shuffles carry ASIA-only rows."""
+    df = QUERIES["q53_tpch_q5"].builder(spark, sf_dir)
+    plan = executed_plan(df)
+    assert plan.count("LeftSemi") >= 2, plan[:3000]
+
+
+def test_q86_semi_restricts_customer(spark, sf_dir):
+    df = QUERIES["q86_tpch_q8"].builder(spark, sf_dir)
+    plan = executed_plan(df)
+    assert plan.count("LeftSemi") >= 1, plan[:3000]
