@@ -223,8 +223,10 @@ GROUP BY bucket
 def q49_ntile(spark, sf_dir):
     """Quartile bucketing via ntile over a global order (deterministic
     tiebreak on the key). A total-order window is single-partition by
-    nature; at 100 TB the equivalent is approx_percentile cut points +
-    a map-side bucket assignment, not a global window."""
+    nature — kept as the exact-rank reference; q111_global_quantile_buckets
+    (queries/relational4.py) is the declared 100 TB form: domain-bounded
+    histogram -> cut points -> map-side bucket assignment, no global
+    sort."""
     o = load_table(spark, sf_dir, "orders")
     w = Window.orderBy("o_totalprice", "o_orderkey")
     return (

@@ -345,3 +345,81 @@ def q110_unpivot(spark, sf_dir):
         variableColumnName="measure",
         valueColumnName="value",
     )
+
+
+@register(
+    "q111_global_quantile_buckets",
+    tier="T1",
+    oracle="""
+WITH q AS (SELECT CAST(floor(o_totalprice) AS BIGINT) AS ip, o_totalprice
+           FROM orders),
+h AS (SELECT ip, count(*) AS c FROM q GROUP BY ip),
+t AS (SELECT sum(c) AS n FROM h),
+cum AS (SELECT ip, sum(c) OVER (ORDER BY ip) AS cum FROM h),
+cuts AS (SELECT
+    min(CASE WHEN cum >= (n*1 + 3) // 4 THEN ip END) AS c1,
+    min(CASE WHEN cum >= (n*2 + 3) // 4 THEN ip END) AS c2,
+    min(CASE WHEN cum >= (n*3 + 3) // 4 THEN ip END) AS c3
+  FROM cum, t)
+SELECT CAST(1 + CAST(ip > c1 AS INT) + CAST(ip > c2 AS INT)
+              + CAST(ip > c3 AS INT) AS BIGINT) AS bucket,
+       count(*) AS cnt,
+       round(min(o_totalprice), 2) AS min_price
+FROM q, cuts
+GROUP BY bucket
+""",
+)
+def q111_global_quantile_buckets(spark, sf_dir):
+    """q49's 100 TB form (VERDICT r02 item 4): global quartile bucketing
+    WITHOUT a global sort.  q49's ntile(4) is a single-partition window
+    over the whole table — the one plan that cannot scale.  Here:
+
+    1. quantize price to integer dollars (``ip``) — the distinct-value
+       DOMAIN is bounded by the price range, not the row count, so the
+       histogram stays ~600k rows at any data scale;
+    2. map-side partial-agg histogram ``(ip, count)`` — the only
+       data-sized pass, a shuffle of domain-bounded size;
+    3. cumulative ranks over the tiny histogram (a single-partition
+       window over a domain-bounded input is fine — this is the trick);
+    4. derive the three quartile cut points as one 1-row aggregate
+       (``min ip where cum >= ceil(k*n/4)``, integer arithmetic — no FP
+       boundary ambiguity vs the oracle);
+    5. broadcast the 1-row cuts and assign buckets map-side; re-agg.
+
+    Buckets split on integer-dollar boundaries (ties stay together), so
+    counts are near-equal rather than exactly n/4 — deterministic and
+    engine-independent, unlike sketch-based approx cut points."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.floor("o_totalprice").cast("long").alias("ip"), "o_totalprice"
+    )
+    hist = o.groupBy("ip").agg(F.count(F.lit(1)).alias("c"))
+    n_total = hist.agg(F.sum("c").alias("n"))
+    w = Window.orderBy("ip").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select("ip", F.sum("c").over(w).alias("cum"))
+    cuts = (
+        cum.join(F.broadcast(n_total))
+        .agg(
+            *[
+                F.min(
+                    F.when(
+                        F.col("cum") >= F.expr(f"(n*{k} + 3) div 4"), F.col("ip")
+                    )
+                ).alias(f"c{k}")
+                for k in (1, 2, 3)
+            ]
+        )
+    )
+    bucket = (
+        F.lit(1)
+        + (F.col("ip") > F.col("c1")).cast("int")
+        + (F.col("ip") > F.col("c2")).cast("int")
+        + (F.col("ip") > F.col("c3")).cast("int")
+    ).cast("bigint")
+    return (
+        o.join(F.broadcast(cuts))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        )
+    )
