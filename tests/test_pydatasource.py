@@ -164,3 +164,90 @@ def test_streaming_corpus_ingest_pipeline(spark, tmp_path):
     back = spark.read.format("jsonl").schema(DDL).option("path", d).load()
     batch = spark.read.format("docgen").option("rows", 120).load()
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_docgen_stream_batches_are_partition_planned(spark, tmp_path):
+    """The stream reader is the partition-based DataSourceStreamReader:
+    each micro-batch's offset range is split into streamPartitions
+    executor-side splits (visible as multiple sink shards per batch),
+    never materialized on the driver."""
+    d = str(tmp_path / "planned_out")
+    ckpt = str(tmp_path / "planned_ckpt")
+    stream = (
+        spark.readStream.format("docgen")
+        .option("rowsPerBatch", 64)
+        .option("maxRows", 192)
+        .option("streamPartitions", 4)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("jsonl")
+        .option("path", d)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    manifest = [
+        json.loads(line)
+        for line in open(os.path.join(d, "_STREAM_MANIFEST.jsonl"))
+        if line.strip()
+    ]
+    non_empty = [m for m in manifest if m["rows"] > 0]
+    assert non_empty, manifest
+    for m in non_empty:
+        assert len(m["files"]) == 4, m  # one shard per stream partition
+        # shard names derive from the micro-batch id -> replay overwrites
+        for f in m["files"]:
+            assert os.path.basename(f).startswith(f"stream-{m['batch']:08d}-"), f
+    back = spark.read.format("jsonl").schema(DDL).option("path", d).load()
+    batch = spark.read.format("docgen").option("rows", 192).load()
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_jsonl_reader_trusts_manifest_over_glob(spark, tmp_path):
+    """A stray uncommitted shard (failed attempt, manual copy) is
+    invisible to readers: the committed manifest scopes the file set."""
+    d = str(tmp_path / "scoped")
+    src = spark.read.format("docgen").option("rows", 50).option("partitions", 2).load()
+    src.write.format("jsonl").mode("overwrite").option("path", d).save()
+    with open(os.path.join(d, "stray-leftover.jsonl"), "w") as fh:
+        fh.write(json.dumps(dict(zip(DDL.split(", "), [999]))) + "\n")
+    back = spark.read.format("jsonl").schema(DDL).option("path", d).load()
+    assert back.count() == 50
+
+
+def test_jsonl_append_mode_merges(spark, tmp_path):
+    """mode('append') must add shards, not clobber same-named ones from
+    the previous write, and the manifest merges files + row counts."""
+    d = str(tmp_path / "app")
+    a = spark.read.format("docgen").option("rows", 40).option("partitions", 2).load()
+    a.write.format("jsonl").mode("overwrite").option("path", d).save()
+    b = (
+        spark.read.format("docgen")
+        .option("rows", 70)
+        .option("partitions", 2)
+        .load()
+        .filter("doc_id >= 40")
+    )
+    b.write.format("jsonl").mode("append").option("path", d).save()
+
+    manifest = json.load(open(os.path.join(d, "_MANIFEST.json")))
+    assert manifest["rows"] == 70
+    # first write: 2 shards; append: doc_id>=40 pushdown prunes docgen
+    # to a single partition -> 1 uuid-named shard, nothing clobbered
+    assert len(manifest["files"]) == 3
+    back = spark.read.format("jsonl").schema(DDL).option("path", d).load()
+    batch = spark.read.format("docgen").option("rows", 70).load()
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_jsonl_no_temp_files_after_commit(spark, tmp_path):
+    d = str(tmp_path / "clean")
+    src = spark.read.format("docgen").option("rows", 30).load()
+    src.write.format("jsonl").mode("overwrite").option("path", d).save()
+    leftovers = [f for f in os.listdir(d) if f.startswith(".")]
+    assert leftovers == [], leftovers
