@@ -129,7 +129,9 @@ def decode_images(df: DataFrame, fake: bool = True) -> DataFrame:
 
     Real path (``fake=False``): P6 PPM payloads are decoded directly
     (:func:`_decode_ppm` — real bytes, no codec needed); any other
-    format requires PIL on the executors. Stub path: header-packed dims
+    format requires PIL on the executors. ``mean_intensity`` is the
+    unweighted mean over raw RGB channel bytes under BOTH decode paths
+    (the schema contract — never a luma-weighted grayscale mean). Stub path: header-packed dims
     + byte-mean as 'intensity' — deterministic, so tests can assert
     exact values while exercising the identical mapInPandas batch shape
     the real kernel uses.
@@ -152,12 +154,19 @@ def decode_images(df: DataFrame, fake: bool = True) -> DataFrame:
                 else:
                     from io import BytesIO
 
+                    import numpy as np
+
                     pil_image = _require_codec("PIL.Image").Image
                     with pil_image.open(BytesIO(raw)) as im:
                         w, h = im.size
-                        gray = im.convert("L")
-                        data = list(gray.getdata())
-                        mean = round(sum(data) / len(data), 2)
+                        # schema contract: mean_intensity = mean over raw
+                        # RGB channel bytes — identical definition to the
+                        # PPM fast path (NOT luma-weighted grayscale), so
+                        # the same image encoded two ways scores the same
+                        mean = round(
+                            float(np.asarray(im.convert("RGB"), dtype=np.uint8).mean()),
+                            2,
+                        )
                 out["media_id"].append(mid)
                 out["width"].append(w)
                 out["height"].append(h)

@@ -101,6 +101,14 @@ def q94_dedup_clusters(spark, sf_dir, max_iters: int = 15):
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # a graph whose diameter exceeds max_iters would otherwise
+        # silently return unconverged (wrong) cluster ids
+        raise RuntimeError(
+            f"q94 label propagation did not converge in {max_iters} rounds "
+            f"({changed} labels still changing); raise max_iters or use "
+            "q102_cc_star (O(log diameter))"
+        )
     return labels
 
 
@@ -181,6 +189,12 @@ def q102_cc_star(spark, sf_dir, max_iters: int = 10):
         edges = small
         if not changed:
             break
+    else:
+        raise RuntimeError(
+            f"q102 star contraction did not converge in {max_iters} rounds; "
+            "raise max_iters (rounds needed grow with log of the largest "
+            "component's diameter)"
+        )
     star = edges.select(F.col("c").alias("doc_id"), F.col("p").alias("cluster_id"))
     return docs.join(star, "doc_id", "left").select(
         "doc_id",
