@@ -41,6 +41,7 @@ _QUERY_MODULES = (
     "multi_threaded_mapreduce_framework_spark.queries.tpch4",
     "multi_threaded_mapreduce_framework_spark.queries.t2_cluster",
     "multi_threaded_mapreduce_framework_spark.queries.t2_mining",
+    "multi_threaded_mapreduce_framework_spark.queries.layout",
 )
 
 

@@ -51,13 +51,19 @@ def write_bucketed_table(
     n_buckets: int,
     sort_cols: list[str] | None = None,
     mode: str = "overwrite",
+    location: str | None = None,
 ) -> None:
-    """Persist as a bucketed (and optionally sorted) managed table —
-    co-locates join/agg keys so later queries on ``bucket_cols`` read
-    pre-shuffled data (no exchange)."""
+    """Persist as a bucketed (and optionally sorted) table — co-locates
+    join/agg keys so later queries on ``bucket_cols`` read pre-shuffled
+    data (no exchange). ``location`` makes it an external table (data at
+    an explicit path instead of the session warehouse — lets a query
+    declare a bucketed layout without caring what warehouse dir the
+    calling session was created with)."""
     writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
+    if location is not None:
+        writer = writer.option("path", location)
     writer.saveAsTable(table_name)
 
 

@@ -259,3 +259,20 @@ def test_q86_semi_restricts_customer(spark, sf_dir):
     df = QUERIES["q86_tpch_q8"].builder(spark, sf_dir)
     plan = executed_plan(df)
     assert plan.count("LeftSemi") >= 1, plan[:3000]
+
+
+def test_q112_bucketed_join_no_exchange(spark, sf_dir):
+    """The declared bucketed-join query must join WITHOUT any exchange
+    or sort between the scans and the join: the bucketed+sorted layout
+    already co-locates and orders the keys. Broadcast is disabled so
+    the layout — not a broadcast — is what avoids the shuffle."""
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = QUERIES["q112_bucketed_join"].builder(spark, sf_dir)
+        plan = executed_plan(df)
+        assert "SortMergeJoin" in plan, plan[:2000]
+        # exactly one exchange: the final groupBy — never the join sides
+        assert num_exchanges(df) == 1, plan[:2000]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
