@@ -81,12 +81,26 @@ def running_user_totals_tws(stream: DataFrame) -> DataFrame:
     protobuf nor pip access, so the convergence test skips itself
     in-container; the operator is the real production shape.
     """
+    return stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningTotalsProcessor(),
+        outputStructType="user_id bigint, cnt bigint, sum_value double",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+def _make_running_totals_processor():
+    """Build the state-v2 processor class. Module-level so the update
+    logic is unit-testable against a fake handle in-container (where the
+    protobuf transport needed to RUN a TWS query is unavailable) — the
+    class itself only needs ``pyspark.sql.streaming.stateful_processor``,
+    which imports fine without protobuf."""
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,
     )
 
-    class RunningTotals(StatefulProcessor):
+    class RunningTotalsProcessor(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
             self._totals = handle.getValueState(
                 "totals", "cnt bigint, sum_value double"
@@ -109,9 +123,7 @@ def running_user_totals_tws(stream: DataFrame) -> DataFrame:
         def close(self) -> None:
             pass
 
-    return stream.groupBy("user_id").transformWithStateInPandas(
-        statefulProcessor=RunningTotals(),
-        outputStructType="user_id bigint, cnt bigint, sum_value double",
-        outputMode="Update",
-        timeMode="None",
-    )
+    return RunningTotalsProcessor
+
+
+RunningTotalsProcessor = _make_running_totals_processor()

@@ -215,3 +215,73 @@ def test_dedup_within_watermark_drops_redelivered_events(spark, replay_dir):
         assert got == distinct
     finally:
         q.stop()
+
+
+class _FakeValueState:
+    """In-memory stand-in for a state-v2 ValueState (implicitly scoped
+    to one key, like the real store scopes by grouping key)."""
+
+    def __init__(self):
+        self._v = None
+
+    def exists(self):
+        return self._v is not None
+
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+
+class _FakeHandle:
+    def __init__(self):
+        self.states = {}
+
+    def getValueState(self, name, schema):
+        return self.states.setdefault(name, _FakeValueState())
+
+
+def test_tws_processor_logic_runs_in_container():
+    """Executed (non-skipped) coverage for the state-v2 operator where
+    the protobuf transport is unavailable: the processor's update logic
+    runs against a fake handle with real pandas batches — accumulation
+    across micro-batches, fresh state per key, output row shape."""
+    import pandas as pd
+
+    from multi_threaded_mapreduce_framework_spark.streaming.stateful import (
+        RunningTotalsProcessor,
+    )
+
+    p = RunningTotalsProcessor()
+    p.init(_FakeHandle())
+    (out1,) = p.handleInputRows(
+        (7,), iter([pd.DataFrame({"value": [1.0, 2.0]}),
+                    pd.DataFrame({"value": [3.0]})]), None
+    )
+    assert out1.iloc[0].tolist() == [7, 3, 6.0]
+    # second micro-batch for the same key accumulates
+    (out2,) = p.handleInputRows((7,), iter([pd.DataFrame({"value": [4.0]})]), None)
+    assert out2.iloc[0].tolist() == [7, 4, 10.0]
+    # a different key starts from empty state
+    p2 = RunningTotalsProcessor()
+    p2.init(_FakeHandle())
+    (out3,) = p2.handleInputRows((9,), iter([pd.DataFrame({"value": [5.0]})]), None)
+    assert out3.iloc[0].tolist() == [9, 1, 5.0]
+    p.close()
+    p2.close()
+
+
+def test_tws_dataframe_builds_without_protobuf(spark, replay_dir):
+    """Constructing + analyzing the transformWithStateInPandas plan
+    needs no protobuf (only query EXECUTION does) — pin the declared
+    output schema and streaming-ness in-container."""
+    from multi_threaded_mapreduce_framework_spark.streaming.stateful import (
+        running_user_totals_tws,
+    )
+
+    agg = running_user_totals_tws(events_stream(spark, replay_dir))
+    assert agg.isStreaming
+    assert [(f.name, f.dataType.simpleString()) for f in agg.schema.fields] == [
+        ("user_id", "bigint"), ("cnt", "bigint"), ("sum_value", "double")
+    ]
