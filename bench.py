@@ -69,6 +69,18 @@ def main() -> None:
     qs = all_queries()
     if args.names:
         qs = {k: v for k, v in qs.items() if k in args.names}
+    else:
+        # Suite-level JVM warm-up (VERDICT r02 item 8): the per-query
+        # warm-up run absorbs plan/codegen warm-up for THAT query, but a
+        # cold JVM also taxes whichever heavy queries happen to run
+        # first (JIT tiers, shuffle infra, codec init — r2's q53=7.23s
+        # artifact). Run a few shuffle/join/UDF-heavy plans untimed
+        # before any timing starts.
+        for wname in ("q53_tpch_q5", "q87_tpch_q9", "q35_minhash_lsh"):
+            try:
+                all_queries()[wname].builder(spark, args.sf_dir).count()
+            except Exception:  # noqa: BLE001
+                pass
 
     per_query: dict[str, float] = {}
     t_suite0 = time.time()
@@ -80,12 +92,20 @@ def main() -> None:
             per_query[name] = -1.0
     suite_wall = round(time.time() - t_suite0, 3)
 
+    timings = [v for v in per_query.values() if v >= 0]
     payload = {
         "metric": "suite_wall_s",
         "value": suite_wall,
         "unit": "sec",
         "queries": per_query,
         "sf": sf_of(args.sf_dir),
+        # cold-start health check: worst/median should stay well under
+        # ~15 absent a real regression (BASELINE.md protocol note)
+        "worst_over_median": round(
+            max(timings) / max(statistics.median(timings), 1e-9), 1
+        )
+        if timings
+        else -1.0,
     }
     # Full-precision record on disk for BASELINE.md round-over-round
     # diffs (full-suite runs only — a name-filtered run must not clobber
