@@ -68,3 +68,90 @@ def q112_bucketed_join(spark, sf_dir):
             F.round(F.sum("o_totalprice"), 2).alias("total_price"),
         )
     )
+
+
+@register(
+    "q114_salted_agg",
+    tier="T1",
+    oracle="""
+SELECT event_type,
+       count(*) AS cnt,
+       round(sum(value), 2) AS sum_value,
+       round(max(value), 2) AS max_value
+FROM events
+GROUP BY event_type
+""",
+)
+def q114_salted_agg(spark, sf_dir):
+    """Hot-key aggregation through the SALTED two-phase operator
+    (``operators/skew.py::salted_agg``), declared so the skew path is
+    oracle-checked, not just unit-tested. ``event_type`` has a handful
+    of distinct values over the whole table — the exact shape where a
+    naive groupBy lands each key on ONE reducer at 100 TB. The salt
+    (partition-id ⊕ row-hash, mod 16) spreads each key over 16 sub-keys
+    for the partial phase; the final phase re-aggregates 16 rows per
+    key. Algebraic aggregates only, so the two-phase result is exact —
+    identical to the oracle's single-phase GROUP BY."""
+    from multi_threaded_mapreduce_framework_spark.operators.skew import salted_agg
+
+    events = load_table(spark, sf_dir, "events").select("event_type", "value")
+    out = salted_agg(
+        events,
+        keys=["event_type"],
+        aggs={
+            "cnt": "count(*)",
+            "sum_value": "sum(value)",
+            "max_value": "max(value)",
+        },
+        n_salts=16,
+    )
+    return out.select(
+        "event_type",
+        "cnt",
+        F.round("sum_value", 2).alias("sum_value"),
+        F.round("max_value", 2).alias("max_value"),
+    )
+
+
+@register(
+    "q115_partition_pruned_scan",
+    tier="T1",
+    oracle="""
+SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+       count(*) AS cnt,
+       round(sum(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE year(l_shipdate) = 1997 AND l_discount BETWEEN 0.02 AND 0.09
+GROUP BY 1
+""",
+)
+def q115_partition_pruned_scan(spark, sf_dir):
+    """Hive-partitioned layout + partition-pruned scan as a DECLARED
+    query (the write-side complement of q112's bucketing): lineitem is
+    persisted partitioned by ship year, then a Q6-style revenue filter
+    for one year reads exactly one partition directory — at 100 TB the
+    difference between scanning ~1/7 of the table and all of it.
+    ``tests/test_plan_quality.py::test_q115_scan_is_partition_pruned``
+    pins the PartitionFilters in the scan node. Values are
+    layout-independent, so the oracle runs on the raw parquet."""
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    base = os.path.join(tempfile.gettempdir(), "mtmrf_layout", tag, "lineitem_by_year")
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "ship_year", F.year("l_shipdate").cast("bigint")
+    )
+    li.write.mode("overwrite").partitionBy("ship_year").parquet(base)
+    part = spark.read.parquet(base)
+    return (
+        part.filter(
+            (F.col("ship_year") == 1997)
+            & (F.col("l_discount") >= 0.02)
+            & (F.col("l_discount") <= 0.09)
+        )
+        .groupBy("ship_year")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+        )
+    )

@@ -84,7 +84,9 @@ _DRIVER_PRIORITY = (
     #     so it gets a driver row in its debut round) ---
     "q111_global_quantile_buckets",
     "q112_bucketed_join",
-    "q113_tpch_q5_asia_keys",
+    "q113_ivf_probe_search",
+    "q114_salted_agg",
+    "q115_partition_pruned_scan",
 )
 
 

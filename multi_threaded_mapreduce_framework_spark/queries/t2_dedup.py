@@ -374,6 +374,75 @@ def q39_ivf_assign(spark, sf_dir):
     )
 
 
+IVF_NPROBE = 2
+
+
+@register(
+    "q113_ivf_probe_search",
+    tier="T2",
+    oracle=f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < {IVF_CENTROIDS}),
+p AS (SELECT v AS pv FROM e WHERE vec_id = 0),
+cells AS (
+  SELECT centroid_id FROM c, p
+  ORDER BY list_cosine_similarity(cv, pv) DESC, centroid_id
+  LIMIT {IVF_NPROBE}),
+asg AS (
+  SELECT vec_id, v, centroid_id FROM (
+    SELECT e.vec_id, e.v, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.v, c.cv) DESC,
+                      c.centroid_id) AS rn
+    FROM e CROSS JOIN c) WHERE rn = 1)
+SELECT vec_id, round(list_cosine_similarity(v, (SELECT pv FROM p)), 4) AS cos_sim
+FROM asg
+WHERE centroid_id IN (SELECT centroid_id FROM cells) AND vec_id <> 0
+ORDER BY list_cosine_similarity(v, (SELECT pv FROM p)) DESC, vec_id
+LIMIT 10
+""",
+)
+def q113_ivf_probe_search(spark, sf_dir):
+    """IVF SEARCH (the probe-side complement of q39's build): rank
+    centroids against the probe vector, keep the ``nprobe`` = 2 nearest
+    cells, exact cosine top-10 over only those cells' members.
+
+    Scale shape: the centroid table is tiny forever (broadcast); the
+    probed-cells set is ``nprobe`` rows (broadcast left-semi filter);
+    candidate scoring touches ~nprobe/K of the corpus — with the corpus
+    physically partitioned by q39's ``centroid_id`` (the layout the
+    tests validate) the semi filter is partition pruning, and the final
+    top-10 is Spark's distributed TakeOrdered (per-partition heads, no
+    global sort). Recall/cost trades via nprobe exactly as in FAISS-IVF;
+    the oracle replays the identical deterministic pipeline."""
+    asg = ivf_assignments(spark, sf_dir)  # vec_id, v, centroid_id, sim
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    probe = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("pv"))
+    cents = emb.filter(F.col("vec_id") < IVF_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
+    )
+    w = Window.orderBy(
+        F.desc(cosine_similarity("cv", "pv")), F.asc("centroid_id")
+    )
+    cells = (
+        cents.crossJoin(F.broadcast(probe))
+        .withColumn("rn", F.row_number().over(w))  # 8-row window: fine
+        .filter(F.col("rn") <= IVF_NPROBE)
+        .select("centroid_id")
+    )
+    return (
+        asg.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(cells), "centroid_id", "left_semi")
+        .crossJoin(F.broadcast(probe))
+        .select("vec_id", cosine_similarity("v", "pv").alias("sim"))
+        .orderBy(F.desc("sim"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id", F.round("sim", 4).alias("cos_sim"))
+    )
+
+
 HAM_BANDS = 2
 HAM_BAND_BITS = 8
 HAM_MAX_DIST = 1  # pigeonhole: <=1 differing bit always shares one 8-bit band

@@ -276,3 +276,16 @@ def test_q112_bucketed_join_no_exchange(spark, sf_dir):
         assert num_exchanges(df) == 1, plan[:2000]
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+
+def test_q115_scan_is_partition_pruned(spark, sf_dir):
+    """The declared partitioned-layout query must read ONE ship_year
+    partition: the year filter appears as a PartitionFilter on the
+    scan, not a post-scan Filter over all partitions."""
+    df = QUERIES["q115_partition_pruned_scan"].builder(spark, sf_dir)
+    plan = executed_plan(df)
+    assert "PartitionFilters" in plan, plan[:2000]
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "ship_year" in m.group(1), m.group(0) if m else plan[:2000]
