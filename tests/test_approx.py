@@ -35,7 +35,7 @@ def test_approx_count_distinct_within_5pct(spark, sf_dir):
 
 def test_approx_percentile_rank_error(spark, sf_dir):
     approx = {
-        r.l_returnflag: r.pcts
+        r.l_returnflag: (r.p50, r.p99)
         for r in QUERIES["q56_approx_percentile"].builder(spark, sf_dir).collect()
     }
     li = load_table(spark, sf_dir, "lineitem")
