@@ -87,6 +87,8 @@ _DRIVER_PRIORITY = (
     "q113_ivf_probe_search",
     "q114_salted_agg",
     "q115_partition_pruned_scan",
+    "q116_lm_doc_score",
+    "q117_incremental_dedup",
 )
 
 

@@ -554,3 +554,89 @@ def ivf_assignments(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+@register(
+    "q117_incremental_dedup",
+    tier="T2",
+    oracle=f"""
+WITH sh AS ({_DUCK_SHINGLES}),
+shf AS (SELECT * FROM sh WHERE len(hs) > 0),
+sig AS (
+  SELECT doc_id, hs, list_transform(generate_series(0, {MINHASH_K - 1}),
+    i -> list_min(list_transform(hs, h -> ((17+13*i)*h + (91+7*i)) % {P}))) AS sig
+  FROM shf),
+bands AS (
+  SELECT doc_id, t.b AS band,
+         list_reduce(sig[t.b*{LSH_ROWS}+1 : t.b*{LSH_ROWS}+{LSH_ROWS}],
+                     (a,x) -> (a*{BAND_MIX}+x) % {P}) AS key
+  FROM sig CROSS JOIN unnest(generate_series(0, {LSH_BANDS - 1})) AS t(b)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d_new, b.doc_id AS d_old
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0),
+pairs AS (
+  SELECT d_new, d_old,
+         CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)
+           / (len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs))) AS jac
+  FROM cand JOIN shf x ON x.doc_id = d_new JOIN shf y ON y.doc_id = d_old),
+f AS (SELECT * FROM pairs WHERE jac >= {JACCARD_THRESHOLD})
+SELECT d_new AS doc_id, min(d_old) AS dup_of,
+       count(DISTINCT d_old) AS n_matches,
+       round(arg_min(jac, d_old), 2) AS jaccard
+FROM f GROUP BY d_new
+""",
+)
+def q117_incremental_dedup(spark, sf_dir):
+    """INCREMENTAL near-dedup — the production ingest shape: an
+    incoming batch (doc_id % 5 == 0, a deterministic 20% stand-in) is
+    probed against the EXISTING corpus (% 5 != 0); each incoming doc
+    reports its lowest-id existing near-duplicate, the number of
+    existing matches, and the verified Jaccard with that match.
+
+    Why this differs from q35 at 100 TB: the corpus side's band keys
+    are computed once and persist with the corpus (write-partitioned by
+    (band, key) under the q38/q39 layout story), so a daily ingest
+    shuffles only the INCOMING batch's bands — corpus-size-independent
+    work per batch. The join stays (band, key)-bucketed; candidates are
+    verified with exact Jaccard exactly as q35.
+    """
+    docs = spread_small_scan(load_table(spark, sf_dir, "documents"))
+    sh = (
+        docs.filter(F.size(F.split("text", " ")) >= 3)
+        .select("doc_id", word_shingle_hashes("text").alias("hs"))
+    )
+    sig = sh.select(
+        "doc_id", "hs", minhash_signature_np(F.col("hs"), MINHASH_K).alias("sig")
+    )
+    bands = sig.select(
+        "doc_id",
+        "hs",
+        F.explode(lsh_band_keys(F.col("sig"), LSH_BANDS, LSH_ROWS)).alias("bk"),
+    ).select(
+        "doc_id", "hs", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    new = bands.filter(F.col("doc_id") % 5 == 0).alias("a")
+    old = bands.filter(F.col("doc_id") % 5 != 0).alias("b")
+    inter = F.size(F.array_intersect(F.col("a.hs"), F.col("b.hs")))
+    union = F.size(F.col("a.hs")) + F.size(F.col("b.hs")) - inter
+    jac = inter.cast("double") / union
+    pairs = (
+        new.join(
+            old,
+            (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key")),
+        )
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select(
+            F.col("a.doc_id").alias("d_new"),
+            F.col("b.doc_id").alias("d_old"),
+            jac.alias("jac"),
+        )
+        .distinct()  # multi-band collisions collapse here
+    )
+    best = F.min(F.struct("d_old", "jac"))  # struct order: lowest d_old first
+    return pairs.groupBy(F.col("d_new").alias("doc_id")).agg(
+        best.getField("d_old").alias("dup_of"),
+        F.countDistinct("d_old").alias("n_matches"),
+        F.round(best.getField("jac"), 2).alias("jaccard"),
+    )

@@ -569,3 +569,71 @@ def q108_mixture_allocation(spark, sf_dir):
             ).cast("bigint").alias("share_milli"),
         )
     )
+
+
+@register(
+    "q116_lm_doc_score",
+    tier="T2",
+    oracle="""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents),
+tri AS (
+  SELECT doc_id, w AS w1,
+         lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2,
+         lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w3
+  FROM words),
+t AS (SELECT doc_id, w1 || ' ' || w2 AS ctx, w3 AS nxt
+      FROM tri WHERE w3 IS NOT NULL),
+cnts AS (SELECT ctx, nxt, count(*) AS cnt FROM t GROUP BY ctx, nxt),
+ctxs AS (SELECT ctx, sum(cnt) AS ctx_cnt FROM cnts GROUP BY ctx),
+scored AS (
+  SELECT t.doc_id, avg(cnt * 1.0 / ctx_cnt) AS s
+  FROM t JOIN cnts USING (ctx, nxt) JOIN ctxs USING (ctx)
+  GROUP BY t.doc_id)
+SELECT doc_id, round(s, 6) AS lm_score
+FROM scored
+ORDER BY round(s, 6) DESC, doc_id
+LIMIT 20
+""",
+)
+def q116_lm_doc_score(spark, sf_dir):
+    """Quality scoring against a corpus-trained n-gram LM: every doc's
+    average trigram probability under the corpus's own MLE trigram
+    model (count(ctx,nxt)/count(ctx)), top-20 most-predictable docs —
+    the model-based filter a curation pipeline runs next to q31's
+    heuristic score (high = repetitive/templated, low = unusual).
+
+    Scale shape: the trigram COUNT table is vocab-bounded (Zipf), built
+    with one partial-agg shuffle (q97); the per-doc pass joins doc
+    trigrams to it on (ctx, nxt) — at 100 TB that model table is
+    broadcast-or-bucket material, and the per-doc average is one
+    partial-agg shuffle on doc_id. Score is rounded to 6 dp BEFORE the
+    top-k ordering on both engines so FP summation-order noise (~1e-15)
+    cannot flip ranks; ties break on doc_id.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tri = F.expr(
+        "transform(slice(ws, 1, greatest(size(ws) - 2, 0)),"
+        " (w, i) -> struct(concat(w, ' ', ws[i + 1]) AS ctx, ws[i + 2] AS nxt))"
+    )
+    t = (
+        docs.select("doc_id", F.split("text", " ").alias("ws"))
+        .select("doc_id", F.explode(tri).alias("g"))
+        .select("doc_id", F.col("g.ctx").alias("ctx"), F.col("g.nxt").alias("nxt"))
+    )
+    cnts = t.groupBy("ctx", "nxt").agg(F.count(F.lit(1)).alias("cnt"))
+    ctxs = cnts.groupBy("ctx").agg(F.sum("cnt").alias("ctx_cnt"))
+    model = cnts.join(ctxs, "ctx")  # vocab-bounded: broadcast at scale
+    return (
+        t.join(model, ["ctx", "nxt"])
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.avg(F.col("cnt").cast("double") / F.col("ctx_cnt")), 6
+            ).alias("lm_score")
+        )
+        .orderBy(F.desc("lm_score"), F.asc("doc_id"))
+        .limit(20)
+    )
