@@ -75,6 +75,7 @@ def q94_dedup_clusters(spark, sf_dir, max_iters: int = 15):
     )
 
     labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id")).localCheckpoint()
+    changed = -1  # "never ran" marker for the max_iters=0 edge
     for _ in range(max_iters):
         prop = (
             edges.join(labels, edges.a == labels.doc_id)

@@ -49,3 +49,18 @@ def test_parity_wordcount_mapreduce_vs_dataframe(spark, sf_dir):
     assert {(r.word, r.cnt) for r in mr.collect()} == {
         (r.word, r.cnt) for r in native.collect()
     }
+
+
+def test_q94_raises_on_exhausted_iterations(spark, sf_dir):
+    """The label-propagation loop must never silently return
+    unconverged cluster ids: with max_iters=1 (any graph with >= 1 edge
+    needs >= 2 rounds — one to propagate, one to observe zero changes)
+    the builder raises instead of returning wrong labels."""
+    import pytest as _pytest
+
+    from multi_threaded_mapreduce_framework_spark.queries.t2_cluster import (
+        q94_dedup_clusters,
+    )
+
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        q94_dedup_clusters(spark, sf_dir, max_iters=1).collect()
