@@ -89,6 +89,7 @@ _DRIVER_PRIORITY = (
     "q115_partition_pruned_scan",
     "q116_lm_doc_score",
     "q117_incremental_dedup",
+    "q118_pagerank",
 )
 
 

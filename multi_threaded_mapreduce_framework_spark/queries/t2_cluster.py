@@ -267,3 +267,82 @@ def q95_corpus_select(spark, sf_dir):
             F.floor(F.col("q") * 100).cast("bigint").alias("quality_centi"),
         )
     )
+
+
+PAGERANK_ITERS = 3
+
+
+def _pagerank_oracle(iters: int) -> str:
+    """Unrolled fixed-iteration PageRank as chained CTEs (DuckDB)."""
+    sql = [
+        f"WITH RECURSIVE pairs AS (SELECT d1, d2 FROM ({_PAIR_SQL})),",
+        "edges AS (SELECT d1 AS a, d2 AS b FROM pairs"
+        " UNION ALL SELECT d2, d1 FROM pairs),",
+        "deg AS (SELECT a, count(*) AS d FROM edges GROUP BY a),",
+        "nodes AS (SELECT DISTINCT a AS node FROM edges),",
+        "r0 AS (SELECT node, 1.0 AS r FROM nodes),",
+    ]
+    for i in range(1, iters + 1):
+        sql.append(
+            f"c{i} AS (SELECT e.b AS node, sum(r{i-1}.r / deg.d) AS c"
+            f" FROM edges e JOIN deg ON deg.a = e.a"
+            f" JOIN r{i-1} ON r{i-1}.node = e.a GROUP BY e.b),"
+        )
+        sql.append(
+            f"r{i} AS (SELECT n.node, 0.15 + 0.85 * coalesce(c{i}.c, 0) AS r"
+            f" FROM nodes n LEFT JOIN c{i} ON c{i}.node = n.node),"
+        )
+    sql[-1] = sql[-1].rstrip(",")
+    sql.append(
+        f"SELECT node AS doc_id, round(r, 6) AS pr FROM r{iters}"
+        f" ORDER BY round(r, 6) DESC, node LIMIT 20"
+    )
+    return "\n".join(sql)
+
+
+@register(
+    "q118_pagerank",
+    tier="T2",
+    oracle=_pagerank_oracle(PAGERANK_ITERS),
+)
+def q118_pagerank(spark, sf_dir, iters: int = PAGERANK_ITERS):
+    """Fixed-iteration (3) damped PageRank over the q35 near-dup graph:
+    which documents sit at the CENTER of duplication neighborhoods —
+    the canonical-exemplar signal a dedup pipeline uses to pick which
+    copy to keep. Top-20 by rank, rounded to 6 dp BEFORE ordering so
+    neighbor-sum FP noise (~1e-15) cannot flip ranks across engines.
+
+    Iterative-numeric pattern on the q94/q102 loop skeleton: each round
+    is one (edges x ranks) join + grouped sum — a fixed number of
+    data-parallel rounds, ``localCheckpoint`` truncating lineage. Degree
+    is precomputed once and carried ON the edge row, so a round never
+    re-joins the degree table. The oracle unrolls the same three
+    iterations as chained CTEs.
+    """
+    pairs = q35_minhash_lsh(spark, sf_dir).select("d1", "d2")
+    edges = pairs.union(
+        pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
+    ).select(F.col("d1").alias("a"), F.col("d2").alias("b"))
+    deg = edges.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+    edges_d = edges.join(deg, "a").localCheckpoint()
+    nodes = edges_d.select(F.col("a").alias("node")).distinct()
+    ranks = nodes.select("node", F.lit(1.0).alias("r"))
+    for _ in range(iters):
+        contrib = (
+            edges_d.join(ranks, edges_d.a == ranks.node)
+            .groupBy("b")
+            .agg(F.sum(F.col("r") / F.col("d")).alias("c"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.node == contrib.b, "left")
+            .select(
+                "node",
+                (F.lit(0.15) + F.lit(0.85) * F.coalesce("c", F.lit(0.0))).alias("r"),
+            )
+            .localCheckpoint()
+        )
+    return (
+        ranks.select(F.col("node").alias("doc_id"), F.round("r", 6).alias("pr"))
+        .orderBy(F.desc("pr"), F.asc("doc_id"))
+        .limit(20)
+    )
