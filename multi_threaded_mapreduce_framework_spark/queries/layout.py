@@ -155,3 +155,71 @@ def q115_partition_pruned_scan(spark, sf_dir):
             ),
         )
     )
+
+
+@register(
+    "q119_data_quality_audit",
+    tier="T1",
+    oracle="""
+SELECT 'lineitem' AS tbl, check_name, CAST(violations AS BIGINT) AS violations
+FROM (
+  SELECT 'null_orderkey' AS check_name,
+         count(*) FILTER (WHERE l_orderkey IS NULL) AS violations FROM lineitem
+  UNION ALL SELECT 'nonpositive_quantity',
+         count(*) FILTER (WHERE l_quantity <= 0) FROM lineitem
+  UNION ALL SELECT 'negative_price',
+         count(*) FILTER (WHERE l_extendedprice < 0) FROM lineitem
+  UNION ALL SELECT 'discount_out_of_range',
+         count(*) FILTER (WHERE l_discount < 0 OR l_discount > 1) FROM lineitem
+  UNION ALL SELECT 'ship_before_order',
+         count(*) FILTER (WHERE l_shipdate < o_orderdate)
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  UNION ALL SELECT 'orphan_orderkey',
+         count(*) FILTER (WHERE o_orderkey IS NULL)
+         FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+)
+""",
+)
+def q119_data_quality_audit(spark, sf_dir):
+    """Declarative data-quality audit — the validation gate an ingest
+    pipeline runs before publishing a partition: per-check violation
+    counts over lineitem (null keys, non-positive quantities, negative
+    prices, out-of-range discounts, ship-before-order inversions,
+    orphaned foreign keys). Each single-table check is one conditional
+    count inside ONE shared scan+aggregate (no per-check passes); the
+    referential checks share one orderkey join. Everything is
+    map-side-combinable counting — at 100 TB the audit costs one scan
+    plus one fact-fact join, not six jobs.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+
+    def cnt(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
+
+    single = li.agg(
+        cnt(F.col("l_orderkey").isNull()).alias("null_orderkey"),
+        cnt(F.col("l_quantity") <= 0).alias("nonpositive_quantity"),
+        cnt(F.col("l_extendedprice") < 0).alias("negative_price"),
+        cnt((F.col("l_discount") < 0) | (F.col("l_discount") > 1)).alias(
+            "discount_out_of_range"
+        ),
+    )
+    joined = li.join(o, li.l_orderkey == o.o_orderkey, "left").agg(
+        cnt(F.col("l_shipdate") < F.col("o_orderdate")).alias("ship_before_order"),
+        cnt(F.col("o_orderkey").isNull()).alias("orphan_orderkey"),
+    )
+    wide = single.crossJoin(joined)  # two 1-row aggregates
+    return wide.unpivot(
+        ids=[],
+        values=[
+            "null_orderkey",
+            "nonpositive_quantity",
+            "negative_price",
+            "discount_out_of_range",
+            "ship_before_order",
+            "orphan_orderkey",
+        ],
+        variableColumnName="check_name",
+        valueColumnName="violations",
+    ).select(F.lit("lineitem").alias("tbl"), "check_name", "violations")

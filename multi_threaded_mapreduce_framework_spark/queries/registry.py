@@ -90,6 +90,7 @@ _DRIVER_PRIORITY = (
     "q116_lm_doc_score",
     "q117_incremental_dedup",
     "q118_pagerank",
+    "q119_data_quality_audit",
 )
 
 
