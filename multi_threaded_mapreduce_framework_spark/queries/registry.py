@@ -91,6 +91,7 @@ _DRIVER_PRIORITY = (
     "q117_incremental_dedup",
     "q118_pagerank",
     "q119_data_quality_audit",
+    "q120_ann_partition_pruned",
 )
 
 

@@ -640,3 +640,56 @@ def q117_incremental_dedup(spark, sf_dir):
         F.countDistinct("d_old").alias("n_matches"),
         F.round(best.getField("jac"), 2).alias("jaccard"),
     )
+
+
+@register(
+    "q120_ann_partition_pruned",
+    tier="T2",
+    oracle=f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+bkt AS (SELECT vec_id, v, {_bucket_sql_duck()} AS bucket FROM e),
+probe AS (SELECT v AS pv, bucket AS pb FROM bkt WHERE vec_id = 0)
+SELECT vec_id, round(list_cosine_similarity(v, (SELECT pv FROM probe)), 4) AS cos_sim
+FROM bkt WHERE bucket = (SELECT pb FROM probe) AND vec_id <> 0
+ORDER BY list_cosine_similarity(v, (SELECT pv FROM probe)) DESC, vec_id
+LIMIT 10
+""",
+)
+def q120_ann_partition_pruned(spark, sf_dir):
+    """q38's promise made PHYSICAL: the corpus is written
+    ``partitionBy(bucket)`` (the LSH bucket id), and the probe becomes a
+    DYNAMICALLY partition-pruned scan — the probe's bucket is known only
+    at runtime, so Catalyst injects a DynamicPruningExpression from the
+    broadcast probe side into the scan's PartitionFilters and reads ONE
+    bucket directory of ~1/16 of the corpus. Same answer as q38 (same
+    oracle); what changes is that the candidate filter moved from a
+    post-scan predicate to the file listing itself — at 100 TB the
+    difference between scanning 100 TB and ~6 TB per probe.
+    ``tests/test_plan_quality.py::test_q120_dynamic_partition_pruning``
+    pins the dynamic pruning node."""
+    import os
+    import tempfile
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    base = os.path.join(
+        tempfile.gettempdir(), "mtmrf_layout", tag, "embeddings_by_bucket"
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    emb.select("vec_id", "v", _bucket_col().alias("bucket")).write.mode(
+        "overwrite"
+    ).partitionBy("bucket").parquet(base)
+    part = spark.read.parquet(base)
+    probe = part.filter(F.col("vec_id") == 0).select(
+        F.col("v").alias("pv"), F.col("bucket").alias("pb")
+    )
+    sim = cosine_similarity("v", "pv")
+    return (
+        part.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(probe), F.col("bucket") == F.col("pb"))
+        .select("vec_id", sim.alias("sim"))
+        .orderBy(F.desc("sim"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id", F.round("sim", 4).alias("cos_sim"))
+    )

@@ -289,3 +289,14 @@ def test_q115_scan_is_partition_pruned(spark, sf_dir):
 
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "ship_year" in m.group(1), m.group(0) if m else plan[:2000]
+
+
+def test_q120_dynamic_partition_pruning(spark, sf_dir):
+    """The bucket-partitioned ANN probe must prune partitions at
+    runtime: the probe's bucket is only known after the broadcast side
+    evaluates, so the scan's PartitionFilters must carry a
+    DynamicPruningExpression (not a static filter, not a post-scan
+    predicate over all buckets)."""
+    df = QUERIES["q120_ann_partition_pruned"].builder(spark, sf_dir)
+    plan = executed_plan(df)
+    assert "dynamicpruning" in plan.lower(), plan[:3000]
