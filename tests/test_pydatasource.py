@@ -251,3 +251,40 @@ def test_jsonl_no_temp_files_after_commit(spark, tmp_path):
     src.write.format("jsonl").mode("overwrite").option("path", d).save()
     leftovers = [f for f in os.listdir(d) if f.startswith(".")]
     assert leftovers == [], leftovers
+
+
+def test_docgen_stream_restart_from_checkpoint(spark, tmp_path):
+    """Checkpoint recovery for the partition-planned reader: a second
+    run with a LARGER maxRows resumes from the committed offset — every
+    doc appears exactly once across both runs, none are lost, and the
+    pacer re-syncs even though the fresh reader starts with an empty
+    in-memory high-water mark."""
+    d = str(tmp_path / "restart_out")
+    ckpt = str(tmp_path / "restart_ckpt")
+
+    def run(max_rows):
+        stream = (
+            spark.readStream.format("docgen")
+            .option("rowsPerBatch", 64)
+            .option("maxRows", max_rows)
+            .option("streamPartitions", 4)
+            .load()
+        )
+        q = (
+            stream.writeStream.format("jsonl")
+            .option("path", d)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run(120)
+    run(240)
+    back = spark.read.format("jsonl").schema(DDL).option("path", d).load()
+    batch = spark.read.format("docgen").option("rows", 240).load()
+    # exactly once: equality as multisets (no dupes, no gaps)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, batch.collect()))
