@@ -5,11 +5,15 @@ The reference engine takes caller-provided in-memory vectors as input
 columnar parquet scans, so Catalyst's column pruning and predicate
 pushdown reach the file reader for free.
 
-Special case: ``events.ts`` is stored as parquet INT64 TIMESTAMP(NANOS),
-which Spark's vectorized reader rejects. We read it as a raw long
-(``spark.sql.legacy.parquet.nanosAsLong``) and truncate to microsecond
-timestamps — the identical truncation DuckDB's ``epoch_us`` applies, so
-oracle comparisons stay exact.
+Special case: ``events.ts`` normalization, handling BOTH fixture
+layouts the driver has generated across rounds:
+
+- INT64 TIMESTAMP(NANOS): Spark's vectorized reader rejects it; read as
+  a raw long (``spark.sql.legacy.parquet.nanosAsLong``) and truncate to
+  microseconds — the identical truncation DuckDB's ``epoch_us`` applies;
+- TIMESTAMP(MICROS, isAdjustedToUTC=false): reads as TIMESTAMP_NTZ;
+  cast to TIMESTAMP under the engine's pinned UTC session timezone, an
+  exact mapping that matches DuckDB's naive read.
 """
 
 from __future__ import annotations
