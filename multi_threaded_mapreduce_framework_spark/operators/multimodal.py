@@ -93,8 +93,8 @@ def synthesize_media(spark: SparkSession, n: int = 64, parts: int = 4) -> DataFr
     return spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(parts)
 
 
-def _decode_ppm(raw: bytes) -> tuple[int, int, float]:
-    """Real P6 PPM decode: (width, height, mean pixel intensity).
+def _parse_ppm(raw: bytes):
+    """Real P6 PPM parse -> (width, height, HxWx3 uint8 pixel array).
 
     P6 is raw 8-bit RGB behind an ASCII header — a genuine on-disk image
     format decodable without any codec library, which makes it the
@@ -121,7 +121,13 @@ def _decode_ppm(raw: bytes) -> tuple[int, int, float]:
     pos += 1  # the single whitespace after maxval
     w, h, _maxval = fields
     pixels = np.frombuffer(raw, dtype=np.uint8, count=w * h * 3, offset=pos)
-    return w, h, float(pixels.mean())
+    return w, h, pixels.reshape(h, w, 3)
+
+
+def _decode_ppm(raw: bytes) -> tuple[int, int, float]:
+    """Real P6 PPM decode: (width, height, mean pixel intensity)."""
+    w, h, px = _parse_ppm(raw)
+    return w, h, float(px.mean())
 
 
 def decode_images(df: DataFrame, fake: bool = True) -> DataFrame:
@@ -321,19 +327,48 @@ def extract_features(df: DataFrame, dim: int = FEATURE_DIM, fake: bool = True) -
 
 def resize_images(df: DataFrame, width: int, height: int, fake: bool = True) -> DataFrame:
     """Resize kernel. Stub path re-packs the header with the target dims
-    (payload body untouched); real path is a PIL resize + re-encode."""
-    if not fake:
-        _require_codec("PIL")
+    (payload body untouched). Real path: P6 PPM payloads are resized
+    IN-CONTAINER with a codec-free nearest-neighbor resample (numpy
+    index mapping over the raw RGB grid, re-emitted as valid P6 bytes —
+    `decode_images(fake=False)` reads the output); other formats gate
+    on PIL."""
 
     def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
         import pandas as pd
 
         for pdf in batches:
             ids, payloads = [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 raw = bytes(payload)
+                if fake:
+                    out = struct.pack("<ii", width, height) + raw[8:]
+                elif raw.startswith(b"P6"):
+                    w, h, px = _parse_ppm(raw)
+                    # nearest-neighbor: target pixel (r, c) samples the
+                    # source at floor((r + .5) * h / height) etc. — the
+                    # standard NN grid mapping, deterministic
+                    rows = np.minimum(
+                        ((np.arange(height) + 0.5) * h / height).astype(int), h - 1
+                    )
+                    cols = np.minimum(
+                        ((np.arange(width) + 0.5) * w / width).astype(int), w - 1
+                    )
+                    resized = px[rows][:, cols]
+                    out = (
+                        b"P6\n%d %d\n255\n" % (width, height)
+                        + resized.astype(np.uint8).tobytes()
+                    )
+                else:
+                    from io import BytesIO
+
+                    pil_image = _require_codec("PIL.Image").Image
+                    with pil_image.open(BytesIO(raw)) as im:
+                        buf = BytesIO()
+                        im.resize((width, height)).save(buf, format=im.format)
+                        out = buf.getvalue()
                 ids.append(mid)
-                payloads.append(struct.pack("<ii", width, height) + raw[8:])
+                payloads.append(out)
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
     return df.filter(F.col("kind") == "image").mapInPandas(

@@ -160,3 +160,38 @@ def test_metadata_query_never_reads_payload(spark, media, tmp_path):
     cols = read_schema_columns(meta_only)
     assert "payload" not in cols, cols
     assert meta_only.count() == 8
+
+
+def test_resize_ppm_real_path(spark):
+    """REAL codec-free resize: genuine P6 bytes in, genuine (smaller)
+    P6 bytes out, decodable by the real decode path with the target
+    dimensions; a constant-color image keeps its mean exactly."""
+    from multi_threaded_mapreduce_framework_spark.operators.multimodal import (
+        decode_images,
+        resize_images,
+        synthesize_ppm_media,
+    )
+
+    media = synthesize_ppm_media(spark, n=6, parts=2)
+    resized = resize_images(media, width=5, height=4, fake=False)
+    # re-wrap as a media frame for the decoder (kind + payload)
+    import pyspark.sql.functions as F
+
+    frame = resized.select("media_id", F.lit("image").alias("kind"), "payload")
+    rows = {r.media_id: r for r in decode_images(frame, fake=False).collect()}
+    assert rows, "no decoded rows"
+    for r in rows.values():
+        assert (r.width, r.height) == (5, 4)
+
+    # nearest-neighbor on a ramp: every output pixel is a true source
+    # pixel, so min <= mean <= max of the source bytes holds exactly
+    import numpy as np
+
+    from multi_threaded_mapreduce_framework_spark.operators.multimodal import (
+        _parse_ppm,
+    )
+
+    src = {r.media_id: bytes(r.payload) for r in media.collect()}
+    for mid, r in rows.items():
+        _, _, px = _parse_ppm(src[mid])
+        assert px.min() <= r.mean_intensity <= px.max()
