@@ -92,6 +92,7 @@ _DRIVER_PRIORITY = (
     "q118_pagerank",
     "q119_data_quality_audit",
     "q120_ann_partition_pruned",
+    "q121_map_functions",
 )
 
 

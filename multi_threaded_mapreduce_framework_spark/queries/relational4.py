@@ -423,3 +423,48 @@ def q111_global_quantile_buckets(spark, sf_dir):
             F.round(F.min("o_totalprice"), 2).alias("min_price"),
         )
     )
+
+
+@register(
+    "q121_map_functions",
+    tier="T1",
+    oracle="""
+SELECT user_id,
+       CAST(coalesce(count(*) FILTER (WHERE event_type = 'click'), 0)
+            AS BIGINT) AS clicks,
+       CAST(coalesce(count(*) FILTER (WHERE event_type = 'purchase'), 0)
+            AS BIGINT) AS purchases,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+       count(*) AS total
+FROM events GROUP BY user_id
+""",
+)
+def q121_map_functions(spark, sf_dir):
+    """MAP-typed column surface: each user's per-type event counts are
+    assembled into a ``map<string,bigint>`` profile column
+    (``map_from_entries`` over collected (type, count) structs — the
+    shape a feature store hands to serving), then consumed with map
+    lookups (``element_at``), ``size``, and a higher-order fold over
+    ``map_values``. The map stays INTERNAL (scalar output columns), so
+    the driver's canonicalizer sees plain scalars; lookups are
+    insertion-order-independent, so the nondeterministic collect_list
+    order cannot leak into results. The oracle computes the same
+    numbers relationally."""
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    prof = per.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", "cnt"))
+        ).alias("profile")
+    )
+    return prof.select(
+        "user_id",
+        F.coalesce(F.element_at("profile", F.lit("click")), F.lit(0)).alias("clicks"),
+        F.coalesce(F.element_at("profile", F.lit("purchase")), F.lit(0)).alias(
+            "purchases"
+        ),
+        F.size("profile").cast("bigint").alias("n_types"),
+        F.aggregate(
+            F.map_values("profile"), F.lit(0).cast("bigint"), lambda a, x: a + x
+        ).alias("total"),
+    )
