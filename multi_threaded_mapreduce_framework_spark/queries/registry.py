@@ -93,6 +93,7 @@ _DRIVER_PRIORITY = (
     "q119_data_quality_audit",
     "q120_ann_partition_pruned",
     "q121_map_functions",
+    "q122_lateral_topk",
 )
 
 

@@ -468,3 +468,36 @@ def q121_map_functions(spark, sf_dir):
             F.map_values("profile"), F.lit(0).cast("bigint"), lambda a, x: a + x
         ).alias("total"),
     )
+
+
+@register(
+    "q122_lateral_topk",
+    tier="T1",
+    oracle="""
+SELECT s.c_mktsegment, t.c_custkey, t.acctbal
+FROM (SELECT DISTINCT c_mktsegment FROM customer) s,
+LATERAL (SELECT c_custkey, round(c_acctbal, 2) AS acctbal FROM customer c
+         WHERE c.c_mktsegment = s.c_mktsegment
+         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+""",
+)
+def q122_lateral_topk(spark, sf_dir):
+    """LATERAL correlated subquery through the SQL front-end: top-2
+    customers by account balance PER market segment, written as the
+    lateral join a SQL user would write (per-group ORDER BY ... LIMIT
+    inside the correlated subquery). Catalyst decorrelates it into the
+    same windowed plan as q17's rank-filter form — declaring that the
+    engine's SQL surface accepts the idiom, not just the DataFrame
+    rewrite. DuckDB runs the identical SQL."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "q122_customer_v"
+    )
+    return spark.sql(
+        """
+SELECT s.c_mktsegment, t.c_custkey, round(t.c_acctbal, 2) AS acctbal
+FROM (SELECT DISTINCT c_mktsegment FROM q122_customer_v) s,
+LATERAL (SELECT c_custkey, c_acctbal FROM q122_customer_v c
+         WHERE c.c_mktsegment = s.c_mktsegment
+         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+"""
+    )
