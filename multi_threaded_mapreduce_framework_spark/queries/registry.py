@@ -94,6 +94,7 @@ _DRIVER_PRIORITY = (
     "q120_ann_partition_pruned",
     "q121_map_functions",
     "q122_lateral_topk",
+    "q123_scd2_cdc",
 )
 
 

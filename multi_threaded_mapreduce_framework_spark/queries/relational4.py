@@ -501,3 +501,64 @@ LATERAL (SELECT c_custkey, c_acctbal FROM q122_customer_v c
          ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
 """
     )
+
+
+@register(
+    "q123_scd2_cdc",
+    tier="T1",
+    oracle="""
+WITH changed AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1997-07-01'),
+v1 AS (
+  SELECT c_custkey, CAST(1 AS BIGINT) AS version,
+         round(c_acctbal, 2) AS acctbal,
+         CAST(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END AS BIGINT)
+           AS is_current
+  FROM customer LEFT JOIN changed ON c_custkey = o_custkey),
+v2 AS (
+  SELECT c_custkey, CAST(2 AS BIGINT) AS version,
+         round(c_acctbal + 100.0, 2) AS acctbal,
+         CAST(1 AS BIGINT) AS is_current
+  FROM customer JOIN changed ON c_custkey = o_custkey)
+SELECT * FROM v1 UNION ALL SELECT * FROM v2
+""",
+)
+def q123_scd2_cdc(spark, sf_dir):
+    """SCD2 / CDC merge EMULATION without a table format (the
+    MERGE-INTO pattern on plain parquet): customers whose orders mark
+    them changed (a stand-in CDC feed) get a new versioned row; their
+    old row is closed (is_current=0); untouched customers keep their
+    current v1 row. One semi-side derivation + left-join flag + union —
+    the anti-join/union shape you run when Delta/Iceberg MERGE isn't
+    available, and the history layout (key, version, is_current) every
+    SCD2 dimension query expects. All joins are on the dimension key,
+    so at 100 TB the CDC feed (small) broadcasts and the dimension
+    never shuffles."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    changed = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1997-07-01").cast("timestamp"))
+        .select("o_custkey")
+        .distinct()
+    )
+    v1 = c.join(
+        F.broadcast(changed), c.c_custkey == changed.o_custkey, "left"
+    ).select(
+        "c_custkey",
+        F.lit(1).cast("bigint").alias("version"),
+        F.round("c_acctbal", 2).alias("acctbal"),
+        F.when(F.col("o_custkey").isNull(), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("is_current"),
+    )
+    v2 = c.join(
+        F.broadcast(changed), c.c_custkey == changed.o_custkey, "left_semi"
+    ).select(
+        "c_custkey",
+        F.lit(2).cast("bigint").alias("version"),
+        F.round(F.col("c_acctbal") + 100.0, 2).alias("acctbal"),
+        F.lit(1).cast("bigint").alias("is_current"),
+    )
+    return v1.unionAll(v2)
