@@ -95,6 +95,8 @@ _DRIVER_PRIORITY = (
     "q121_map_functions",
     "q122_lateral_topk",
     "q123_scd2_cdc",
+    "q124_asof_pandas",
+    "q125_window_sliding",
 )
 
 

@@ -141,3 +141,69 @@ def q71_interval_join(spark, sf_dir):
     return joined.groupBy("event_id", "user_id").agg(
         F.count("c_us").alias("n_clicks_10m")
     )
+
+
+@register(
+    "q124_asof_pandas",
+    tier="T2",
+    oracle="""
+SELECT p.event_id, p.user_id,
+       round((epoch_us(p.ts) - epoch_us(c.ts)) / 1000000.0, 1) AS gap_s
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts > c.ts
+""",
+)
+def q124_asof_pandas(spark, sf_dir):
+    """q70's as-of join implemented on the OTHER custom-operator tier:
+    Arrow-grouped ``applyInPandas`` running ``pd.merge_asof`` per user
+    group (the pattern for operator semantics DataFrame primitives
+    can't express — here they can, which is exactly why both forms are
+    declared: q70 is the single-window JVM plan, this is the
+    grouped-pandas plan, and the driver checks both against DuckDB's
+    native ASOF JOIN).
+
+    Scale notes: one shuffle on user_id into Arrow batches; per-group
+    state is the group itself (bounded by per-user activity, the same
+    bound q23's sessionization carries); the raw microsecond gap comes
+    back from pandas and the 1-dp rounding happens IN SPARK so the
+    rounding rule is identical to q70's."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+
+    def asof(pdf):
+        import pandas as pd
+
+        p = (
+            pdf[pdf.event_type == "purchase"][["event_id", "user_id", "ts"]]
+            .sort_values("ts", kind="mergesort")
+        )
+        c = (
+            pdf[pdf.event_type == "click"][["ts"]]
+            .sort_values("ts", kind="mergesort")
+            .rename(columns={"ts": "c_ts"})
+        )
+        if len(p) == 0:
+            return pd.DataFrame(
+                {"event_id": [], "user_id": [], "gap_us": []}
+            ).astype({"event_id": "int64", "user_id": "int64", "gap_us": "float64"})
+        if len(c) == 0:
+            out = p.copy()
+            out["gap_us"] = float("nan")
+            return out[["event_id", "user_id", "gap_us"]]
+        m = pd.merge_asof(
+            p, c, left_on="ts", right_on="c_ts",
+            allow_exact_matches=False, direction="backward",
+        )
+        m["gap_us"] = (m["ts"] - m["c_ts"]).dt.total_seconds() * 1e6
+        return m[["event_id", "user_id", "gap_us"]]
+
+    out = ev.select("user_id", "ts", "event_id", "event_type").groupBy(
+        "user_id"
+    ).applyInPandas(asof, schema="event_id bigint, user_id bigint, gap_us double")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("gap_us") / F.lit(1000000.0), 1).alias("gap_s"),
+    )

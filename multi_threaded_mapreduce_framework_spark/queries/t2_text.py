@@ -235,3 +235,43 @@ def q30_text_stats(spark, sf_dir):
         F.round(F.avg("n_chars"), 2).alias("avg_chars"),
         F.countDistinct("source").alias("num_sources"),
     )
+
+
+@register(
+    "q125_window_sliding",
+    tier="T2",
+    oracle="""
+SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
+       count(*) AS cnt, round(sum(value), 2) AS sum_value
+FROM (
+  SELECT time_bucket(INTERVAL 15 MINUTE, ts) - k.k * INTERVAL 15 MINUTE
+           AS win_start,
+         value
+  FROM events CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) k)
+GROUP BY 1
+""",
+)
+def q125_window_sliding(spark, sf_dir):
+    """SLIDING 1-hour windows every 15 minutes (q24 is the tumbling
+    special case): each event lands in exactly 4 overlapping windows.
+    Spark's ``window(ts, '1 hour', '15 minutes')`` expands the 4
+    assignments map-side (a row-local explode, no self-join) and the
+    partial agg collapses before the single shuffle — the same plan
+    shape at any slide/width ratio. The oracle derives the same 4
+    aligned window starts per event arithmetically (15-minute buckets
+    minus k slides); both engines' windows align on epoch-aligned
+    15-minute boundaries, and the session tz is UTC so boundaries
+    agree."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "cnt",
+            "sum_value",
+        )
+    )
