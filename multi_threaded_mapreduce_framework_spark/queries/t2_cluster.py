@@ -312,10 +312,12 @@ def q118_pagerank(spark, sf_dir, iters: int = PAGERANK_ITERS):
     copy to keep. Top-20 by rank, rounded to 6 dp BEFORE ordering so
     neighbor-sum FP noise (~1e-15) cannot flip ranks across engines.
 
-    Iterative-numeric pattern on the q94/q102 loop skeleton: each round
-    is one (edges x ranks) join + grouped sum — a fixed number of
-    data-parallel rounds, ``localCheckpoint`` truncating lineage. Degree
-    is precomputed once and carried ON the edge row, so a round never
+    Iterative-numeric pattern on the q94/q102 loop skeleton, with one
+    deliberate difference: the iteration count is FIXED, so no per-round
+    convergence count is read back and the rounds stay one lazy plan —
+    only the shared edge set is ``localCheckpoint``-ed (it would
+    otherwise re-derive the q35 sketch once per round). Degree is
+    precomputed once and carried ON the edge row, so a round never
     re-joins the degree table. The oracle unrolls the same three
     iterations as chained CTEs.
     """
@@ -333,13 +335,13 @@ def q118_pagerank(spark, sf_dir, iters: int = PAGERANK_ITERS):
             .groupBy("b")
             .agg(F.sum(F.col("r") / F.col("d")).alias("c"))
         )
-        ranks = (
-            nodes.join(contrib, nodes.node == contrib.b, "left")
-            .select(
-                "node",
-                (F.lit(0.15) + F.lit(0.85) * F.coalesce("c", F.lit(0.0))).alias("r"),
-            )
-            .localCheckpoint()
+        # fixed iteration count + checkpointed (tiny) edge/node inputs:
+        # the 3 rounds stay ONE lazy plan — no per-round job, no
+        # per-round materialization (unlike q94, which must read a
+        # convergence count back every round)
+        ranks = nodes.join(contrib, nodes.node == contrib.b, "left").select(
+            "node",
+            (F.lit(0.15) + F.lit(0.85) * F.coalesce("c", F.lit(0.0))).alias("r"),
         )
     return (
         ranks.select(F.col("node").alias("doc_id"), F.round("r", 6).alias("pr"))
