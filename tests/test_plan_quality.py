@@ -300,3 +300,21 @@ def test_q120_dynamic_partition_pruning(spark, sf_dir):
     df = QUERIES["q120_ann_partition_pruned"].builder(spark, sf_dir)
     plan = executed_plan(df)
     assert "dynamicpruning" in plan.lower(), plan[:3000]
+
+
+def test_q117_probe_join_is_bucketed(spark, sf_dir):
+    """Incremental dedup must join incoming x existing on (band, key)
+    equality — never a nested loop over all cross pairs."""
+    df = QUERIES["q117_incremental_dedup"].builder(spark, sf_dir)
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q116_model_join_no_cartesian(spark, sf_dir):
+    """The LM-score join (doc trigrams x model counts) is an equi-join
+    on (ctx, nxt) with partial aggregation below the doc_id shuffle."""
+    df = QUERIES["q116_lm_doc_score"].builder(spark, sf_dir)
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert has_partial_aggregate(df)
