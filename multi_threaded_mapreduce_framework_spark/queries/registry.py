@@ -97,6 +97,7 @@ _DRIVER_PRIORITY = (
     "q123_scd2_cdc",
     "q124_asof_pandas",
     "q125_window_sliding",
+    "q126_prefix_filter_join",
 )
 
 

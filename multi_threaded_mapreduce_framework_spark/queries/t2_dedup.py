@@ -693,3 +693,92 @@ def q120_ann_partition_pruned(spark, sf_dir):
         .limit(10)
         .select("vec_id", F.round("sim", 4).alias("cos_sim"))
     )
+
+
+PF_JACCARD_T = 0.5
+PF_DOC_CAP = 1000  # oracle is brute-force quadratic; cap like q27 does
+
+
+@register(
+    "q126_prefix_filter_join",
+    tier="T2",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(ws)-2),
+      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS hs
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws
+        FROM documents WHERE doc_id < {PF_DOC_CAP})
+  WHERE len(ws) >= 3),
+pairs AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2,
+         len(list_intersect(a.hs, b.hs)) AS i,
+         len(a.hs) AS n1, len(b.hs) AS n2
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+SELECT d1, d2, round(CAST(i AS DOUBLE)/(n1+n2-i), 2) AS jaccard
+FROM pairs WHERE CAST(i AS DOUBLE)/(n1+n2-i) >= {PF_JACCARD_T}
+""",
+)
+def q126_prefix_filter_join(spark, sf_dir):
+    """EXACT set-similarity join by PREFIX FILTERING (the PPJoin/AllPairs
+    family) — the third dedup algorithm tier next to q27's inverted
+    index (exact, quadratic-ish) and q35's MinHash-LSH (approximate
+    candidates, exact verify). Shingle sets are ordered by GLOBAL
+    ascending document frequency (rarest first); for Jaccard >= t a
+    qualifying pair MUST share a token in each side's first
+    n - ceil(t*n) + 1 tokens (if the prefixes were disjoint, the
+    overlap is at most the suffix length n - p < t*n <= t*|union| —
+    the filter is LOSSLESS). Candidates come from an equi-join on
+    prefix tokens only — rare tokens, so buckets stay tiny where q27's
+    full inverted index blows up on frequent tokens — then exact
+    verification. The prefix length uses integer arithmetic
+    ((t*n) ceil'd as (n+1) div 2 for t=0.5), never FP, so the filter
+    can't silently drop a boundary pair. The oracle is an INDEPENDENT
+    brute-force all-pairs Jaccard — equality proves losslessness, not
+    just agreement."""
+    t_num, t_den = 1, 2  # t = 0.5 as a rational
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < PF_DOC_CAP)
+        .select("doc_id", F.split("text", " ").alias("ws"))
+        .filter(F.size("ws") >= 3)
+    )
+    shingle = F.expr(
+        "array_distinct(transform(slice(ws, 1, greatest(size(ws) - 2, 0)),"
+        " (w, i) -> concat(w, ' ', ws[i + 1], ' ', ws[i + 2])))"
+    )
+    sh = docs.select("doc_id", shingle.alias("hs"))
+    tok = sh.select("doc_id", F.explode("hs").alias("s"))
+    freq = tok.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    wdoc = Window.partitionBy("doc_id")
+    worder = wdoc.orderBy("df", "s")
+    ranked = (
+        tok.join(freq, "s")
+        .withColumn("rn", F.row_number().over(worder))
+        .withColumn("n", F.count(F.lit(1)).over(wdoc))
+    )
+    # p = n - ceil(t*n) + 1, all-integer: ceil(n*t_num/t_den) via div
+    prefix = ranked.filter(
+        F.col("rn")
+        <= F.col("n") - F.expr(f"(n * {t_num} + {t_den} - 1) div {t_den}") + 1
+    ).select("doc_id", "s")
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    s1 = sh.select(F.col("doc_id").alias("d1"), F.col("hs").alias("hs1"))
+    s2 = sh.select(F.col("doc_id").alias("d2"), F.col("hs").alias("hs2"))
+    inter = F.size(F.array_intersect("hs1", "hs2"))
+    union = F.size("hs1") + F.size("hs2") - inter
+    jac = inter.cast("double") / union
+    return (
+        cand.join(s1, "d1")
+        .join(s2, "d2")
+        .filter(jac >= F.lit(t_num / t_den))
+        .select("d1", "d2", F.round(jac, 2).alias("jaccard"))
+    )
