@@ -119,7 +119,12 @@ def _parse_ppm(raw: bytes):
         fields.append(int(raw[pos:end]))
         pos = end
     pos += 1  # the single whitespace after maxval
-    w, h, _maxval = fields
+    w, h, maxval = fields
+    if maxval != 255:
+        # P6 with maxval > 255 is 2 bytes/sample big-endian and < 255
+        # rescales — both would be silently mis-decoded by the 1-byte
+        # reader below, so reject loudly instead
+        raise ValueError(f"only 8-bit P6 PPM supported (maxval=255), got {maxval}")
     pixels = np.frombuffer(raw, dtype=np.uint8, count=w * h * 3, offset=pos)
     return w, h, pixels.reshape(h, w, 3)
 

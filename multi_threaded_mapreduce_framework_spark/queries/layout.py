@@ -16,7 +16,7 @@ import tempfile
 import pyspark.sql.functions as F
 
 from multi_threaded_mapreduce_framework_spark.queries.registry import register
-from multi_threaded_mapreduce_framework_spark.sources import load_table
+from multi_threaded_mapreduce_framework_spark.sources import layout_tag, load_table
 from multi_threaded_mapreduce_framework_spark.sources.sinks import (
     write_bucketed_table,
 )
@@ -46,7 +46,7 @@ def q112_bucketed_join(spark, sf_dir):
     The result (revenue per market segment) is layout-independent, so
     the DuckDB oracle checks the same values off the raw parquet.
     """
-    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    tag = layout_tag(spark, sf_dir)
     base = os.path.join(tempfile.gettempdir(), "mtmrf_layout", tag)
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
@@ -134,7 +134,7 @@ def q115_partition_pruned_scan(spark, sf_dir):
     ``tests/test_plan_quality.py::test_q115_scan_is_partition_pruned``
     pins the PartitionFilters in the scan node. Values are
     layout-independent, so the oracle runs on the raw parquet."""
-    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    tag = layout_tag(spark, sf_dir)
     base = os.path.join(tempfile.gettempdir(), "mtmrf_layout", tag, "lineitem_by_year")
     li = load_table(spark, sf_dir, "lineitem").withColumn(
         "ship_year", F.year("l_shipdate").cast("bigint")

@@ -56,48 +56,100 @@ class Query:
 
 _REGISTRY: dict[str, Query] = {}
 
-# Driver-check rotation (VERDICT.md r02 item 2): the verify driver records
-# correctness rows for a bounded window of entries in declared order (~50
-# per round).  Rounds 1+2 together drove q01-q49+q67 (r01) and q50-q110
-# minus q76-q85 (r02).  Round-3 order therefore puts first the 10 queries
-# that have NEVER had a driver row (q76-q85, judge-local only), then the
-# two just-fixed red rows (q88 hash-type artifact, q56 canonicalizer
-# crash), then new round-3 queries (q111+ register after the priority
-# list and sort before the green backlog via _ordered), then the oldest
-# driver-green band (q01-q49, checked in r01 only) for re-confirmation.
+# Driver-check rotation (VERDICT.md r03 "Next round" item 1): the verify
+# driver records correctness rows for a bounded window of entries in
+# declared order (~50 per round).  Cumulative driver coverage: r01 drove
+# q01-q49+q67, r02 drove q50-q110 minus q76-q85, r03 drove q76-q85 +
+# q88 + q56 + q111-q126 + q01-q22.  The queries whose driver rows are
+# OLDEST (r01/r02, against since-regenerated fixtures) are q23-q49+q67
+# (r01-only) then q50-q75 (r02) — so round-4 order leads with exactly
+# that band, oldest rows first (the full set was additionally re-proven
+# green locally against the round-4 fixtures via tools/check_oracle.py).
+# q86-q110 (r02 rows) queue behind them for the round-5 window.  Any new
+# query is inserted at the TOP on creation so it gets a driver row in
+# its debut round.
 _DRIVER_PRIORITY = (
-    # --- never driver-checked (judge-local green in r02) ---
-    "q76_tpch_q19",
-    "q77_tpch_q11",
-    "q78_tpch_q22",
-    "q79_corr_covar",
-    "q80_conditional_agg",
-    "q81_vector_minmax",
-    "q82_gap_fill",
-    "q83_window_distribution",
-    "q84_edit_distance_pairs",
-    "q85_chunk_documents",
-    # --- red in r02, fixed this round ---
-    "q88_tpch_q12",
-    "q56_approx_percentile",
-    # --- round-3 additions (each new query is appended here on creation
-    #     so it gets a driver row in its debut round) ---
-    "q111_global_quantile_buckets",
-    "q112_bucketed_join",
-    "q113_ivf_probe_search",
-    "q114_salted_agg",
-    "q115_partition_pruned_scan",
-    "q116_lm_doc_score",
-    "q117_incremental_dedup",
-    "q118_pagerank",
-    "q119_data_quality_audit",
-    "q120_ann_partition_pruned",
-    "q121_map_functions",
-    "q122_lateral_topk",
-    "q123_scd2_cdc",
-    "q124_asof_pandas",
-    "q125_window_sliding",
-    "q126_prefix_filter_join",
+    # --- driver row from r01 only (oldest) ---
+    "q23_sessionize",
+    "q24_window_tumbling",
+    "q25_exact_dedup",
+    "q26_ngram_bigrams",
+    "q27_jaccard_neardup",
+    "q28_cosine_topk",
+    "q29_knn_label",
+    "q30_text_stats",
+    "q31_quality_score",
+    "q32_token_stats",
+    "q33_langid",
+    "q34_fingerprint",
+    "q35_minhash_lsh",
+    "q36_simhash",
+    "q37_embedding_neardup",
+    "q38_ann_lsh_bucketed",
+    "q39_ivf_assign",
+    "q40_cube",
+    "q41_grouping_sets",
+    "q42_full_outer",
+    "q43_percentiles",
+    "q44_stats_agg",
+    "q45_pivot",
+    "q46_exists_subquery",
+    "q47_scalar_subquery",
+    "q48_array_collect",
+    "q49_ntile",
+    "q67_simhash_hamming_pairs",
+    # --- modified in round 4 (q35 too, above): re-prove under a fresh
+    #     driver row ahead of the merely-stale r02 band ---
+    "q94_dedup_clusters",
+    "q98_contamination",
+    "q102_cc_star",
+    # --- driver row from r02 (q55/q56 rows-only by contract) ---
+    "q50_mapreduce_wordcount",
+    "q51_tpch_q1",
+    "q52_tpch_q3",
+    "q53_tpch_q5",
+    "q54_tpch_q10",
+    "q55_approx_count_distinct",
+    "q57_date_arith",
+    "q58_string_funcs2",
+    "q59_window_range_frame",
+    "q60_min_max_by",
+    "q61_deterministic_split",
+    "q62_tfidf_top_terms",
+    "q63_event_transitions",
+    "q64_tpch_q7",
+    "q65_tpch_q16",
+    "q66_tpch_q2",
+    "q68_longest_streak",
+    "q69_regr_slope",
+    "q70_asof_join",
+    "q71_interval_join",
+    "q72_tpch_q6",
+    "q73_tpch_q4",
+    "q74_tpch_q14",
+    "q75_tpch_q18",
+    # --- driver row from r02, queued for the round-5 window ---
+    "q86_tpch_q8",
+    "q87_tpch_q9",
+    "q89_tpch_q13",
+    "q90_tpch_q15",
+    "q91_tpch_q17",
+    "q92_tpch_q20",
+    "q93_tpch_q21",
+    "q95_corpus_select",
+    "q96_repetition_stats",
+    "q97_trigram_lm",
+    "q99_stratified_sample",
+    "q100_pii_redact",
+    "q101_repeated_passages",
+    "q103_stratum_topk_sample",
+    "q104_length_histogram",
+    "q105_funnel_conversion",
+    "q106_variant_json",
+    "q107_retention_cohorts",
+    "q108_mixture_allocation",
+    "q109_rolling_wau",
+    "q110_unpivot",
 )
 
 

@@ -53,11 +53,14 @@ def q94_dedup_clusters(spark, sf_dir, max_iters: int = 15):
     near-dup edges (documents with no near-dups label themselves).
 
     Iterative-algorithm pattern: each round is one distributed
-    edges-x-labels join + min-aggregate; the driver only checks the
-    scalar changed-row count for convergence (bounded by the cluster
-    diameter — near-dup clusters are dense, so 2-3 rounds in practice;
-    at extreme scale the large-star/small-star variant halves diameter
-    per round, same loop skeleton). Each round's labels are
+    edges-x-labels join + min-aggregate; convergence is a single tiny
+    aggregate over the just-checkpointed labels — labels only ever
+    DECREASE under min-propagation, so ``sum(cluster_id)`` is strictly
+    monotone and sum-unchanged is an exact (not probabilistic) proof of
+    convergence, with no old-vs-new join and no second pass (rounds are
+    bounded by the cluster diameter — near-dup clusters are dense, so
+    2-3 rounds in practice; at extreme scale the large-star/small-star
+    variant halves diameter per round, same loop skeleton). Each round's labels are
     ``localCheckpoint``-ed: persist() alone leaves the logical plan
     growing by one join per iteration (a 50-join tree after
     convergence, re-executed from scratch if the cache drops), while
@@ -75,7 +78,12 @@ def q94_dedup_clusters(spark, sf_dir, max_iters: int = 15):
     )
 
     labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id")).localCheckpoint()
-    changed = -1  # "never ran" marker for the max_iters=0 edge
+    # decimal sum: exact at any corpus size (a long sum would hit ANSI
+    # overflow once sum(doc_id) crosses 2^63)
+    label_sum = labels.agg(
+        F.sum(F.col("cluster_id").cast("decimal(38,0)")).alias("s")
+    ).first()["s"]
+    converged = False
     for _ in range(max_iters):
         prop = (
             edges.join(labels, edges.a == labels.doc_id)
@@ -93,22 +101,23 @@ def q94_dedup_clusters(spark, sf_dir, max_iters: int = 15):
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
+        # exact convergence in ONE scalar aggregate over the rows the
+        # checkpoint just materialized: min-propagation never increases
+        # a label, so the label sum is unchanged iff NO label changed
+        new_sum = new_labels.agg(
+            F.sum(F.col("cluster_id").cast("decimal(38,0)")).alias("s")
+        ).first()["s"]
         labels = new_labels
-        if changed == 0:
+        if new_sum == label_sum:
+            converged = True
             break
-    else:
+        label_sum = new_sum
+    if not converged:
         # a graph whose diameter exceeds max_iters would otherwise
         # silently return unconverged (wrong) cluster ids
         raise RuntimeError(
-            f"q94 label propagation did not converge in {max_iters} rounds "
-            f"({changed} labels still changing); raise max_iters or use "
-            "q102_cc_star (O(log diameter))"
+            f"q94 label propagation did not converge in {max_iters} rounds; "
+            "raise max_iters or use q102_cc_star (O(log diameter))"
         )
     return labels
 
@@ -156,6 +165,19 @@ def q102_cc_star(spark, sf_dir, max_iters: int = 10):
         .distinct()
         .localCheckpoint()
     )
+    def _sig(df):
+        # hash-sum as decimal(38,0): a long sum of 2^63-range hashes
+        # overflows ANSI arithmetic after a handful of rows
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum(F.xxhash64("c", "p").cast("decimal(20,0)")),
+                F.lit(0).cast("decimal(20,0)"),
+            ).alias("h"),
+        ).first()
+        return (r["n"], r["h"])
+
+    edge_sig = _sig(edges)
     for _ in range(max_iters):
         bidir = edges.select(F.col("c").alias("u"), F.col("p").alias("v")).union(
             edges.select(F.col("p").alias("u"), F.col("c").alias("v"))
@@ -181,15 +203,18 @@ def q102_cc_star(spark, sf_dir, max_iters: int = 10):
             .distinct()
             .localCheckpoint()
         )
-        # both sides are distinct sets: equal iff same count and no row
-        # of the new set is outside the old (count + one anti check; at
-        # cluster scale swap the anti-join for a count+checksum compare)
-        changed = (
-            small.count() != edges.count() or small.exceptAll(edges).count() != 0
-        )
+        # both sides are distinct sets: compare (count, order-free
+        # 64-bit hash-sum) in ONE scalar aggregate per round over the
+        # rows the checkpoint just materialized — no old-vs-new join,
+        # no exceptAll second pass. A missed change needs a colliding
+        # xxhash64 sum at equal cardinality (~2^-64 per round);
+        # non-convergence still raises below, so a collision cannot
+        # run away, only stop one round early
+        new_sig = _sig(small)
         edges = small
-        if not changed:
+        if new_sig == edge_sig:
             break
+        edge_sig = new_sig
     else:
         raise RuntimeError(
             f"q102 star contraction did not converge in {max_iters} rounds; "

@@ -39,7 +39,11 @@ from multi_threaded_mapreduce_framework_spark.functions.texthash import (
 )
 from multi_threaded_mapreduce_framework_spark.functions.vector import cosine_similarity
 from multi_threaded_mapreduce_framework_spark.queries.registry import register
-from multi_threaded_mapreduce_framework_spark.sources import load_table, spread_small_scan
+from multi_threaded_mapreduce_framework_spark.sources import (
+    layout_tag,
+    load_table,
+    spread_small_scan,
+)
 
 MINHASH_K = 16
 LSH_BANDS = 4
@@ -97,47 +101,57 @@ def q35_minhash_lsh(spark, sf_dir):
     Plan shape: one scan computes shingle hashes, signature, and band
     keys (all codegen'd array expressions, no shuffle); explode to
     bands x docs rows; the only joins are (a) the bucket self-join on
-    (band, key) — candidates only, never all pairs — and (b) a join
-    back to the shingle sets for exact verification of the (tiny)
-    candidate set.
+    (band, key, doc_id) — 24 bytes/row, candidates only, never all
+    pairs — and (b) a join back to the doc_id-keyed shingle table for
+    exact verification of the (tiny) candidate set. Round 3 instead
+    carried the full shingle array through the band join to skip the
+    join-back; that made shuffle width per doc ~ bands x |hs| — the
+    dominant cost at scale (and a measured 64% regression at sf0.1) —
+    so the narrow-join + join-back shape won on both axes.
     """
     docs = spread_small_scan(load_table(spark, sf_dir, "documents"))
     # pre-filter on the CHEAP equivalent predicate (hs is empty iff the
     # doc has < 3 words): filtering on size(hs) would inline the whole
     # sketch expression into the Filter and compute it twice per row
+    #
+    # sh feeds three consumers (band path + both verify sides):
+    # checkpoint it once — the persist-the-tokenized-corpus step any
+    # multi-pass similarity job performs (q126 does the same)
     sh = (
         docs.filter(F.size(F.split("text", " ")) >= 3)
         .select("doc_id", word_shingle_hashes("text").alias("hs"))
+        .localCheckpoint()
     )
     sig = sh.select(
-        "doc_id", "hs", minhash_signature_np(F.col("hs"), MINHASH_K).alias("sig")
+        "doc_id", minhash_signature_np(F.col("hs"), MINHASH_K).alias("sig")
     )
-    # carry the shingle set through the bucket join: the verify step then
-    # needs no join-back, so the sketch subtree is evaluated twice (the
-    # two join sides) instead of four times
     bands = sig.select(
         "doc_id",
-        "hs",
         F.explode(lsh_band_keys(F.col("sig"), LSH_BANDS, LSH_ROWS)).alias("bk"),
-    ).select("doc_id", "hs", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     a, b = bands.alias("a"), bands.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.hs"), F.col("b.hs")))
-    union = F.size(F.col("a.hs")) + F.size(F.col("b.hs")) - inter
-    jac = inter.cast("double") / union
-    return (
+    cand = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.key") == F.col("b.key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .filter(jac >= JACCARD_THRESHOLD)
-        .select(
-            F.col("a.doc_id").alias("d1"),
-            F.col("b.doc_id").alias("d2"),
-            F.round(jac, 2).alias("jaccard"),
-        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .distinct()  # a pair colliding in several bands dedupes here
+    )
+    # verify join-back: cand is tiny, so AQE broadcasts it into both
+    # joins — sh streams map-side, never shuffled on doc_id
+    s1 = sh.select(F.col("doc_id").alias("d1"), F.col("hs").alias("hs1"))
+    s2 = sh.select(F.col("doc_id").alias("d2"), F.col("hs").alias("hs2"))
+    inter = F.size(F.array_intersect("hs1", "hs2"))
+    union = F.size("hs1") + F.size("hs2") - inter
+    jac = inter.cast("double") / union
+    return (
+        cand.join(s1, "d1")
+        .join(s2, "d2")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("d1", "d2", F.round(jac, 2).alias("jaccard"))
     )
 
 
@@ -670,7 +684,7 @@ def q120_ann_partition_pruned(spark, sf_dir):
     import os
     import tempfile
 
-    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    tag = layout_tag(spark, sf_dir)
     base = os.path.join(
         tempfile.gettempdir(), "mtmrf_layout", tag, "embeddings_by_bucket"
     )

@@ -157,36 +157,69 @@ FROM ev GROUP BY doc_id
 HAVING sum(CASE WHEN p IN (SELECT p FROM bench) THEN 1 ELSE 0 END) > 0
 """,
 )
-def q98_contamination(spark, sf_dir):
+def q98_contamination(spark, sf_dir, benchmark=None, bench_max_shingles=5_000_000):
     """Benchmark-contamination scan: for every training document, the
     fraction of its distinct 5-token shingles that appear anywhere in a
-    held-out benchmark set (docs with ``doc_id % 97 == 0`` stand in for
-    the eval suite); only contaminated docs (>= 1 hit) are emitted.
+    held-out benchmark set; only contaminated docs (>= 1 hit) are
+    emitted.
 
-    Scale shape: the benchmark shingle set is *fixed-size* (eval suites
-    don't grow with the corpus), so it broadcasts at any corpus scale
-    and the scan side never shuffles — explode distinct shingles, probe
-    the broadcast set, re-aggregate per doc on the already-partitioned
-    doc_id. This is exactly how 13-gram decontamination runs in
-    production pipelines, minus the tokenizer.
+    Scale shape: the benchmark shingle set must be *fixed-size* (eval
+    suites don't grow with the corpus), so it broadcasts at any corpus
+    scale and the scan side never shuffles — explode distinct shingles,
+    probe the broadcast set, re-aggregate per doc on the
+    already-partitioned doc_id. This is exactly how 13-gram
+    decontamination runs in production pipelines, minus the tokenizer.
+
+    The production entry point is ``benchmark=`` — a DataFrame of
+    benchmark documents ``(doc_id, text-derived shingles ...)`` columns
+    ``(p: string)`` — which is INDEPENDENT of the corpus scan. When it
+    is omitted (the fixture/oracle path) the stand-in eval suite is
+    docs with ``doc_id % 97 == 0``, which would grow linearly with the
+    corpus; ``bench_max_shingles`` guards that footgun with an eager
+    size assert on the (small) bench side before it is broadcast, so a
+    corpus-derived bench that outgrows broadcastability fails loudly
+    instead of OOMing executors at 100 TB (see SCALE.md).
     """
-    docs = spread_small_scan(load_table(spark, sf_dir, "documents"))
+    raw = load_table(spark, sf_dir, "documents")
     sh = F.expr(
         "array_distinct(transform(slice(ws, 1, greatest(size(ws) - 4, 0)),"
         " (w, i) -> concat_ws(' ', slice(ws, i + 1, 5))))"
     )
-    with_sh = docs.select("doc_id", F.split("text", " ").alias("ws")).select(
-        "doc_id", sh.alias("sh")
-    )
-    bench = (
-        with_sh.filter(F.col("doc_id") % 97 == 0)
-        .select(F.explode("sh").alias("p"))
-        .distinct()
-        .withColumn("hit", F.lit(1))
-    )
+
+    def shingled(d):
+        return d.select("doc_id", F.split("text", " ").alias("ws")).select(
+            "doc_id", sh.alias("sh")
+        )
+
+    if benchmark is None:
+        # separate scan with the bench filter applied BEFORE any
+        # repartition: the checkpoint job below then shingles only the
+        # 1% bench slice instead of re-shuffling the whole corpus (the
+        # main scan can no longer share its exchange with a checkpoint)
+        bench = (
+            shingled(raw.filter(F.col("doc_id") % 97 == 0))
+            .select(F.explode("sh").alias("p"))
+            .distinct()
+        )
+    else:
+        bench = benchmark.select("p").distinct()
+    # bounded-broadcast guard: materialize the bench side once (tiny by
+    # contract — the checkpoint is what the broadcast would build
+    # anyway), then one count over the materialized copy; at scale this
+    # is the assert that the eval suite stayed an eval suite
+    bench = bench.localCheckpoint()
+    n_bench = bench.count()
+    if n_bench > bench_max_shingles:
+        raise ValueError(
+            f"benchmark shingle set has {n_bench} entries "
+            f"(> bench_max_shingles={bench_max_shingles}); pass a bounded "
+            "benchmark= DataFrame — a corpus-derived bench does not broadcast"
+        )
+    bench = bench.withColumn("hit", F.lit(1))
     # no size(sh) > 0 filter: explode of an empty array emits no rows
     # already, and referencing sh in a filter would inline the whole
     # shingle expression a second time (computed twice per row)
+    with_sh = shingled(spread_small_scan(raw))
     ev = with_sh.filter(F.col("doc_id") % 97 != 0).select(
         "doc_id", F.explode("sh").alias("p")
     )

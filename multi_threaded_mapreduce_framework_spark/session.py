@@ -57,6 +57,18 @@ def get_spark(
         # events.parquet stores INT64 TIMESTAMP(NANOS) which Spark rejects by
         # default; read as long and convert explicitly (sources/fixtures.py).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # InferFiltersFromGenerate injects `size(e)>0 AND isnotnull(e)`
+        # below every explode(e); for this engine e is typically an
+        # EXPENSIVE interpreted higher-order expression (shingling,
+        # n-gramming, band keys), and the inferred conjuncts re-evaluate
+        # it up to 2 extra times per SCANNED row — measured 3x the
+        # explode stage cost on q98's corpus scan, for a filter that
+        # saves nothing (explode of an empty array already emits no
+        # rows). Excluding the rule is strictly faster at any scale.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         # Deterministic timestamp semantics shared with the DuckDB oracle
         # (naive timestamps == UTC instants).
         .config("spark.sql.session.timeZone", "UTC")
@@ -77,6 +89,12 @@ def ensure_session_confs(spark: SparkSession) -> None:
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
         ("spark.sql.session.timeZone", "UTC"),
         ("spark.sql.adaptive.enabled", "true"),
+        # see get_spark: inferred generate-filters re-evaluate expensive
+        # explode inputs per scanned row
+        (
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        ),
     ):
         try:
             spark.conf.set(k, v)

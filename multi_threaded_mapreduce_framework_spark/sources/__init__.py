@@ -1,5 +1,6 @@
 from multi_threaded_mapreduce_framework_spark.sources.fixtures import (
     TABLES,
+    layout_tag,
     load_table,
     register_views,
     spread_small_scan,
@@ -13,6 +14,7 @@ from multi_threaded_mapreduce_framework_spark.sources.pydatasource import (
 
 __all__ = [
     "TABLES",
+    "layout_tag",
     "load_table",
     "register_views",
     "spread_small_scan",

@@ -82,6 +82,19 @@ def spread_small_scan(df: DataFrame, min_factor: int = 2) -> DataFrame:
     return df
 
 
+def layout_tag(spark: SparkSession, sf_dir: str) -> str:
+    """Session-unique tag for DERIVED physical layouts (bucketed tables,
+    partitioned dirs under the shared tempdir): sf tag + Spark
+    applicationId, so two concurrent sessions over the same sf can
+    never overwrite each other's layout mid-query — the tag is safe in
+    both catalog identifiers and filesystem paths. Within one session
+    the tag is stable, so a query re-run reuses (overwrites) its own
+    layout rather than accreting copies."""
+    sf = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    app = spark.sparkContext.applicationId.replace("-", "_").replace(".", "_")
+    return f"{sf}_{app}"
+
+
 def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
     """Register each fixture as a temp view (for spark.sql-style access)."""
     for name in tables:

@@ -318,12 +318,31 @@ class _JsonlWriter(DataSourceWriter):
         with open(tmp_manifest, "w") as fh:
             json.dump(manifest, fh)
         os.replace(tmp_manifest, manifest_path)
+        self._sweep_tmp()
 
     def abort(self, messages):
         # temp files only — a committed sibling's output is never named
         for m in messages:
             if m is not None and os.path.exists(m.file):
                 os.remove(m.file)
+        self._sweep_tmp()
+
+    def _sweep_tmp(self):
+        # losing speculative attempts and tasks that died before
+        # returning a commit message leave `.tmp-{job}-*` orphans no
+        # commit message ever names; invisible to readers (dot prefix)
+        # but they'd accumulate on disk — sweep this job's leftovers
+        prefix = f".tmp-{self.job_id}-"
+        try:
+            names = os.listdir(self.path)
+        except FileNotFoundError:
+            return
+        for name in names:
+            if name.startswith(prefix):
+                try:
+                    os.remove(os.path.join(self.path, name))
+                except FileNotFoundError:
+                    pass  # concurrent abort/commit of the same job
 
 
 class _JsonlStreamWriter(DataSourceStreamWriter):

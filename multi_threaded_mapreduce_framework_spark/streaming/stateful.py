@@ -82,7 +82,7 @@ def running_user_totals_tws(stream: DataFrame) -> DataFrame:
     in-container; the operator is the real production shape.
     """
     return stream.groupBy("user_id").transformWithStateInPandas(
-        statefulProcessor=RunningTotalsProcessor(),
+        statefulProcessor=_make_running_totals_processor()(),
         outputStructType="user_id bigint, cnt bigint, sum_value double",
         outputMode="Update",
         timeMode="None",
@@ -126,4 +126,13 @@ def _make_running_totals_processor():
     return RunningTotalsProcessor
 
 
-RunningTotalsProcessor = _make_running_totals_processor()
+def __getattr__(name):
+    # PEP 562 lazy export: building the class imports
+    # pyspark.sql.streaming.stateful_processor, which a pyspark build
+    # without state-v2 lacks — that must fail on USE of the TWS
+    # surface, not on `import ...streaming` (which pulls this module)
+    if name == "RunningTotalsProcessor":
+        cls = _make_running_totals_processor()
+        globals()[name] = cls
+        return cls
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
