@@ -135,12 +135,172 @@ def _decode_ppm(raw: bytes) -> tuple[int, int, float]:
     return w, h, float(px.mean())
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (spec §9.4): nearest of left/up/up-left to
+    the linear estimate a + b - c, ties resolved left, up, up-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _parse_png(raw: bytes):
+    """Real PNG parse -> (width, height, HxWx3 uint8 pixel array) using
+    only stdlib zlib + numpy — no codec library.
+
+    Supports the mainline still-image profile: 8-bit depth, color types
+    0 (gray), 2 (RGB), 6 (RGBA, alpha dropped — the same thing PIL's
+    ``convert('RGB')`` does), all five scanline filters, no interlace.
+    Anything else (16-bit, palette, Adam7) raises ValueError rather
+    than misdecoding; those payloads take the PIL tier.
+    """
+    import struct as _struct
+    import zlib
+
+    import numpy as np
+
+    if not raw.startswith(_PNG_SIG):
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = 8, None, bytearray()
+    while pos + 8 <= len(raw):
+        (length,) = _struct.unpack_from(">I", raw, pos)
+        ctype = raw[pos + 4 : pos + 8]
+        data = raw[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + payload + crc
+        if ctype == b"IHDR":
+            ihdr = _struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR chunk")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or color not in (0, 2, 6) or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG profile (depth={depth} color={color} "
+            f"interlace={interlace}); only 8-bit gray/RGB/RGBA non-interlaced"
+        )
+    channels = {0: 1, 2: 3, 6: 4}[color]
+    stride = w * channels
+    flat = zlib.decompress(bytes(idat))
+    if len(flat) != h * (stride + 1):
+        raise ValueError("PNG IDAT length does not match dimensions")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    bpp = channels
+    p = 0
+    for y in range(h):
+        ftype = flat[p]
+        cur = np.frombuffer(flat, np.uint8, stride, p + 1).copy()
+        p += 1 + stride
+        if ftype == 0:
+            pass
+        elif ftype == 2:  # Up — vectorized, uint8 addition wraps mod 256
+            cur += prev
+        elif ftype in (1, 3, 4):  # Sub/Average/Paeth carry a left
+            # dependency, so reconstruct serially (test-scale payloads;
+            # the production tier for big rasters is the codec path)
+            for x in range(stride):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + b) >> 1
+                else:
+                    c = int(prev[x - bpp]) if x >= bpp else 0
+                    pred = _paeth(a, b, c)
+                cur[x] = (int(cur[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[y] = cur
+        prev = cur
+    px = out.reshape(h, w, channels)
+    if color == 6:
+        px = px[:, :, :3]  # drop alpha, keep raw RGB bytes
+    elif color == 0:
+        px = np.repeat(px, 3, axis=2)  # gray -> RGB replication
+    return w, h, px
+
+
+def _decode_png(raw: bytes) -> tuple[int, int, float]:
+    """Real PNG decode: (width, height, mean over raw RGB bytes)."""
+    w, h, px = _parse_png(raw)
+    return w, h, float(px.mean())
+
+
+def encode_png(px, filters=None) -> bytes:
+    """Minimal stdlib PNG encoder (8-bit RGB, non-interlaced): the
+    counterpart of :func:`_parse_png` used to synthesize GENUINE
+    decodable payloads. ``filters`` picks the per-row filter type
+    (default all 0); passing 0..4 per row exercises every unfilter
+    branch of the decoder against independently-computed bytes."""
+    import struct as _struct
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(px, dtype=np.uint8)
+    h, w, channels = px.shape
+    if channels != 3:
+        raise ValueError("encode_png writes 8-bit RGB only")
+    stride = w * 3
+    rows = px.reshape(h, stride).astype(np.int32)
+    if filters is None:
+        filters = [0] * h
+    body = bytearray()
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        ftype = filters[y]
+        cur = rows[y]
+        filt = np.empty(stride, dtype=np.int32)
+        for x in range(stride):
+            a = int(cur[x - 3]) if x >= 3 else 0
+            b = int(prev[x])
+            c = int(prev[x - 3]) if x >= 3 else 0
+            pred = {
+                0: 0,
+                1: a,
+                2: b,
+                3: (a + b) >> 1,
+                4: _paeth(a, b, c),
+            }[ftype]
+            filt[x] = (int(cur[x]) - pred) & 0xFF
+        body.append(ftype)
+        body += filt.astype(np.uint8).tobytes()
+        prev = cur
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            _struct.pack(">I", len(data))
+            + ctype
+            + data
+            + _struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    ihdr = _struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(body)))
+        + chunk(b"IEND", b"")
+    )
+
+
 def decode_images(df: DataFrame, fake: bool = True) -> DataFrame:
     """Decode image payloads -> (media_id, width, height, mean_intensity).
 
     Real path (``fake=False``): P6 PPM payloads are decoded directly
-    (:func:`_decode_ppm` — real bytes, no codec needed); any other
-    format requires PIL on the executors. ``mean_intensity`` is the
+    (:func:`_decode_ppm`) and PNG payloads by the stdlib zlib parser
+    (:func:`_decode_png`) — real bytes, no codec needed for either;
+    any other format requires PIL on the executors. ``mean_intensity`` is the
     unweighted mean over raw RGB channel bytes under BOTH decode paths
     (the schema contract — never a luma-weighted grayscale mean). Stub path: header-packed dims
     + byte-mean as 'intensity' — deterministic, so tests can assert
@@ -161,6 +321,9 @@ def decode_images(df: DataFrame, fake: bool = True) -> DataFrame:
                     mean = round(sum(body) / len(body), 2)
                 elif raw.startswith(b"P6"):
                     w, h, mean = _decode_ppm(raw)
+                    mean = round(mean, 2)
+                elif raw.startswith(_PNG_SIG):
+                    w, h, mean = _decode_png(raw)
                     mean = round(mean, 2)
                 else:
                     from io import BytesIO
@@ -200,6 +363,26 @@ def synthesize_ppm_media(spark: SparkSession, n: int = 12, parts: int = 4) -> Da
         header = f"P6\n# ramp {i}\n{w} {h}\n255\n".encode()
         body = bytes((i + k) % 256 for k in range(w * h * 3))
         rows.append((i, "image", bytearray(header + body), (w, h, "ppm", 0, 0)))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(parts)
+
+
+def synthesize_png_media(spark: SparkSession, n: int = 10, parts: int = 4) -> DataFrame:
+    """Media table whose payloads are GENUINE PNG images (zlib IDAT,
+    CRC'd chunks): row i is a (8+i) x (6+i) RGB ramp where pixel byte k
+    has value (i + k) % 256 — the SAME pixel law as
+    :func:`synthesize_ppm_media`, so the two real decode paths must
+    agree bit-for-bit on dims and mean. Row i uses scanline filter
+    i % 5, so a full table exercises every PNG unfilter branch."""
+    import numpy as np
+
+    rows = []
+    for i in range(n):
+        w, h = 8 + i, 6 + i
+        px = np.array(
+            [(i + k) % 256 for k in range(w * h * 3)], dtype=np.uint8
+        ).reshape(h, w, 3)
+        payload = encode_png(px, filters=[(i + y) % 5 for y in range(h)])
+        rows.append((i, "image", bytearray(payload), (w, h, "png", 0, 0)))
     return spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(parts)
 
 
@@ -332,15 +515,27 @@ def extract_features(df: DataFrame, dim: int = FEATURE_DIM, fake: bool = True) -
 
 def resize_images(df: DataFrame, width: int, height: int, fake: bool = True) -> DataFrame:
     """Resize kernel. Stub path re-packs the header with the target dims
-    (payload body untouched). Real path: P6 PPM payloads are resized
-    IN-CONTAINER with a codec-free nearest-neighbor resample (numpy
-    index mapping over the raw RGB grid, re-emitted as valid P6 bytes —
-    `decode_images(fake=False)` reads the output); other formats gate
-    on PIL."""
+    (payload body untouched). Real path: P6 PPM and PNG payloads are
+    resized IN-CONTAINER with a codec-free nearest-neighbor resample
+    (numpy index mapping over the raw RGB grid, re-emitted as valid
+    bytes in the SAME format — `decode_images(fake=False)` reads the
+    output); other formats gate on PIL."""
 
     def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import numpy as np
         import pandas as pd
+
+        def nn_resample(px, w, h):
+            # nearest-neighbor: target pixel (r, c) samples the source
+            # at floor((r + .5) * h / height) etc. — the standard NN
+            # grid mapping, deterministic
+            rows = np.minimum(
+                ((np.arange(height) + 0.5) * h / height).astype(int), h - 1
+            )
+            cols = np.minimum(
+                ((np.arange(width) + 0.5) * w / width).astype(int), w - 1
+            )
+            return px[rows][:, cols].astype(np.uint8)
 
         for pdf in batches:
             ids, payloads = [], []
@@ -350,20 +545,13 @@ def resize_images(df: DataFrame, width: int, height: int, fake: bool = True) -> 
                     out = struct.pack("<ii", width, height) + raw[8:]
                 elif raw.startswith(b"P6"):
                     w, h, px = _parse_ppm(raw)
-                    # nearest-neighbor: target pixel (r, c) samples the
-                    # source at floor((r + .5) * h / height) etc. — the
-                    # standard NN grid mapping, deterministic
-                    rows = np.minimum(
-                        ((np.arange(height) + 0.5) * h / height).astype(int), h - 1
-                    )
-                    cols = np.minimum(
-                        ((np.arange(width) + 0.5) * w / width).astype(int), w - 1
-                    )
-                    resized = px[rows][:, cols]
                     out = (
                         b"P6\n%d %d\n255\n" % (width, height)
-                        + resized.astype(np.uint8).tobytes()
+                        + nn_resample(px, w, h).tobytes()
                     )
+                elif raw.startswith(_PNG_SIG):
+                    w, h, px = _parse_png(raw)
+                    out = encode_png(nn_resample(px, w, h))
                 else:
                     from io import BytesIO
 
