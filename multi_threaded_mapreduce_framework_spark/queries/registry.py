@@ -42,6 +42,7 @@ _QUERY_MODULES = (
     "multi_threaded_mapreduce_framework_spark.queries.t2_cluster",
     "multi_threaded_mapreduce_framework_spark.queries.t2_mining",
     "multi_threaded_mapreduce_framework_spark.queries.layout",
+    "multi_threaded_mapreduce_framework_spark.queries.t2_train",
 )
 
 
@@ -103,6 +104,10 @@ _DRIVER_PRIORITY = (
     "q94_dedup_clusters",
     "q98_contamination",
     "q102_cc_star",
+    # --- new in round 4: debut driver row ---
+    "q127_vocab_ids",
+    "q128_train_holdout_leakage",
+    "q129_skipgram_pairs",
     # --- driver row from r02 (q55/q56 rows-only by contract) ---
     "q50_mapreduce_wordcount",
     "q51_tpch_q1",

@@ -318,3 +318,38 @@ def test_q116_model_join_no_cartesian(spark, sf_dir):
     plan = executed_plan(df)
     assert "CartesianProduct" not in plan
     assert has_partial_aggregate(df)
+
+
+def test_q129_skipgram_single_shuffle(spark, sf_dir):
+    """Skip-gram pair extraction is pure in-row expansion: the ONLY
+    exchange is the (center, context) count, with map-side combine."""
+    df = QUERIES["q129_skipgram_pairs"].builder(spark, sf_dir)
+    assert num_exchanges(df) == 1
+    assert has_partial_aggregate(df)
+
+
+def test_q127_vocab_window_sees_aggregate_only(spark, sf_dir):
+    """The vocab-id window is total-order (single partition) by design;
+    the plan is only scale-sane if the corpus-scale token count
+    aggregates BELOW it — partial agg present, and the window input is
+    the post-aggregate vocab, never raw tokens."""
+    df = QUERIES["q127_vocab_ids"].builder(spark, sf_dir)
+    assert has_partial_aggregate(df)
+    from multi_threaded_mapreduce_framework_spark.plans import executed_plan
+
+    plan = executed_plan(df)
+    # window must appear above the aggregate in the plan tree: the
+    # aggregate node is listed as the window's descendant, so the text
+    # order is Window ... HashAggregate
+    assert plan.index("Window") < plan.index("HashAggregate"), plan[:2000]
+
+
+def test_q128_leakage_no_cartesian(spark, sf_dir):
+    """The holdout-vs-train hit test is an equi-(semi-)join on the
+    shingle key — never a nested loop; per-doc re-agg keeps partial
+    aggregation."""
+    df = QUERIES["q128_train_holdout_leakage"].builder(spark, sf_dir)
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert has_partial_aggregate(df)
