@@ -45,6 +45,8 @@ def sf_of(sf_dir: str) -> float:
 
 def time_query(spark, q, sf_dir: str, runs: int) -> float:
     """Median wall-clock of `runs` warm executions (1 untimed warm-up)."""
+    import gc
+
     samples = []
     for i in range(runs + 1):
         t0 = time.time()
@@ -55,6 +57,15 @@ def time_query(spark, q, sf_dir: str, runs: int) -> float:
         dt = time.time() - t0
         if i > 0:  # skip warm-up sample
             samples.append(dt)
+    # Cross-query hygiene: checkpoint-heavy builders (q35/q94/q98/...)
+    # leave localCheckpoint RDD blocks in the block manager until the
+    # driver-side DataFrame objects are GC'd and ContextCleaner runs;
+    # without this, whatever queries FOLLOW them in declared order pay
+    # their memory pressure (measured +0.3-0.7s on the TPC-H band after
+    # the round-4 rotation reorder — isolation timings were unchanged).
+    del df
+    gc.collect()
+    spark.catalog.clearCache()
     return statistics.median(samples)
 
 
