@@ -108,6 +108,8 @@ _DRIVER_PRIORITY = (
     "q127_vocab_ids",
     "q128_train_holdout_leakage",
     "q129_skipgram_pairs",
+    "q130_sequence_packing",
+    "q131_kmeans_update",
     # --- driver row from r02 (q55/q56 rows-only by contract) ---
     "q50_mapreduce_wordcount",
     "q51_tpch_q1",

@@ -1,6 +1,7 @@
-"""Training-prep queries (q127-q129): vocabulary construction,
-train/holdout contamination at non-broadcastable reference scale, and
-skip-gram context-pair extraction.
+"""Training-prep queries (q127-q131): vocabulary construction,
+train/holdout contamination at non-broadcastable reference scale,
+skip-gram context-pair extraction, sequence packing, and a k-means
+centroid update over the embedding corpus.
 
 These extend the LLM-data-pipeline tier (SURVEY.md §2.3 T2) with the
 ops that turn a cleaned corpus into model inputs. Oracle-checked via
@@ -14,6 +15,9 @@ from pyspark.sql import Window
 
 from multi_threaded_mapreduce_framework_spark.queries.registry import register
 from multi_threaded_mapreduce_framework_spark.sources import load_table, spread_small_scan
+
+PACK_BUDGET = 512  # tokens per packed training sequence
+PACK_SHARDS = 16
 
 
 @register(
@@ -176,4 +180,140 @@ def q129_skipgram_pairs(spark, sf_dir):
         .select("pr.center", "pr.context")
         .groupBy("center", "context")
         .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@register(
+    "q130_sequence_packing",
+    tier="T2",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14)) AS BIGINT)
+           % {PACK_SHARDS} AS shard,
+         len(string_split(text, ' ')) AS ntok
+  FROM documents),
+c AS (
+  SELECT *, COALESCE(sum(ntok) OVER (PARTITION BY lang, shard ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+  FROM d)
+SELECT lang, shard, CAST(floor(cum / {PACK_BUDGET}) AS BIGINT) AS seq_id,
+       CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(ntok) AS BIGINT) AS n_tokens
+FROM c GROUP BY 1, 2, 3
+""",
+)
+def q130_sequence_packing(spark, sf_dir):
+    """Greedy contiguous sequence packing: concatenate documents in
+    stable doc_id order until the token budget (512) fills, emitting
+    one row per packed training sequence (lang, shard, seq_id) with its
+    doc count and token total — the batch-assembly step between a
+    cleaned corpus and a trainer. A document that straddles a budget
+    boundary belongs to the sequence where it STARTED (exclusive
+    running total div budget), so assignment is a pure window
+    expression with no iterative loop.
+
+    Scale shape: packing needs a total order, which does not exist
+    cheaply at 100 TB — so the order is declared per (lang, shard)
+    where shard is the q61-style md5 bucket of the doc key: 16 shards
+    x bounded per-shard window state, embarrassingly parallel across
+    shards, deterministic across engines/runs/cluster sizes (the same
+    reason q61 rejects rand()). One shuffle on the window partition
+    key; the final per-sequence rollup reuses the same partitioning.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    shard = (
+        F.expr(
+            "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 14), 16, 10) AS BIGINT)"
+        )
+        % PACK_SHARDS
+    )
+    d = docs.select(
+        "doc_id",
+        "lang",
+        shard.alias("shard"),
+        F.size(F.split("text", " ")).alias("ntok"),
+    )
+    w = (
+        Window.partitionBy("lang", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = d.withColumn("cum", F.coalesce(F.sum("ntok").over(w), F.lit(0)))
+    return (
+        c.select(
+            "lang",
+            "shard",
+            F.floor(F.col("cum") / PACK_BUDGET).cast("bigint").alias("seq_id"),
+            "ntok",
+        )
+        .groupBy("lang", "shard", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ntok").cast("bigint").alias("n_tokens"),
+        )
+    )
+
+
+@register(
+    "q131_kmeans_update",
+    tier="T2",
+    oracle="""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 8),
+asg AS (
+  SELECT vec_id, v, centroid_id FROM (
+    SELECT e.vec_id, e.v, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.v, c.cv) DESC,
+                      c.centroid_id) AS rn
+    FROM e CROSS JOIN c) WHERE rn = 1),
+comp AS (
+  SELECT centroid_id,
+         unnest(list_transform(generate_series(1, len(v)),
+                i -> struct_pack(pos := i - 1,
+                                 dval := CAST(v[i] AS DECIMAL(25,6))))) AS c
+  FROM asg)
+SELECT centroid_id, CAST(c.pos AS INTEGER) AS pos,
+       round(CAST(sum(CAST(c.dval AS DECIMAL(38,6))) AS DOUBLE) / count(*), 4)
+         + 0.0 AS mean_val,
+       CAST(count(*) AS BIGINT) AS n_members
+FROM comp GROUP BY 1, 2
+""",
+)
+def q131_kmeans_update(spark, sf_dir):
+    """One k-means update step over the embedding corpus: q39's
+    nearest-centroid assignment, then the new centroid as the
+    element-wise mean of each cluster's members — emitted as
+    (centroid_id, pos, mean_val, n_members) rows, the M-step a
+    clustering/semantic-dedup pipeline iterates.
+
+    FP discipline: a distributed float sum is summation-order-dependent
+    and would flip the oracle hash, so each component is cast to
+    DECIMAL(25,6) first — decimal sums are EXACT and associative, so
+    the aggregate is deterministic at any partitioning, and only the
+    final mean divides as double (rounded 4 dp, both engines). Scale
+    shape: assignment is the broadcast map-side pass (no corpus
+    shuffle); the only shuffle is the partial-agg sum on
+    (centroid_id, pos) — K x dim cells regardless of corpus size.
+    """
+    from multi_threaded_mapreduce_framework_spark.queries.t2_dedup import (
+        ivf_assignments,
+    )
+
+    asg = ivf_assignments(spark, sf_dir).select("centroid_id", "v")
+    comp = asg.select(
+        "centroid_id", F.posexplode("v").alias("pos", "val")
+    ).select(
+        "centroid_id",
+        "pos",
+        F.col("val").cast("decimal(25,6)").alias("dval"),
+    )
+    # + 0.0 canonicalizes IEEE -0.0 to +0.0 (a -0.000049 component mean
+    # rounds to -0.0 on one engine and 0.0 on the other otherwise)
+    return comp.groupBy("centroid_id", "pos").agg(
+        (
+            F.round(F.sum("dval").cast("double") / F.count(F.lit(1)), 4)
+            + F.lit(0.0)
+        ).alias("mean_val"),
+        F.count(F.lit(1)).alias("n_members"),
     )

@@ -353,3 +353,19 @@ def test_q128_leakage_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert has_partial_aggregate(df)
+
+
+def test_q130_packing_single_shuffle(spark, sf_dir):
+    """Window partition key and rollup key coincide: one exchange total."""
+    df = QUERIES["q130_sequence_packing"].builder(spark, sf_dir)
+    assert num_exchanges(df) == 1
+    assert has_partial_aggregate(df)
+
+
+def test_q131_centroids_broadcast(spark, sf_dir):
+    """The 8-centroid scoring side must broadcast (corpus never
+    shuffles for assignment); the mean aggregate keeps partial agg."""
+    df = QUERIES["q131_kmeans_update"].builder(spark, sf_dir)
+    plan = executed_plan(df)
+    assert "Broadcast" in plan
+    assert has_partial_aggregate(df)
