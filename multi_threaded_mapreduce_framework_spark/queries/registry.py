@@ -110,6 +110,8 @@ _DRIVER_PRIORITY = (
     "q129_skipgram_pairs",
     "q130_sequence_packing",
     "q131_kmeans_update",
+    "q132_quality_gates",
+    "q133_embedding_outliers",
     # --- driver row from r02 (q55/q56 rows-only by contract) ---
     "q50_mapreduce_wordcount",
     "q51_tpch_q1",

@@ -1,7 +1,7 @@
-"""Training-prep queries (q127-q131): vocabulary construction,
+"""Training-prep queries (q127-q133): vocabulary construction,
 train/holdout contamination at non-broadcastable reference scale,
-skip-gram context-pair extraction, sequence packing, and a k-means
-centroid update over the embedding corpus.
+skip-gram context-pair extraction, sequence packing, a k-means
+centroid update, hard quality gates, and embedding-space outliers.
 
 These extend the LLM-data-pipeline tier (SURVEY.md §2.3 T2) with the
 ops that turn a cleaned corpus into model inputs. Oracle-checked via
@@ -316,4 +316,157 @@ def q131_kmeans_update(spark, sf_dir):
             + F.lit(0.0)
         ).alias("mean_val"),
         F.count(F.lit(1)).alias("n_members"),
+    )
+
+
+@register(
+    "q132_quality_gates",
+    tier="T2",
+    oracle="""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws, text FROM documents),
+m AS (
+  SELECT doc_id, len(ws) AS n_tokens,
+         length(replace(text, ' ', '')) / CAST(len(ws) AS DOUBLE) AS mwl,
+         len(list_filter(ws, w -> w IN ('the', 'a')))
+           / CAST(len(ws) AS DOUBLE) AS stopf,
+         list_max(list_transform(list_distinct(ws),
+                  w -> len(list_filter(ws, x -> x = w))))
+           / CAST(len(ws) AS DOUBLE) AS topf
+  FROM t)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST((CASE WHEN n_tokens < 15 OR n_tokens > 1000 THEN 1 ELSE 0 END)
+          + (CASE WHEN mwl < 3.0 OR mwl > 8.0 THEN 2 ELSE 0 END)
+          + (CASE WHEN stopf > 0.15 THEN 4 ELSE 0 END)
+          + (CASE WHEN topf > 0.2 THEN 8 ELSE 0 END) AS BIGINT) AS fail_mask,
+       CAST(CASE WHEN n_tokens BETWEEN 15 AND 1000
+                  AND mwl BETWEEN 3.0 AND 8.0
+                  AND stopf <= 0.15 AND topf <= 0.2
+            THEN 1 ELSE 0 END AS INTEGER) AS keep
+FROM m
+""",
+)
+def q132_quality_gates(spark, sf_dir):
+    """Gopher-style rule-based quality gating: per document, four
+    heuristic gates (token count 15..1000, mean word length 3..8,
+    stopword fraction <= 0.15, max single-token share <= 0.2) emitted
+    as a fail bitmask plus the final keep flag — the explainable filter
+    report a curation pipeline audits before dropping data (q31's
+    score is the soft-ranking cousin; these are the hard gates).
+
+    Scale shape: every gate is an IN-ROW array expression over the
+    tokenized doc (the top-token share is O(distinct x n) per row —
+    bounded by doc length, never corpus size; corpus-scale repetition
+    detection is q96's aggregate form). Zero joins, zero shuffles: the
+    report is map-side and the predicate pushes into any downstream
+    scan that filters on keep.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.size(F.split("text", " "))
+    mwl = F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) / n.cast("double")
+    stopf = F.expr(
+        "size(filter(split(text, ' '), w -> w = 'the' OR w = 'a'))"
+    ) / n.cast("double")
+    topf = F.expr(
+        "array_max(transform(array_distinct(split(text, ' ')),"
+        " w -> size(filter(split(text, ' '), x -> x = w))))"
+    ) / n.cast("double")
+    gate_len = (n < 15) | (n > 1000)
+    gate_mwl = (mwl < 3.0) | (mwl > 8.0)
+    gate_stop = stopf > 0.15
+    gate_top = topf > 0.2
+    mask = (
+        F.when(gate_len, 1).otherwise(0)
+        + F.when(gate_mwl, 2).otherwise(0)
+        + F.when(gate_stop, 4).otherwise(0)
+        + F.when(gate_top, 8).otherwise(0)
+    )
+    return docs.select(
+        "doc_id",
+        n.cast("bigint").alias("n_tokens"),
+        mask.cast("bigint").alias("fail_mask"),
+        F.when(gate_len | gate_mwl | gate_stop | gate_top, 0)
+        .otherwise(1)
+        .cast("int")
+        .alias("keep"),
+    )
+
+
+@register(
+    "q133_embedding_outliers",
+    tier="T2",
+    oracle="""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 8),
+asg AS (
+  SELECT vec_id, centroid_id,
+         CAST(sim AS DECIMAL(18,6)) AS dsim FROM (
+    SELECT e.vec_id, c.centroid_id,
+           list_cosine_similarity(e.v, c.cv) AS sim,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.v, c.cv) DESC,
+                      c.centroid_id) AS rn
+    FROM e CROSS JOIN c) WHERE rn = 1),
+stats AS (
+  SELECT centroid_id, count(*) AS n,
+         sum(CAST(dsim AS DECIMAL(38,6))) AS s1,
+         sum(CAST(dsim * dsim AS DECIMAL(38,12))) AS s2
+  FROM asg GROUP BY centroid_id),
+sc AS (
+  SELECT a.vec_id, a.centroid_id,
+         CAST(a.dsim AS DOUBLE) AS sim,
+         CAST(s.s1 AS DOUBLE) / s.n AS mu,
+         sqrt(greatest(CAST(s.s2 AS DOUBLE) / s.n
+              - (CAST(s.s1 AS DOUBLE) / s.n) * (CAST(s.s1 AS DOUBLE) / s.n),
+              0.0)) AS sd
+  FROM asg a JOIN stats s USING (centroid_id) WHERE s.n >= 5)
+SELECT vec_id, centroid_id, round(sim, 4) AS cos_sim,
+       round((sim - mu) / sd, 2) + 0.0 AS z
+FROM sc WHERE sd > 1e-9 AND (sim - mu) / sd <= -1.5
+""",
+)
+def q133_embedding_outliers(spark, sf_dir):
+    """Embedding-space outlier report: vectors sitting far below their
+    own cluster's typical centroid similarity (z <= -1.5 within the
+    q39 assignment) — the mislabeled/garbage-sample sweep a semantic
+    curation pipeline runs after clustering.
+
+    FP discipline (same device as q131): per-cluster mean/std come from
+    (n, sum, sum-of-squares) with each similarity cast to DECIMAL
+    first, so the distributed sums are EXACT and associative — the
+    oracle cannot drift with partitioning or summation order; only the
+    final mu/sd/z math runs in double, identically on both engines.
+    Scale shape: broadcast 8-centroid scoring (no corpus shuffle), one
+    partial-agg shuffle to K stat rows, broadcast-join back, map-side
+    z filter. Clusters under 5 members are skipped (no meaningful std).
+    """
+    from multi_threaded_mapreduce_framework_spark.queries.t2_dedup import (
+        ivf_assignments,
+    )
+
+    asg = ivf_assignments(spark, sf_dir).select(
+        "vec_id", "centroid_id", F.col("sim").cast("decimal(18,6)").alias("dsim")
+    )
+    stats = asg.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("dsim").cast("decimal(38,6)")).alias("s1"),
+        F.sum((F.col("dsim") * F.col("dsim")).cast("decimal(38,12)")).alias("s2"),
+    )
+    mu = F.col("s1").cast("double") / F.col("n")
+    sd = F.sqrt(
+        F.greatest(
+            F.col("s2").cast("double") / F.col("n") - mu * mu, F.lit(0.0)
+        )
+    )
+    sim = F.col("dsim").cast("double")
+    z = (sim - mu) / sd
+    return (
+        asg.join(F.broadcast(stats.filter(F.col("n") >= 5)), "centroid_id")
+        .withColumn("sd_", sd)
+        .filter((F.col("sd_") > 1e-9) & (z <= -1.5))
+        .select(
+            "vec_id",
+            "centroid_id",
+            F.round(sim, 4).alias("cos_sim"),
+            (F.round(z, 2) + F.lit(0.0)).alias("z"),
+        )
     )

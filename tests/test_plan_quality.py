@@ -369,3 +369,18 @@ def test_q131_centroids_broadcast(spark, sf_dir):
     plan = executed_plan(df)
     assert "Broadcast" in plan
     assert has_partial_aggregate(df)
+
+
+def test_q132_gates_no_shuffle(spark, sf_dir):
+    """The quality-gate report is a pure map-side pass: zero exchanges."""
+    df = QUERIES["q132_quality_gates"].builder(spark, sf_dir)
+    assert num_exchanges(df) == 0
+
+
+def test_q133_stats_join_broadcast(spark, sf_dir):
+    """Cluster stats (K rows) broadcast back to the assignment side; the
+    corpus never shuffles for the z filter."""
+    df = QUERIES["q133_embedding_outliers"].builder(spark, sf_dir)
+    plan = executed_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert has_partial_aggregate(df)
