@@ -112,6 +112,7 @@ _DRIVER_PRIORITY = (
     "q131_kmeans_update",
     "q132_quality_gates",
     "q133_embedding_outliers",
+    "q134_bm25_topk",
     # --- driver row from r02 (q55/q56 rows-only by contract) ---
     "q50_mapreduce_wordcount",
     "q51_tpch_q1",

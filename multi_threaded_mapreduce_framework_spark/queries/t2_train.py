@@ -1,7 +1,8 @@
-"""Training-prep queries (q127-q133): vocabulary construction,
+"""Training-prep queries (q127-q134): vocabulary construction,
 train/holdout contamination at non-broadcastable reference scale,
 skip-gram context-pair extraction, sequence packing, a k-means
-centroid update, hard quality gates, and embedding-space outliers.
+centroid update, hard quality gates, embedding-space outliers, and
+BM25 lexical retrieval.
 
 These extend the LLM-data-pipeline tier (SURVEY.md §2.3 T2) with the
 ops that turn a cleaned corpus into model inputs. Oracle-checked via
@@ -469,4 +470,78 @@ def q133_embedding_outliers(spark, sf_dir):
             F.round(sim, 4).alias("cos_sim"),
             (F.round(z, 2) + F.lit(0.0)).alias("z"),
         )
+    )
+
+
+BM25_TERMS = ("spark", "join", "hash")
+BM25_K1, BM25_B = 1.2, 0.75
+
+
+@register(
+    "q134_bm25_topk",
+    tier="T2",
+    oracle=f"""
+WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM d),
+tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       WHERE term IN ('spark', 'join', 'hash') GROUP BY 1, 2),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+sc AS (
+  SELECT tf.doc_id,
+         sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1)
+             * tf * ({BM25_K1} + 1)
+             / (tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl / avgdl))) AS s
+  FROM tf JOIN df USING (term) JOIN d USING (doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id)
+SELECT doc_id, round(s, 4) AS bm25
+FROM sc ORDER BY round(s, 4) DESC, doc_id LIMIT 15
+""",
+)
+def q134_bm25_topk(spark, sf_dir):
+    """BM25 retrieval (Robertson/Lucene idf, k1=1.2, b=0.75): top-15
+    documents for a fixed query term set — the lexical-retrieval step a
+    curation pipeline runs to find benchmark-adjacent or topic-targeted
+    documents (the sparse complement of q28's dense cosine top-k).
+
+    Scale shape: the term filter applies DIRECTLY under the tokenize
+    explode, so only query-term occurrences ever shuffle (|Q| terms,
+    not the corpus vocabulary); df derives from the tf rows (no second
+    scan); doc length is an in-row expression on the scan. The df table
+    (<= |Q| rows) and the 1-row (N, avgdl) aggregate broadcast; scoring
+    is map-side and TakeOrdered finishes without a global sort. Scores
+    round BEFORE ordering so rank boundaries match across engines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", F.size(F.split("text", " ")).alias("dl"))
+    stats = d.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term").isin(*BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
+    )
+    score = (
+        idf
+        * F.col("tf")
+        * (BM25_K1 + 1)
+        / (
+            F.col("tf")
+            + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    return (
+        tf.join(F.broadcast(df), "term")
+        .join(d, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(score), 4).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(15)
     )

@@ -384,3 +384,14 @@ def test_q133_stats_join_broadcast(spark, sf_dir):
     plan = executed_plan(df)
     assert "BroadcastHashJoin" in plan
     assert has_partial_aggregate(df)
+
+
+def test_q134_term_filter_before_shuffle(spark, sf_dir):
+    """Only query-term occurrences shuffle: the isin filter sits under
+    the tf aggregate, df broadcasts, and top-k is TakeOrdered (no
+    global sort)."""
+    df = QUERIES["q134_bm25_topk"].builder(spark, sf_dir)
+    plan = executed_plan(df)
+    assert "TakeOrdered" in plan
+    assert "BroadcastHashJoin" in plan
+    assert has_partial_aggregate(df)
