@@ -295,3 +295,86 @@ def test_resize_ppm_real_path(spark):
     for mid, r in rows.items():
         _, _, px = _parse_ppm(src[mid])
         assert px.min() <= r.mean_intensity <= px.max()
+
+
+def test_png_roundtrip_property():
+    """Property: encode_png -> _parse_png is the identity on arbitrary
+    8-bit RGB rasters under arbitrary per-row filter choices."""
+    import numpy as np
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from multi_threaded_mapreduce_framework_spark.operators.multimodal import (
+        _parse_png,
+        encode_png,
+    )
+
+    @settings(
+        max_examples=40,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        w=st.integers(1, 12),
+        h=st.integers(1, 12),
+        seed=st.integers(0, 2**31 - 1),
+        data=st.data(),
+    )
+    def inner(w, h, seed, data):
+        rng = np.random.default_rng(seed)
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        filters = data.draw(
+            st.lists(st.integers(0, 4), min_size=h, max_size=h)
+        )
+        got_w, got_h, got = _parse_png(encode_png(px, filters=filters))
+        assert (got_w, got_h) == (w, h)
+        assert np.array_equal(got, px)
+
+    inner()
+
+
+def test_binaryfile_source_to_decode(spark, tmp_path):
+    """The documented media-lake ingestion path end to end on REAL
+    bytes: PNG files on disk -> spark.read.format('binaryFile') ->
+    schema-mapped media table -> decode_images(fake=False)."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from multi_threaded_mapreduce_framework_spark.operators.multimodal import (
+        encode_png,
+    )
+
+    for i in range(5):
+        w, h = 6 + i, 4 + i
+        px = np.arange(w * h * 3, dtype=np.int64).reshape(h, w, 3) % 256
+        (tmp_path / f"img-{i}.png").write_bytes(
+            encode_png(px.astype(np.uint8), filters=[i % 5] * h)
+        )
+    lake = spark.read.format("binaryFile").load(str(tmp_path))
+    media = lake.select(
+        F.regexp_extract(F.col("path"), r"img-(\d+)\.png", 1)
+        .cast("bigint")
+        .alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.col("content").alias("payload"),
+    )
+    rows = {r.media_id: r for r in decode_images(media, fake=False).collect()}
+    assert len(rows) == 5
+    for i, r in rows.items():
+        w, h = 6 + i, 4 + i
+        assert (r.width, r.height) == (w, h)
+        expected = round(
+            float((np.arange(w * h * 3) % 256).mean()), 2
+        )
+        assert r.mean_intensity == expected
+
+
+def test_layout_tag_is_session_unique(spark):
+    """Derived-layout paths/table names embed the applicationId, so two
+    concurrent sessions on the same sf can never collide (ADVICE r3)."""
+    from multi_threaded_mapreduce_framework_spark.sources import layout_tag
+
+    tag = layout_tag(spark, "/root/testdata/sf0.01")
+    app = spark.sparkContext.applicationId.replace("-", "_").replace(".", "_")
+    assert tag == f"sf0_01_{app}"
+    assert "-" not in tag and "." not in tag  # catalog-identifier safe
