@@ -9,6 +9,10 @@ from multi_threaded_mapreduce_framework_spark.operators.mapreduce import (
     run_mapreduce_arrow,
     start_mapreduce_job,
 )
+from multi_threaded_mapreduce_framework_spark.operators.observe import (
+    observed_filter,
+    observed_quality_gates,
+)
 
 __all__ = [
     "JobHandle",
@@ -17,4 +21,6 @@ __all__ = [
     "run_mapreduce",
     "run_mapreduce_arrow",
     "start_mapreduce_job",
+    "observed_filter",
+    "observed_quality_gates",
 ]
