@@ -43,6 +43,7 @@ _QUERY_MODULES = (
     "multi_threaded_mapreduce_framework_spark.queries.t2_mining",
     "multi_threaded_mapreduce_framework_spark.queries.layout",
     "multi_threaded_mapreduce_framework_spark.queries.t2_train",
+    "multi_threaded_mapreduce_framework_spark.queries.t2_scale",
 )
 
 
@@ -113,6 +114,13 @@ _DRIVER_PRIORITY = (
     "q132_quality_gates",
     "q133_embedding_outliers",
     "q134_bm25_topk",
+    "q135_heavy_hitter_shingles",
+    "q136_bloom_prefilter_join",
+    "q137_zorder_skipping",
+    "q138_bpe_pair_counts",
+    "q139_pps_systematic_sample",
+    "q140_char_entropy",
+    "q141_mad_outliers",
     # --- driver row from r02 (q55/q56 rows-only by contract) ---
     "q50_mapreduce_wordcount",
     "q51_tpch_q1",
