@@ -44,6 +44,7 @@ _QUERY_MODULES = (
     "multi_threaded_mapreduce_framework_spark.queries.layout",
     "multi_threaded_mapreduce_framework_spark.queries.t2_train",
     "multi_threaded_mapreduce_framework_spark.queries.t2_scale",
+    "multi_threaded_mapreduce_framework_spark.queries.t2_assoc",
 )
 
 
@@ -121,6 +122,10 @@ _DRIVER_PRIORITY = (
     "q139_pps_systematic_sample",
     "q140_char_entropy",
     "q141_mad_outliers",
+    "q142_copurchase_pairs",
+    "q143_pmi_bigrams",
+    "q144_incremental_agg_merge",
+    "q145_time_weighted_avg",
     # --- driver row from r02 (q55/q56 rows-only by contract) ---
     "q50_mapreduce_wordcount",
     "q51_tpch_q1",

@@ -1,0 +1,270 @@
+"""Association statistics + incremental maintenance (q142-q145):
+market-basket co-purchase pairs without a self-join, bigram PMI with
+vocab-side marginal joins, algebraic incremental aggregate merge (the
+no-rescan view-maintenance pattern), and time-weighted averaging over
+irregular event streams.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pyspark.sql.functions as F
+from pyspark.sql import Window
+
+from multi_threaded_mapreduce_framework_spark.queries.registry import register
+from multi_threaded_mapreduce_framework_spark.sources import layout_tag, load_table
+
+
+@register(
+    "q142_copurchase_pairs",
+    tier="T2",
+    oracle="""
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS p1, b.l_partkey AS p2, CAST(count(*) AS BIGINT) AS cnt
+FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+ORDER BY cnt DESC, p1, p2 LIMIT 25
+""",
+)
+def q142_copurchase_pairs(spark, sf_dir):
+    """Top-25 co-purchased part pairs (market-basket affinity, the seed
+    statistic of recommenders and frequent-itemset miners).
+
+    Scale shape: the textbook formulation — the oracle's DISTINCT
+    self-join on l_orderkey — shuffles the fact table twice and
+    explodes quadratically on large orders.  Here each order collapses
+    ONCE to its sorted distinct part array (partial-agg shuffle), and
+    pairs expand IN-ROW from that array, bounded by basket size
+    squared, never by table size; pair counting is a second
+    partial-agg shuffle over the (sparse) pair domain.  At 100 TB a
+    per-basket size cap is one `filter(size(ps) <= B)` away — the
+    expansion cost is visible and governable, unlike a join blowup.
+    Deterministic top-k: cnt desc, then (p1, p2)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.array_distinct(F.collect_list("l_partkey"))).alias("ps")
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ps, (x, i) ->"
+                " transform(slice(ps, i + 2, size(ps)), y -> struct(x AS p1, y AS p2))))"
+            )
+        ).alias("pr")
+    )
+    return (
+        pairs.select("pr.p1", "pr.p2")
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("p1"), F.asc("p2"))
+        .limit(25)
+    )
+
+
+@register(
+    "q143_pmi_bigrams",
+    tier="T2",
+    oracle="""
+WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+m AS (SELECT t, CAST(count(*) AS BIGINT) AS cx FROM tok GROUP BY t),
+nt AS (SELECT CAST(count(*) AS BIGINT) AS ntok FROM tok),
+bg AS (
+  SELECT ws[i] AS t1, ws[i + 1] AS t2
+  FROM (SELECT string_split(text, ' ') AS ws FROM documents),
+       LATERAL unnest(range(1, greatest(len(ws), 1))) AS u(i)
+),
+bc AS (SELECT t1, t2, CAST(count(*) AS BIGINT) AS cxy FROM bg GROUP BY 1, 2),
+nb AS (SELECT CAST(count(*) AS BIGINT) AS nbig FROM bg)
+SELECT t1, t2, cxy,
+       round(log2((CAST(cxy AS DOUBLE) / nbig)
+             / ((CAST(a.cx AS DOUBLE) / ntok) * (CAST(b.cx AS DOUBLE) / ntok))), 4)
+         AS pmi
+FROM bc JOIN m a ON bc.t1 = a.t JOIN m b ON bc.t2 = b.t, nt, nb
+WHERE cxy >= 5
+  AND round(log2((CAST(cxy AS DOUBLE) / nbig)
+        / ((CAST(a.cx AS DOUBLE) / ntok) * (CAST(b.cx AS DOUBLE) / ntok))), 4) >= 0.2
+""",
+)
+def q143_pmi_bigrams(spark, sf_dir):
+    """Pointwise mutual information for adjacent token bigrams
+    (collocation mining: which word pairs co-occur far above chance) —
+    all pairs with support >= 5 and rounded PMI >= 0.2.
+
+    Scale shape: exactly two corpus-sized passes (token count, bigram
+    count), both map-side-combining partial aggregates; the marginal
+    joins run on the AGGREGATED vocab/pair tables, with the
+    vocab-bounded marginals broadcast, the two scalars (token and
+    bigram totals) as 1-row broadcasts.  Thresholding on the ROUNDED
+    PMI keeps the boundary engine-exact; no top-k, so no ordering on a
+    computed double."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(F.split("text", " ")).alias("t"))
+    marg = tok.groupBy("t").agg(F.count(F.lit(1)).alias("cx"))
+    # scalar totals re-aggregate the VOCAB/PAIR tables — no second or
+    # third corpus scan
+    ntok = marg.agg(F.sum("cx").alias("ntok"))
+    bg = docs.select(F.split("text", " ").alias("ws")).select(
+        F.explode(
+            F.expr(
+                "transform(slice(ws, 1, greatest(size(ws) - 1, 0)),"
+                " (w, i) -> struct(w AS t1, ws[i + 1] AS t2))"
+            )
+        ).alias("b")
+    ).select("b.t1", "b.t2")
+    bc = bg.groupBy("t1", "t2").agg(F.count(F.lit(1)).alias("cxy"))
+    nbig = bc.agg(F.sum("cxy").alias("nbig"))
+    m1 = marg.select(F.col("t").alias("t1"), F.col("cx").alias("cx1"))
+    m2 = marg.select(F.col("t").alias("t2"), F.col("cx").alias("cx2"))
+    pmi = F.round(
+        F.log2(
+            (F.col("cxy").cast("double") / F.col("nbig"))
+            / (
+                (F.col("cx1").cast("double") / F.col("ntok"))
+                * (F.col("cx2").cast("double") / F.col("ntok"))
+            )
+        ),
+        4,
+    )
+    return (
+        bc.filter(F.col("cxy") >= 5)
+        .join(F.broadcast(m1), "t1")
+        .join(F.broadcast(m2), "t2")
+        .join(F.broadcast(ntok))
+        .join(F.broadcast(nbig))
+        .select("t1", "t2", "cxy", pmi.alias("pmi"))
+        .filter(F.col("pmi") >= 0.2)
+    )
+
+
+@register(
+    "q144_incremental_agg_merge",
+    tier="T1",
+    oracle="""
+SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+       CAST(count(*) AS BIGINT) AS cnt,
+       CAST(sum(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT)
+         AS sum_micro,
+       CAST(sum(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT))
+            // count(*) AS BIGINT) AS avg_micro
+FROM events
+GROUP BY 1, 2
+""",
+)
+def q144_incremental_agg_merge(spark, sf_dir):
+    """Incremental aggregate-view maintenance: 90% of events play the
+    role of already-ingested history whose PARTIAL aggregate state
+    (cnt, sum per (event_type, day)) is persisted to parquet; the
+    other 10% arrive as a delta batch.  The refreshed view = stored
+    partials UNION delta partials, re-aggregated — count-of-counts and
+    sum-of-sums, never a rescan of history.
+
+    Scale shape: this is THE pattern that keeps a 100 TB rollup cheap:
+    the merge touches only the state table (bounded by the group
+    domain — here 150 rows — not by history size) plus the delta.  It
+    works because count/sum are algebraic (mergeable); avg is derived
+    from the merged state, never averaged across batches.  The oracle
+    recomputes from all events, proving merge == full recompute."""
+    tag = layout_tag(spark, sf_dir)
+    base = os.path.join(tempfile.gettempdir(), "mtmrf_layout", tag, "agg_state")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        "value",
+    )
+
+    def partials(df):
+        # integer micro-units (q131's DECIMAL trick taken to its
+        # endpoint): partial sums are EXACT and associative, so
+        # merged-state == one-pass regardless of summation order, and
+        # the derived average (integer div) has no float rounding
+        # boundary for the two engines to disagree on
+        micro = F.expr("cast(cast(value as decimal(18,6)) * 1000000 as bigint)")
+        return df.groupBy("event_type", "day").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(micro).cast("bigint").alias("sum_micro"),
+        )
+
+    hist = ev.filter(F.pmod("event_id", F.lit(10)) != 9)
+    partials(hist).write.mode("overwrite").parquet(base)  # the stored view state
+    delta = ev.filter(F.pmod("event_id", F.lit(10)) == 9)
+    state = spark.read.parquet(base)
+    merged = (
+        state.unionByName(partials(delta))
+        .groupBy("event_type", "day")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("cnt"),
+            F.sum("sum_micro").cast("bigint").alias("sum_micro"),
+        )
+    )
+    return merged.select(
+        "event_type",
+        "day",
+        "cnt",
+        "sum_micro",
+        F.expr("sum_micro div cnt").cast("bigint").alias("avg_micro"),
+    )
+
+
+@register(
+    "q145_time_weighted_avg",
+    tier="T1",
+    oracle="""
+WITH o AS (
+  SELECT user_id, value, epoch_us(ts) AS us,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value * (nxt - us)) / sum(nxt - us), 4) AS twap,
+       round(sum(nxt - us) / 1000000.0, 4) AS span_seconds
+FROM o
+WHERE nxt IS NOT NULL
+GROUP BY user_id
+HAVING sum(nxt - us) > 0
+""",
+)
+def q145_time_weighted_avg(spark, sf_dir):
+    """Time-weighted average value per user (TWAP): each reading is
+    weighted by how long it remained current — the correct mean for
+    irregularly sampled telemetry/pricing, where the arithmetic mean
+    over-weights bursts.
+
+    Scale shape: one window pass partitioned by user (ordered by
+    (ts, event_id) — the unique-key tiebreak keeps the lead()
+    deterministic under equal timestamps), then a partial-agg groupBy
+    on the same key, which AQE can plan shuffle-free after the window
+    exchange.  Durations are integer MICROSECONDS (`unix_micros` /
+    `epoch_us`) so weights are engine-exact; only the final weighted
+    mean is floating point, rounded on both sides."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "user_id",
+        "value",
+        F.unix_micros("ts").alias("us"),
+        F.lead(F.unix_micros("ts")).over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    return (
+        o.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                F.sum(F.col("value") * (F.col("nxt") - F.col("us")))
+                / F.sum(F.col("nxt") - F.col("us"))
+            ).alias("tw"),
+            F.sum(F.col("nxt") - F.col("us")).alias("dt"),
+        )
+        .filter(F.col("dt") > 0)
+        .select(
+            "user_id",
+            "n_events",
+            F.round("tw", 4).alias("twap"),
+            F.round(F.col("dt") / 1000000.0, 4).alias("span_seconds"),
+        )
+    )

@@ -175,7 +175,13 @@ def q137_zorder_skipping(spark, sf_dir):
     are layout-independent, so the oracle runs on the raw parquet."""
     tag = layout_tag(spark, sf_dir)
     base = os.path.join(tempfile.gettempdir(), "mtmrf_layout", tag, "lineitem_zorder")
-    li = load_table(spark, sf_dir, "lineitem")
+    # project the layout to the columns this table serves before the
+    # rewrite — a real OPTIMIZE rewrites whole rows, but the write is
+    # the dominant cost here and the skipping demonstration only needs
+    # the clustered keys + measures
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
     # Normalize both keys to the full 16-bit range first (broadcast
     # 1-row min/max): raw interleaving of unequal domains degenerates
     # to a single-key sort, because the wider key's bits occupy all
