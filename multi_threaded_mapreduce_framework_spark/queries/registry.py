@@ -45,6 +45,7 @@ _QUERY_MODULES = (
     "multi_threaded_mapreduce_framework_spark.queries.t2_train",
     "multi_threaded_mapreduce_framework_spark.queries.t2_scale",
     "multi_threaded_mapreduce_framework_spark.queries.t2_assoc",
+    "multi_threaded_mapreduce_framework_spark.queries.t2_recon",
 )
 
 
@@ -126,6 +127,8 @@ _DRIVER_PRIORITY = (
     "q143_pmi_bigrams",
     "q144_incremental_agg_merge",
     "q145_time_weighted_avg",
+    "q146_snapshot_diff_merkle",
+    "q147_survivorship_merge",
     # --- driver row from r02 (q55/q56 rows-only by contract) ---
     "q50_mapreduce_wordcount",
     "q51_tpch_q1",

@@ -43,6 +43,11 @@ SHOWCASE = {
     "q130_sequence_packing": "the packing window and the per-sequence rollup share one (lang, shard) Exchange; no global sort node exists.",
     "q131_kmeans_update": "assignment is a BroadcastNestedLoopJoin against the 8-row centroid side (corpus never shuffles); the only Exchange is the (centroid, pos) partial-agg mean.",
     "q133_embedding_outliers": "cluster stats reduce to K rows and return as a BroadcastHashJoin build side; the z filter is map-side above the broadcast join.",
+    "q135_heavy_hitter_shingles": "the Misra-Gries sketch is a MapInPandas INSIDE the scan stage (no Exchange below it); only candidate-matched shingles reach the counting Exchange via a broadcast LeftSemi.",
+    "q136_bloom_prefilter_join": "the k-hash bit test (xxhash64 + element_at) is a map-side Filter under the lineitem scan, fed by a 1-row broadcast — rows that cannot join never reach the join Exchange.",
+    "q142_copurchase_pairs": "one lineitem scan, ZERO join nodes: baskets collapse in an ObjectHashAggregate, pairs expand in a Generate over the in-row array, then one partial-agg pair-count Exchange.",
+    "q144_incremental_agg_merge": "the merge side scans the tiny parquet STATE table + the delta only; both feed partial aggregates into one (event_type, day) Exchange — history is absent from the plan.",
+    "q146_snapshot_diff_merkle": "two digest aggregates (4096-row domain), a broadcast LeftSemi bucket drill-down on each side, and the final full-outer key join runs over dirty-bucket rows only.",
 }
 
 HEADER = """# PLANS — physical plans of representative queries
