@@ -14,6 +14,7 @@ import os
 import tempfile
 
 import pyspark.sql.functions as F
+from pyspark.sql import Window
 
 from multi_threaded_mapreduce_framework_spark.queries.registry import register
 from multi_threaded_mapreduce_framework_spark.sources import layout_tag, load_table
@@ -223,3 +224,91 @@ def q119_data_quality_audit(spark, sf_dir):
         variableColumnName="check_name",
         valueColumnName="violations",
     ).select(F.lit("lineitem").alias("tbl"), "check_name", "violations")
+
+
+@register(
+    "q149_skew_audit",
+    tier="T1",
+    oracle="""
+WITH l AS (
+  SELECT 'lineitem' AS tbl, 'l_orderkey' AS key_col,
+         CAST(l_orderkey AS VARCHAR) AS key_value,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM lineitem GROUP BY l_orderkey
+),
+o AS (
+  SELECT 'orders' AS tbl, 'o_custkey' AS key_col,
+         CAST(o_custkey AS VARCHAR) AS key_value,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM orders GROUP BY o_custkey
+),
+e AS (
+  SELECT 'events' AS tbl, 'event_type' AS key_col,
+         event_type AS key_value,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY event_type
+),
+u AS (SELECT * FROM l UNION ALL SELECT * FROM o UNION ALL SELECT * FROM e),
+r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY tbl ORDER BY cnt DESC, key_value) AS rk,
+         sum(cnt) OVER (PARTITION BY tbl) AS total
+  FROM u
+)
+SELECT tbl, key_col, key_value, cnt,
+       CAST(cnt * 10000 // total AS BIGINT) AS share_bp
+FROM r WHERE rk <= 5
+""",
+)
+def q149_skew_audit(spark, sf_dir):
+    """Pre-flight shuffle-skew audit: for each declared join/agg key
+    (lineitem.l_orderkey, orders.o_custkey, events.event_type), the 5
+    hottest values with their absolute count and basis-point share of
+    the table — the report that tells an operator which keys need
+    salting (q114) or AQE skew splitting BEFORE a 100 TB job runs.
+
+    Scale shape: per key a partial-agg count (map-side combine), then
+    rank/total windows over the AGGREGATED key-frequency table only —
+    the same domain-bounded-window discipline as q111/q127.  Shares
+    are integer basis points (``cnt * 10000 div total``), so the
+    report is engine-exact.  Deterministic top-5: count desc,
+    key_value asc."""
+    specs = [
+        ("lineitem", "l_orderkey"),
+        ("orders", "o_custkey"),
+        ("events", "event_type"),
+    ]
+    parts = []
+    for tbl, key in specs:
+        t = load_table(spark, sf_dir, tbl)
+        parts.append(
+            t.groupBy(F.col(key).cast("string").alias("key_value"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(
+                F.lit(tbl).alias("tbl"),
+                F.lit(key).alias("key_col"),
+                "key_value",
+                "cnt",
+            )
+        )
+    u = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    wr = Window.partitionBy("tbl").orderBy(F.desc("cnt"), F.asc("key_value"))
+    wt = Window.partitionBy("tbl")
+    return (
+        u.select(
+            "tbl",
+            "key_col",
+            "key_value",
+            "cnt",
+            F.row_number().over(wr).alias("rk"),
+            F.sum("cnt").over(wt).alias("total"),
+        )
+        .filter(F.col("rk") <= 5)
+        .select(
+            "tbl",
+            "key_col",
+            "key_value",
+            "cnt",
+            F.expr("cnt * 10000 div total").cast("bigint").alias("share_bp"),
+        )
+    )

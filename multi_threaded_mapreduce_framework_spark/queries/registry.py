@@ -129,6 +129,8 @@ _DRIVER_PRIORITY = (
     "q145_time_weighted_avg",
     "q146_snapshot_diff_merkle",
     "q147_survivorship_merge",
+    "q148_tokenize_to_ids",
+    "q149_skew_audit",
     # --- driver row from r02 (q55/q56 rows-only by contract) ---
     "q50_mapreduce_wordcount",
     "q51_tpch_q1",

@@ -545,3 +545,63 @@ def q134_bm25_topk(spark, sf_dir):
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(15)
     )
+
+
+@register(
+    "q148_tokenize_to_ids",
+    tier="T2",
+    oracle="""
+WITH cnt AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+  GROUP BY token
+),
+v AS (
+  SELECT token,
+         CAST(row_number() OVER (ORDER BY tf DESC, token) AS BIGINT) AS vid
+  FROM cnt QUALIFY vid <= 1000
+),
+tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN vid IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       CAST(coalesce(sum(vid), 0) AS BIGINT) AS ids_sum
+FROM tok LEFT JOIN v ON tok.token = v.token
+GROUP BY doc_id
+""",
+)
+def q148_tokenize_to_ids(spark, sf_dir):
+    """APPLY the q127 vocabulary: map every document's tokens to the
+    top-1000 vocab ids, reporting per-doc token count, OOV count, and
+    an id checksum — the encode step that turns a cleaned corpus into
+    model input ids.
+
+    Scale shape: the vocab is built once (partial-agg count + a window
+    over the AGGREGATED, domain-bounded vocab — q127's trick) and
+    capped at 1000 rows, so the apply step is a BROADCAST left join
+    under the tokenize explode: one corpus-sized pass, no corpus-side
+    shuffle until the per-doc re-agg on the already-carried doc_id.
+    Outputs are order-free scalars (counts + id checksum), so no
+    token-order reconstruction is needed for the contract."""
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    w = Window.orderBy(F.desc("tf"), F.asc("token"))
+    vocab = (
+        cnt.select(
+            "token", F.row_number().over(w).cast("bigint").alias("vid")
+        ).filter(F.col("vid") <= 1000)
+    )
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    return (
+        tok.join(F.broadcast(vocab), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.col("vid").isNull().cast("int")).cast("bigint").alias("n_oov"),
+            F.coalesce(F.sum("vid"), F.lit(0)).cast("bigint").alias("ids_sum"),
+        )
+    )

@@ -395,3 +395,23 @@ def test_q134_term_filter_before_shuffle(spark, sf_dir):
     assert "TakeOrdered" in plan
     assert "BroadcastHashJoin" in plan
     assert has_partial_aggregate(df)
+
+
+def test_q148_vocab_apply_is_broadcast(spark, sf_dir):
+    """The encode step must broadcast the capped vocab under the
+    tokenize explode — the corpus side shuffles only for the per-doc
+    re-aggregation."""
+    df = QUERIES["q148_tokenize_to_ids"].builder(spark, sf_dir)
+    plan = executed_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_q149_windows_run_on_aggregated_keys(spark, sf_dir):
+    """The rank/share windows must sit ABOVE the per-key count
+    aggregates (domain-bounded input), and each table contributes one
+    partial-agg pass."""
+    df = QUERIES["q149_skew_audit"].builder(spark, sf_dir)
+    assert has_partial_aggregate(df)
+    plan = executed_plan(df)
+    assert "HashAggregate" in plan and "Window" in plan, plan
