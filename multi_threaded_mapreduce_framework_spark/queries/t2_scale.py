@@ -193,12 +193,12 @@ def q137_zorder_skipping(spark, sf_dir):
         F.min("l_suppkey").alias("smin"),
         F.max("l_suppkey").alias("smax"),
     )
-    z = F.expr(
-        "aggregate(sequence(0, 15), cast(0 as bigint), (acc, i) -> acc"
-        " + shiftleft(cast(shiftright(pn, i) & 1 as bigint), 2 * i + 1)"
-        " + shiftleft(cast(shiftright(sn, i) & 1 as bigint), 2 * i))"
-    )
-    (
+    # Morton interleave by parallel bit-spread (x |= x<<8 &mask; <<4;
+    # <<2; <<1), staged through withColumn so codegen evaluates each
+    # step ONCE — ~3x cheaper per row than a 16-iteration aggregate()
+    # lambda, and the z column is computed twice (range-partition
+    # sampling + the real pass), doubling whatever it costs.
+    staged = (
         li.join(F.broadcast(rng))
         .withColumn(
             "pn", F.expr("(l_partkey - pmin) * 65535 div greatest(pmax - pmin, 1)")
@@ -206,7 +206,13 @@ def q137_zorder_skipping(spark, sf_dir):
         .withColumn(
             "sn", F.expr("(l_suppkey - smin) * 65535 div greatest(smax - smin, 1)")
         )
-        .withColumn("z", z)
+    )
+    for shift, mask in ((8, 16711935), (4, 252645135), (2, 858993459), (1, 1431655765)):
+        staged = staged.withColumn(
+            "pn", F.expr(f"(pn | shiftleft(pn, {shift})) & {mask}")
+        ).withColumn("sn", F.expr(f"(sn | shiftleft(sn, {shift})) & {mask}"))
+    (
+        staged.withColumn("z", F.expr("shiftleft(pn, 1) | sn"))
         .repartitionByRange(8, "z")
         .sortWithinPartitions("z")
         .drop("z", "pn", "sn", "pmin", "pmax", "smin", "smax")
