@@ -13,6 +13,11 @@ from multi_threaded_mapreduce_framework_spark.streaming.joins import (
     stream_stream_inner_join,
     stream_stream_left_join,
 )
+from multi_threaded_mapreduce_framework_spark.streaming.matview import (
+    compact_matview,
+    read_matview,
+    start_incremental_matview,
+)
 from multi_threaded_mapreduce_framework_spark.streaming.sinks import (
     foreach_batch_fanout,
     foreach_batch_parquet,
@@ -43,6 +48,9 @@ __all__ = [
     "stream_stream_left_join",
     "foreach_batch_fanout",
     "foreach_batch_parquet",
+    "compact_matview",
+    "read_matview",
+    "start_incremental_matview",
     "running_user_totals",
     "events_stream",
     "replay_events",

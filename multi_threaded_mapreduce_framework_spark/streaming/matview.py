@@ -1,0 +1,146 @@
+"""Stateless streaming materialized view: algebraic partial-aggregate
+maintenance with NO Spark state store.
+
+The standard streaming aggregate (``groupBy().agg()`` in update mode)
+keeps every group's running value in the state store — at billions of
+keys the state store IS the job's memory bill and restore time.  This
+module is the q144 pattern wired to a stream: each micro-batch writes
+only its OWN partial aggregates (count + exact integer micro-unit sum
+per key) to ``batch_id=N/``; the current view is reconstructed by
+re-aggregating the partials at READ time.  The stream stays fully
+stateless (append mode, no watermark, no state store), which means:
+
+- executor memory is bounded by one micro-batch, never by key count;
+- a replayed batch (same ``batch_id``) overwrites its own directory —
+  idempotent, so delivery is exactly-once on top of the checkpoint's
+  at-least-once (same discipline as ``streaming/sinks.py``);
+- reads cost one merge over #batches x #keys-per-batch rows, which is
+  why :func:`compact_matview` periodically folds everything into a
+  ``base/`` snapshot carrying a ``_watermark`` marker; batch dirs at
+  or below the watermark are ignored by readers (so a pathological
+  replay of an already-compacted batch cannot double count).
+
+Works because count/sum are ALGEBRAIC (mergeable): merged partials ==
+one-pass aggregate, bit-exact thanks to integer micro-units.  avg is
+derived at read; non-mergeable aggregates need sketches instead.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+_MICRO = "cast(cast(value as decimal(18,6)) * 1000000 as bigint)"
+_WM = "_watermark"
+
+
+def _partials(df: DataFrame, keys: list[str]) -> DataFrame:
+    return df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.expr(_MICRO)).cast("bigint").alias("sum_micro"),
+    )
+
+
+def start_incremental_matview(
+    stream_df: DataFrame,
+    keys: list[str],
+    state_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Maintain a (cnt, sum_micro)-per-key view of ``stream_df``
+    (needs a ``value`` column) under ``state_dir``.  Stateless: the
+    stream itself carries no aggregation."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        _partials(batch_df, keys).write.mode("overwrite").parquet(
+            f"{state_dir}/batch_id={batch_id}"
+        )
+
+    return (
+        stream_df.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(write_batch)
+        .start()
+    )
+
+
+def _watermark(state_dir: str) -> int:
+    path = os.path.join(state_dir, "base", _WM)
+    if os.path.exists(path):
+        with open(path) as f:
+            return int(f.read().strip())
+    return -1
+
+
+def read_matview(spark, state_dir: str, keys: list[str]) -> DataFrame:
+    """Current view = base snapshot + partials from batch dirs ABOVE
+    the compaction watermark, re-aggregated.  Exact at any moment."""
+    wm = _watermark(state_dir)
+    parts = []
+    base = os.path.join(state_dir, "base")
+    if os.path.isdir(base):
+        parts.append(spark.read.parquet(base).select(*keys, "cnt", "sum_micro"))
+    batch_dirs = [
+        os.path.join(state_dir, d)
+        for d in os.listdir(state_dir)
+        if d.startswith("batch_id=") and int(d.split("=", 1)[1]) > wm
+    ]
+    if batch_dirs:
+        parts.append(
+            spark.read.option("basePath", state_dir)
+            .parquet(*batch_dirs)
+            .select(*keys, "cnt", "sum_micro")
+        )
+    if not parts:
+        raise FileNotFoundError(f"no matview state under {state_dir}")
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return (
+        u.groupBy(*keys)
+        .agg(
+            F.sum("cnt").cast("bigint").alias("cnt"),
+            F.sum("sum_micro").cast("bigint").alias("sum_micro"),
+        )
+        .withColumn("avg_micro", F.expr("sum_micro div cnt").cast("bigint"))
+    )
+
+
+def compact_matview(spark, state_dir: str, keys: list[str]) -> int:
+    """Fold base + all batch partials into a fresh ``base/`` snapshot
+    whose ``_watermark`` records the highest folded batch id.  The
+    watermark travels INSIDE the base directory, so the reader sees
+    snapshot+watermark switch atomically with one rename.  Returns the
+    new watermark (-1 if there was nothing to fold)."""
+    ids = [
+        int(d.split("=", 1)[1])
+        for d in os.listdir(state_dir)
+        if d.startswith("batch_id=")
+    ]
+    wm_old = _watermark(state_dir)
+    fold = [i for i in ids if i > wm_old]
+    if not fold:
+        return wm_old
+    wm_new = max(fold)
+    snap = read_matview(spark, state_dir, keys).select(*keys, "cnt", "sum_micro")
+    tmp = os.path.join(state_dir, f"._base-{uuid.uuid4().hex[:8]}")
+    snap.coalesce(1).write.mode("overwrite").parquet(tmp)
+    with open(os.path.join(tmp, _WM), "w") as f:
+        f.write(str(wm_new))
+    base = os.path.join(state_dir, "base")
+    old = os.path.join(state_dir, f"._old-{uuid.uuid4().hex[:8]}")
+    if os.path.isdir(base):
+        os.rename(base, old)
+    os.rename(tmp, base)
+    if os.path.isdir(old):
+        shutil.rmtree(old)
+    # folded batch dirs are now redundant (reader ignores them via the
+    # watermark); remove to keep listings bounded
+    for i in fold:
+        shutil.rmtree(os.path.join(state_dir, f"batch_id={i}"), ignore_errors=True)
+    return wm_new

@@ -1,0 +1,115 @@
+"""Tests for the stateless streaming materialized view
+(streaming/matview.py): stream-vs-batch equality, replay idempotency,
+compaction watermark semantics."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from multi_threaded_mapreduce_framework_spark.sources import load_table
+from multi_threaded_mapreduce_framework_spark.streaming import (
+    compact_matview,
+    kafka_wire_stream,
+    parse_events,
+    read_matview,
+    start_incremental_matview,
+    write_kafka_replay,
+)
+from multi_threaded_mapreduce_framework_spark.streaming.matview import (
+    _partials,
+    _watermark,
+)
+
+SF = "/root/testdata/sf0.001"
+KEYS = ["event_type"]
+
+
+@pytest.fixture(scope="module")
+def wire_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("mv_wire"))
+    write_kafka_replay(spark, SF, d, n_chunks=3)
+    return d
+
+
+def _batch_truth(spark):
+    return (
+        load_table(spark, SF, "events")
+        .groupBy(*KEYS)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            F.sum(F.expr("cast(cast(value as decimal(18,6)) * 1000000 as bigint)"))
+            .cast("bigint")
+            .alias("sum_micro"),
+        )
+        .withColumn("avg_micro", F.expr("sum_micro div cnt").cast("bigint"))
+    )
+
+
+def test_matview_converges_to_batch_aggregate(spark, wire_dir, tmp_path):
+    state = str(tmp_path / "state")
+    q = start_incremental_matview(
+        parse_events(kafka_wire_stream(spark, wire_dir)),
+        KEYS,
+        state,
+        str(tmp_path / "ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = read_matview(spark, state, KEYS)
+    truth = _batch_truth(spark)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, truth.collect()))
+    # stream stayed stateless: multiple batch dirs, no state-store agg
+    assert len([d for d in os.listdir(state) if d.startswith("batch_id=")]) >= 2
+
+
+def test_matview_compaction_preserves_view_and_prunes_dirs(spark, wire_dir, tmp_path):
+    state = str(tmp_path / "state")
+    q = start_incremental_matview(
+        parse_events(kafka_wire_stream(spark, wire_dir)),
+        KEYS,
+        state,
+        str(tmp_path / "ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    before = sorted(map(tuple, read_matview(spark, state, KEYS).collect()))
+    wm = compact_matview(spark, state, KEYS)
+    assert wm >= 0 and _watermark(state) == wm
+    assert [d for d in os.listdir(state) if d.startswith("batch_id=")] == []
+    after = sorted(map(tuple, read_matview(spark, state, KEYS).collect()))
+    assert before == after
+    # idempotent: a second compaction with nothing new is a no-op
+    assert compact_matview(spark, state, KEYS) == wm
+
+
+def test_matview_replayed_batch_is_idempotent(spark, tmp_path):
+    """Writing the same batch_id twice (Spark's replay contract) must
+    not double count — and a replay of an already-COMPACTED batch is
+    ignored via the watermark."""
+    state = str(tmp_path / "state")
+    ev = load_table(spark, SF, "events").limit(500)
+    part = _partials(ev, KEYS)
+    part.write.mode("overwrite").parquet(f"{state}/batch_id=0")
+    part.write.mode("overwrite").parquet(f"{state}/batch_id=0")  # replay
+    v1 = sorted(map(tuple, read_matview(spark, state, KEYS).collect()))
+    direct = sorted(
+        map(
+            tuple,
+            part.withColumn(
+                "avg_micro", F.expr("sum_micro div cnt").cast("bigint")
+            ).collect(),
+        )
+    )
+    assert v1 == direct
+    compact_matview(spark, state, KEYS)
+    # pathological post-compaction replay of batch 0: reader must ignore it
+    part.write.mode("overwrite").parquet(f"{state}/batch_id=0")
+    v2 = sorted(map(tuple, read_matview(spark, state, KEYS).collect()))
+    assert v2 == v1
