@@ -131,6 +131,7 @@ _DRIVER_PRIORITY = (
     "q147_survivorship_merge",
     "q148_tokenize_to_ids",
     "q149_skew_audit",
+    "q150_triangle_count",
     # --- driver row from r02 (q55/q56 rows-only by contract) ---
     "q50_mapreduce_wordcount",
     "q51_tpch_q1",

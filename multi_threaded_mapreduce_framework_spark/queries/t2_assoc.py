@@ -268,3 +268,102 @@ def q145_time_weighted_avg(spark, sf_dir):
             F.round(F.col("dt") / 1000000.0, 4).alias("span_seconds"),
         )
     )
+
+
+@register(
+    "q150_triangle_count",
+    tier="T2",
+    oracle="""
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+  FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+)
+SELECT (SELECT CAST(count(*) AS BIGINT)
+        FROM (SELECT p1 AS v FROM e UNION SELECT p2 FROM e)) AS n_vertices,
+       (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+       (SELECT CAST(count(*) AS BIGINT)
+        FROM e e1 JOIN e e2 ON e1.p2 = e2.p1
+        JOIN e e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2) AS n_triangles
+""",
+)
+def q150_triangle_count(spark, sf_dir):
+    """Triangle census of the co-purchase graph (edges = part pairs
+    bought together in >= 2 orders, q142's edge law): vertex/edge
+    counts plus the global triangle count — the clustering-structure
+    statistic community detection and graph-quality audits start from.
+
+    Scale shape: the oracle's 3-way self-join explodes on hub
+    vertices.  Here every edge is first ORIENTED from its
+    lower-(degree, id) endpoint to the higher one, which turns the
+    graph into a DAG whose out-degrees are O(sqrt(m)) — the classic
+    degree-ordering bound — so wedge generation (the only quadratic
+    step) is join-on-source over bounded out-neighborhoods, and each
+    triangle is counted EXACTLY once at its minimum-order vertex.  The
+    closing-edge check is a semi-join back to the oriented edge list.
+    Edges themselves come from q142's in-row basket expansion — one
+    lineitem scan, no distinct self-join anywhere."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.array_distinct(F.collect_list("l_partkey"))).alias("ps")
+    )
+    edges = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) ->"
+                    " transform(slice(ps, i + 2, size(ps)), y -> struct(x AS p1, y AS p2))))"
+                )
+            ).alias("pr")
+        )
+        .select("pr.p1", "pr.p2")
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("p1", "p2")
+    )
+    deg = (
+        edges.select(F.col("p1").alias("v"))
+        .unionByName(edges.select(F.col("p2").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    d1 = deg.select(F.col("v").alias("p1"), F.col("deg").alias("deg1"))
+    d2 = deg.select(F.col("v").alias("p2"), F.col("deg").alias("deg2"))
+    oriented = (
+        edges.join(d1, "p1")
+        .join(d2, "p2")
+        .select(
+            F.when(
+                (F.col("deg1") < F.col("deg2"))
+                | ((F.col("deg1") == F.col("deg2")) & (F.col("p1") < F.col("p2"))),
+                F.struct(F.col("p1").alias("src"), F.col("p2").alias("dst")),
+            )
+            .otherwise(F.struct(F.col("p2").alias("src"), F.col("p1").alias("dst")))
+            .alias("o")
+        )
+        .select("o.src", "o.dst")
+    )
+    a, b = oriented.alias("a"), oriented.alias("b")
+    wedges = a.join(
+        b, (F.col("a.src") == F.col("b.src")) & (F.col("a.dst") < F.col("b.dst"))
+    ).select(F.col("a.dst").alias("x"), F.col("b.dst").alias("y"))
+    # closing edge may be oriented either way between x and y
+    closing = oriented.select(
+        F.least("src", "dst").alias("x"), F.greatest("src", "dst").alias("y")
+    )
+    tri = wedges.join(closing, ["x", "y"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    nv = deg.agg(F.count(F.lit(1)).alias("n_vertices"))
+    ne = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        nv.join(F.broadcast(ne))
+        .join(F.broadcast(tri))
+        .select(
+            F.col("n_vertices").cast("bigint").alias("n_vertices"),
+            F.col("n_edges").cast("bigint").alias("n_edges"),
+            F.col("n_triangles").cast("bigint").alias("n_triangles"),
+        )
+    )

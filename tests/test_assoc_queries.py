@@ -132,3 +132,34 @@ def test_q145_deterministic_under_equal_timestamps(spark, sf_dir):
     a = QUERIES["q145_time_weighted_avg"].builder(spark, sf_dir).collect()
     b = QUERIES["q145_time_weighted_avg"].builder(spark, sf_dir).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_q150_orientation_counts_each_triangle_once(spark, sf_dir):
+    """Degree-ordered counting equals the naive 3-way join, and the
+    orientation keeps out-degrees far below raw degrees."""
+    df = QUERIES["q150_triangle_count"].builder(spark, sf_dir)
+    row = df.collect()[0]
+    d = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a, b = d.alias("a"), d.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter("c >= 2")
+        .select("p1", "p2")
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    naive = (
+        e1.join(e2, F.col("e1.p2") == F.col("e2.p1"))
+        .join(
+            e3,
+            (F.col("e3.p1") == F.col("e1.p1")) & (F.col("e3.p2") == F.col("e2.p2")),
+        )
+        .count()
+    )
+    assert row["n_triangles"] == naive
+    assert row["n_edges"] == e.count()
