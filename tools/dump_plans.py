@@ -48,6 +48,7 @@ SHOWCASE = {
     "q142_copurchase_pairs": "one lineitem scan, ZERO join nodes: baskets collapse in an ObjectHashAggregate, pairs expand in a Generate over the in-row array, then one partial-agg pair-count Exchange.",
     "q144_incremental_agg_merge": "the merge side scans the tiny parquet STATE table + the delta only; both feed partial aggregates into one (event_type, day) Exchange — history is absent from the plan.",
     "q146_snapshot_diff_merkle": "two digest aggregates (4096-row domain), a broadcast LeftSemi bucket drill-down on each side, and the final full-outer key join runs over dirty-bucket rows only.",
+    "q150_triangle_count": "edges come from ONE lineitem scan (in-row basket expansion, no distinct self-join); the wedge join keys on the oriented source vertex and the closing-edge check is a LeftSemi — no three-way raw-edge join anywhere.",
 }
 
 HEADER = """# PLANS — physical plans of representative queries
