@@ -64,16 +64,47 @@ _REGISTRY: dict[str, Query] = {}
 # driver records correctness rows for a bounded window of entries in
 # declared order (~50 per round).  Cumulative driver coverage: r01 drove
 # q01-q49+q67, r02 drove q50-q110 minus q76-q85, r03 drove q76-q85 +
-# q88 + q56 + q111-q126 + q01-q22.  The queries whose driver rows are
-# OLDEST (r01/r02, against since-regenerated fixtures) are q23-q49+q67
-# (r01-only) then q50-q75 (r02) — so round-4 order leads with exactly
-# that band, oldest rows first (the full set was additionally re-proven
-# green locally against the round-4 fixtures via tools/check_oracle.py).
-# q86-q110 (r02 rows) queue behind them for the round-5 window.  Any new
-# query is inserted at the TOP on creation so it gets a driver row in
-# its debut round.
+# q88 + q56 + q111-q126 + q01-q22.  Round-4 priority: (1) every query
+# NEW this round (q127-q150 — debut rows), (2) queries MODIFIED this
+# round (q35 is in the r01 band below; q94/q98/q102), (3) the oldest
+# stale rows (q23-q49+q67, r01-only) as far as the ~50 window reaches.
+# q50-q75 then q86-q110 (r02 rows) queue for the round-5 window.  The
+# full 150-query set was additionally re-proven green locally against
+# the round-4 fixtures at BOTH sf0.01 and sf0.1 via
+# tools/check_oracle.py.  Any new query is inserted at the TOP on
+# creation so it gets a driver row in its debut round.
 _DRIVER_PRIORITY = (
-    # --- driver row from r01 only (oldest) ---
+    # --- new in round 4: debut driver rows ---
+    "q127_vocab_ids",
+    "q128_train_holdout_leakage",
+    "q129_skipgram_pairs",
+    "q130_sequence_packing",
+    "q131_kmeans_update",
+    "q132_quality_gates",
+    "q133_embedding_outliers",
+    "q134_bm25_topk",
+    "q135_heavy_hitter_shingles",
+    "q136_bloom_prefilter_join",
+    "q137_zorder_skipping",
+    "q138_bpe_pair_counts",
+    "q139_pps_systematic_sample",
+    "q140_char_entropy",
+    "q141_mad_outliers",
+    "q142_copurchase_pairs",
+    "q143_pmi_bigrams",
+    "q144_incremental_agg_merge",
+    "q145_time_weighted_avg",
+    "q146_snapshot_diff_merkle",
+    "q147_survivorship_merge",
+    "q148_tokenize_to_ids",
+    "q149_skew_audit",
+    "q150_triangle_count",
+    # --- modified in round 4 (q35 below too): re-prove under a fresh
+    #     driver row ---
+    "q94_dedup_clusters",
+    "q98_contamination",
+    "q102_cc_star",
+    # --- driver row from r01 only (oldest stale) ---
     "q23_sessionize",
     "q24_window_tumbling",
     "q25_exact_dedup",
@@ -102,36 +133,6 @@ _DRIVER_PRIORITY = (
     "q48_array_collect",
     "q49_ntile",
     "q67_simhash_hamming_pairs",
-    # --- modified in round 4 (q35 too, above): re-prove under a fresh
-    #     driver row ahead of the merely-stale r02 band ---
-    "q94_dedup_clusters",
-    "q98_contamination",
-    "q102_cc_star",
-    # --- new in round 4: debut driver row ---
-    "q127_vocab_ids",
-    "q128_train_holdout_leakage",
-    "q129_skipgram_pairs",
-    "q130_sequence_packing",
-    "q131_kmeans_update",
-    "q132_quality_gates",
-    "q133_embedding_outliers",
-    "q134_bm25_topk",
-    "q135_heavy_hitter_shingles",
-    "q136_bloom_prefilter_join",
-    "q137_zorder_skipping",
-    "q138_bpe_pair_counts",
-    "q139_pps_systematic_sample",
-    "q140_char_entropy",
-    "q141_mad_outliers",
-    "q142_copurchase_pairs",
-    "q143_pmi_bigrams",
-    "q144_incremental_agg_merge",
-    "q145_time_weighted_avg",
-    "q146_snapshot_diff_merkle",
-    "q147_survivorship_merge",
-    "q148_tokenize_to_ids",
-    "q149_skew_audit",
-    "q150_triangle_count",
     # --- driver row from r02 (q55/q56 rows-only by contract) ---
     "q50_mapreduce_wordcount",
     "q51_tpch_q1",
