@@ -64,3 +64,21 @@ def test_q94_raises_on_exhausted_iterations(spark, sf_dir):
 
     with _pytest.raises(RuntimeError, match="did not converge"):
         q94_dedup_clusters(spark, sf_dir, max_iters=1).collect()
+
+
+def test_driver_priority_names_all_registered():
+    """A typo in _DRIVER_PRIORITY silently drops that query from the
+    front of the driver-check rotation — pin every name to a real
+    registration, and the rotation front to the round-4 debut band."""
+    from multi_threaded_mapreduce_framework_spark.queries.registry import (
+        _DRIVER_PRIORITY,
+    )
+
+    reg = set(all_queries())
+    missing = [n for n in _DRIVER_PRIORITY if n not in reg]
+    assert missing == [], missing
+    assert len(set(_DRIVER_PRIORITY)) == len(_DRIVER_PRIORITY)  # no dupes
+    ordered = list(all_queries())
+    # every round-4 debut query sits inside the ~50-query driver window
+    debut = [n for n in ordered if 127 <= int(n[1:].split("_", 1)[0]) <= 150]
+    assert debut and all(ordered.index(n) < 50 for n in debut), debut
