@@ -99,6 +99,7 @@ _DRIVER_PRIORITY = (
     "q148_tokenize_to_ids",
     "q149_skew_audit",
     "q150_triangle_count",
+    "q151_session_attribution",
     # --- modified in round 4 (q35 below too): re-prove under a fresh
     #     driver row ---
     "q94_dedup_clusters",

@@ -367,3 +367,79 @@ def q150_triangle_count(spark, sf_dir):
             F.col("n_triangles").cast("bigint").alias("n_triangles"),
         )
     )
+
+
+@register(
+    "q151_session_attribution",
+    tier="T2",
+    oracle="""
+WITH x AS (
+  SELECT user_id, event_id, event_type, value, epoch_us(ts) AS us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev_us
+  FROM events),
+s AS (
+  SELECT *, sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+                     THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY us, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM x),
+c AS (
+  SELECT *, first_value(event_type)
+            OVER (PARTITION BY user_id, session_id
+                  ORDER BY us, event_id) AS channel
+  FROM s),
+sess AS (
+  SELECT user_id, session_id, channel,
+         sum(CASE WHEN event_type = 'purchase'
+                  THEN CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+                  ELSE 0 END) AS val_micro
+  FROM c GROUP BY 1, 2, 3)
+SELECT channel,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(val_micro) AS BIGINT) AS attributed_micro
+FROM sess GROUP BY channel
+""",
+)
+def q151_session_attribution(spark, sf_dir):
+    """First-touch attribution: sessionize each user's events (q23's
+    30-minute inactivity gap), credit every session's purchase value to
+    the session's FIRST event type — the channel that "brought them in"
+    — and report sessions + attributed value per channel.  The
+    marketing-analytics workload that motivates sessionization in the
+    first place.
+
+    Scale shape: ONE shuffle on user_id serves all three windows (gap
+    lag, running session counter, first-touch first_value — same
+    partitioning, Spark chains them in one sort), and the session
+    rollup re-uses the same key prefix; only the final tiny
+    channel-level aggregate reshuffles.  Purchase value in integer
+    micro-units (FIXTURES.md discipline), so attribution sums are
+    engine-exact."""
+    from multi_threaded_mapreduce_framework_spark.queries.t2_text import (
+        SESSION_GAP_US,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "value", F.unix_micros("ts").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    prev = F.lag("us").over(w)
+    is_start = F.when(prev.isNull() | ((F.col("us") - prev) > SESSION_GAP_US), 1).otherwise(0)
+    s = ev.withColumn(
+        "session_id",
+        F.sum(is_start).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    wc = Window.partitionBy("user_id", "session_id").orderBy("us", "event_id")
+    c = s.withColumn("channel", F.first("event_type").over(wc))
+    micro = F.expr(
+        "CASE WHEN event_type = 'purchase'"
+        " THEN cast(cast(value as decimal(18,6)) * 1000000 as bigint) ELSE 0 END"
+    )
+    sess = c.groupBy("user_id", "session_id", "channel").agg(
+        F.sum(micro).alias("val_micro")
+    )
+    return sess.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.sum("val_micro").cast("bigint").alias("attributed_micro"),
+    )

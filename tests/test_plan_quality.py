@@ -415,3 +415,13 @@ def test_q149_windows_run_on_aggregated_keys(spark, sf_dir):
     assert has_partial_aggregate(df)
     plan = executed_plan(df)
     assert "HashAggregate" in plan and "Window" in plan, plan
+
+
+def test_q151_windows_share_one_user_shuffle(spark, sf_dir):
+    """The lag, session-counter, and first-touch windows must all ride
+    the user_id partitioning: exchanges = user_id window shuffle +
+    (user, session) rollup reuse + the tiny final channel aggregate."""
+    df = QUERIES["q151_session_attribution"].builder(spark, sf_dir)
+    plan = executed_plan(df)
+    assert plan.count("Window") >= 2  # chained windows present
+    assert num_exchanges(df) <= 3, executed_plan(df)
