@@ -100,6 +100,7 @@ _DRIVER_PRIORITY = (
     "q149_skew_audit",
     "q150_triangle_count",
     "q151_session_attribution",
+    "q152_quantile_normalize",
     # --- modified in round 4 (q35 below too): re-prove under a fresh
     #     driver row ---
     "q94_dedup_clusters",

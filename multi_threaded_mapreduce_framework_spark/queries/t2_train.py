@@ -605,3 +605,54 @@ def q148_tokenize_to_ids(spark, sf_dir):
             F.coalesce(F.sum("vid"), F.lit(0)).cast("bigint").alias("ids_sum"),
         )
     )
+
+
+@register(
+    "q152_quantile_normalize",
+    tier="T2",
+    oracle="""
+SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+       round(percent_rank() OVER (PARTITION BY lang ORDER BY n_chars), 6) AS pct
+FROM documents
+""",
+)
+def q152_quantile_normalize(spark, sf_dir):
+    """Per-language quantile normalization of document length (the
+    feature-scaling step curriculum samplers and length-balanced
+    mixers run): each doc's percentile rank among its language's
+    docs, ties sharing a rank.
+
+    Scale shape: the textbook ``percent_rank() OVER (PARTITION BY
+    lang)`` puts an ENTIRE LANGUAGE in one window partition — the
+    q49/q111 anti-pattern, since language cardinality is tiny and
+    partitions are corpus-sized.  Here the rank comes from the
+    (lang, n_chars) HISTOGRAM: one domain-bounded partial-agg shuffle,
+    a cumulative window over the tiny histogram, and a broadcast
+    join-back — identical values to percent_rank (cum-smaller /
+    (n-1), exactly its tie semantics) with no data-sized window
+    anywhere."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    hist = docs.groupBy("lang", "n_chars").agg(F.count(F.lit(1)).alias("c"))
+    w_cum = (
+        Window.partitionBy("lang")
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_tot = Window.partitionBy("lang")
+    ranked = hist.select(
+        "lang",
+        "n_chars",
+        F.coalesce(F.sum("c").over(w_cum), F.lit(0)).alias("below"),
+        F.sum("c").over(w_tot).alias("total"),
+    ).select(
+        "lang",
+        "n_chars",
+        F.round(
+            F.col("below").cast("double")
+            / F.greatest(F.col("total") - 1, F.lit(1)),
+            6,
+        ).alias("pct"),
+    )
+    return docs.join(F.broadcast(ranked), ["lang", "n_chars"]).select(
+        "doc_id", "lang", F.col("n_chars").cast("bigint").alias("n_chars"), "pct"
+    )
