@@ -46,6 +46,7 @@ _QUERY_MODULES = (
     "multi_threaded_mapreduce_framework_spark.queries.t2_scale",
     "multi_threaded_mapreduce_framework_spark.queries.t2_assoc",
     "multi_threaded_mapreduce_framework_spark.queries.t2_recon",
+    "multi_threaded_mapreduce_framework_spark.queries.t2_struct",
 )
 
 
@@ -74,6 +75,15 @@ _REGISTRY: dict[str, Query] = {}
 # tools/check_oracle.py.  Any new query is inserted at the TOP on
 # creation so it gets a driver row in its debut round.
 _DRIVER_PRIORITY = (
+    # --- new in round 4 (late session): debut driver rows ---
+    "q153_bitmap_distinct",
+    "q154_global_ordinal",
+    "q155_deletion_neighbors",
+    "q156_topk_pushdown",
+    "q157_novelty_score",
+    "q158_watermark_replay",
+    "q159_weighted_median",
+    "q160_lang_overlap",
     # --- new in round 4: debut driver rows ---
     "q127_vocab_ids",
     "q128_train_holdout_leakage",

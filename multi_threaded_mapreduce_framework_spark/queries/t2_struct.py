@@ -1,0 +1,523 @@
+"""Exact distributed-structure queries (q153-q160): re-aggregatable
+bitmap distinct counts, a histogram-offset global ordinal, a
+deletion-neighborhood similarity join, partial top-k pushdown,
+first-occurrence novelty scoring, a deterministic watermark replay,
+histogram weighted medians, and a bitmask overlap census.
+
+Each declares, as an oracle-checked query, an EXACT structure that
+replaces an approximate sketch or a non-scalable plan at 100 TB:
+bitmap words instead of raw-key count-distinct re-scans (q153), bucket
+offsets instead of a single-partition global window (q154), candidate
+generation + verify instead of an all-pairs string join (q155),
+scan-stage partial top-k instead of a full-data ranking shuffle (q156),
+a key-domain shuffle instead of corpus self-joins (q157), a two-level
+distributed prefix scan instead of a total-order window (q158), a
+value-domain histogram instead of sorting raw rows (q159), and a
+2^|langs| mask census instead of a token-level pair join (q160).
+
+The reference engine (``MapReduceFramework.cpp:160-218``) would express
+every one of these as map/sort/shuffle/reduce with NO combiner — every
+intermediate pair crossing the shuffle; the shapes here exist precisely
+to keep that shuffle sub-linear in the corpus.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Window
+
+from multi_threaded_mapreduce_framework_spark.queries.registry import register
+from multi_threaded_mapreduce_framework_spark.sources import load_table, spread_small_scan
+
+
+@register(
+    "q153_bitmap_distinct",
+    tier="T2",
+    oracle="""
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_users
+FROM events
+GROUP BY event_type
+""",
+)
+def q153_bitmap_distinct(spark, sf_dir):
+    """EXACT distinct users per event type via re-aggregatable 64-bit
+    bitmap words (the groupBitmap / roaring-lite pattern).
+
+    Scale shape: ``count(DISTINCT user_id)`` cannot be partially
+    aggregated — Spark expands and shuffles the raw (type, user) key
+    domain, and a daily rollup can never be merged into a monthly one
+    without re-reading raw data.  A bitmap word ``(user_id div 64) ->
+    bit_or(1 << (user_id mod 64))`` IS an associative partial state:
+    8 bytes cover 64 users, daily words OR-merge into monthly words
+    exactly, and the final count is ``sum(bit_count(word))``.  The
+    query materializes the per-day word layer and then MERGES it across
+    days — proving the rollup path — so the count that matches the
+    oracle's flat COUNT(DISTINCT) was produced from mergeable partials,
+    the way a 100 TB ingest pipeline would actually maintain it."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day"), "user_id"
+    )
+    daily = ev.groupBy(
+        "event_type", "day", F.expr("user_id div 64").alias("wi")
+    ).agg(
+        F.expr(
+            "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pmod(user_id, 64) AS INT)))"
+        ).alias("w")
+    )
+    merged = daily.groupBy("event_type", "wi").agg(F.expr("bit_or(w)").alias("w"))
+    return merged.groupBy("event_type").agg(
+        F.sum(F.expr("bit_count(w)")).cast("bigint").alias("distinct_users")
+    )
+
+
+@register(
+    "q154_global_ordinal",
+    tier="T2",
+    oracle="""
+SELECT doc_id,
+       CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS ordinal
+FROM documents
+""",
+)
+def q154_global_ordinal(spark, sf_dir):
+    """Exact 1-based GLOBAL ordinal of every document under the total
+    order (n_chars, doc_id) — the row id a curriculum sampler or
+    sharded writer assigns — with NO corpus-sized window partition.
+
+    Scale shape: ``row_number() OVER (ORDER BY ...)`` with no PARTITION
+    BY collapses the corpus into ONE window partition (the q49/q111
+    anti-pattern made global).  Here the ordinal decomposes into
+    (offset of my n_chars bucket) + (my rank within the bucket): the
+    bucket offsets come from the domain-bounded (n_chars) histogram —
+    one partial-agg shuffle + a histogram-sized cumulative window —
+    broadcast back, and the within-bucket rank is a window partitioned
+    by n_chars, whose partitions are value-buckets, not the corpus.
+    Same decomposition as q152's percentile (histogram -> offsets) but
+    producing the exact per-row ordinal, tie-broken by doc_id."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    hist = docs.groupBy("n_chars").agg(F.count(F.lit(1)).alias("c"))
+    w_cum = Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = hist.select(
+        "n_chars", F.coalesce(F.sum("c").over(w_cum), F.lit(0)).alias("off")
+    )
+    w_local = Window.partitionBy("n_chars").orderBy("doc_id")
+    return (
+        docs.join(F.broadcast(offsets), "n_chars")
+        .select(
+            "doc_id",
+            (F.col("off") + F.row_number().over(w_local)).cast("bigint").alias("ordinal"),
+        )
+    )
+
+
+@register(
+    "q155_deletion_neighbors",
+    tier="T2",
+    oracle="""
+WITH v AS (SELECT c_name FROM customer WHERE c_mktsegment = 'BUILDING')
+SELECT a.c_name AS name1, b.c_name AS name2
+FROM v a JOIN v b ON a.c_name < b.c_name AND levenshtein(a.c_name, b.c_name) = 1
+""",
+)
+def q155_deletion_neighbors(spark, sf_dir):
+    """Edit-distance-1 record pairs (near-identical customer names in
+    one segment — the entity-resolution blocking step) via the FastSS
+    deletion-neighborhood join, verified exactly.
+
+    Scale shape: the oracle's formulation is an all-pairs string join —
+    O(n^2) levenshtein calls, the first thing that dies on a real
+    entity table.  Two strings are within edit distance 1 iff they
+    share a member of {self} U {all single-character deletions}, so
+    each name expands IN-ROW to length+1 variant keys, candidates meet
+    on a variant equi-join (shuffle bounded by n x avg_len, never n^2),
+    and one exact ``levenshtein() = 1`` check removes the distance-2
+    collisions the neighborhood admits.  Candidate-generate + verify —
+    the same filter/verify contract as q35's LSH and q126's prefix
+    filter, here for edit distance."""
+    names = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_name").alias("name"))
+    )
+    variants = names.select(
+        "name",
+        F.explode(
+            F.expr(
+                "array_union(array(name), transform(sequence(1, length(name)),"
+                " i -> concat(substring(name, 1, i - 1),"
+                " substring(name, i + 1, length(name)))))"
+            )
+        ).alias("v"),
+    )
+    a = variants.alias("a")
+    b = variants.alias("b")
+    return (
+        a.join(b, (F.col("a.v") == F.col("b.v")) & (F.col("a.name") < F.col("b.name")))
+        .select(F.col("a.name").alias("name1"), F.col("b.name").alias("name2"))
+        .distinct()
+        .filter(F.levenshtein("name1", "name2") == 1)
+    )
+
+
+@register(
+    "q156_topk_pushdown",
+    tier="T2",
+    oracle="""
+SELECT o_orderpriority, o_orderkey,
+       round(o_totalprice, 2) AS o_totalprice, CAST(rk AS INT) AS rk
+FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
+  FROM orders
+)
+WHERE rk <= 3
+""",
+)
+def q156_topk_pushdown(spark, sf_dir):
+    """Exact top-3 orders by price per priority class, with the top-k
+    PUSHED INTO THE SCAN STAGE (partial top-k per partition) so the
+    ranking shuffle carries candidates, not the table.
+
+    Scale shape: the textbook window (`row_number() <= k`) shuffles
+    EVERY row to its group's reducer and sorts it, to then discard all
+    but k — at 100 TB that's the whole fact table through the wire for
+    a k x groups result.  The group-global top-k is contained in the
+    union of per-partition per-group top-k's, so a bounded-memory
+    ``mapInPandas`` pass (state: groups x k rows, folded batch by
+    batch) runs inside the scan stage with NO prior shuffle, and only
+    <= partitions x groups x k survivors enter the exact final window.
+    Same sketch-then-exact contract as q135's heavy hitters, for
+    ranking."""
+    K = 3
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderkey", "o_totalprice"
+    )
+
+    def partial_topk(batches):
+        import pandas as pd
+
+        cand = None
+        for pdf in batches:
+            cur = pd.concat([cand, pdf]) if cand is not None else pdf
+            cur = cur.sort_values(
+                ["o_orderpriority", "o_totalprice", "o_orderkey"],
+                ascending=[True, False, True],
+            )
+            cand = cur.groupby("o_orderpriority", sort=False).head(K)
+        if cand is not None:
+            yield cand
+
+    survivors = orders.mapInPandas(partial_topk, orders.schema)
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        survivors.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= K)
+        .select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )
+
+
+@register(
+    "q157_novelty_score",
+    tier="T2",
+    oracle="""
+WITH sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(ws) - 1, 1)),
+                               i -> array_to_string(ws[i:i+2], ' '))) AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+),
+firsts AS (SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY shingle)
+SELECT sh.doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       round(CAST(sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 4) AS novelty
+FROM sh JOIN firsts f ON sh.shingle = f.shingle
+GROUP BY sh.doc_id
+""",
+)
+def q157_novelty_score(spark, sf_dir):
+    """Per-document novelty: the fraction of a doc's distinct word
+    trigrams whose corpus-wide FIRST occurrence (min doc_id) is the doc
+    itself — the "how much new text does this contribute" signal corpus
+    curators rank ingest batches by.
+
+    Scale shape: novelty is a property of the doc x shingle bipartite
+    relation, so everything routes through the shingle KEY domain: one
+    partial-agg shuffle computes min(doc_id) per shingle, one shuffle
+    joins ownership back, one partial-agg shuffle re-aggregates per
+    doc.  No doc-to-doc comparison ever happens — the quadratic
+    formulations (compare each doc against all earlier docs, q27-style)
+    are replaced by the key-domain min, which is exactly the reference's
+    reduce-per-key shape (``MapReduceFramework.cpp:224-239``) with a
+    combiner."""
+    docs = spread_small_scan(load_table(spark, sf_dir, "documents"))
+    tri = F.expr(
+        "transform(slice(ws, 1, greatest(size(ws) - 2, 0)),"
+        " (w, i) -> concat_ws(' ', slice(ws, i + 1, 3)))"
+    )
+    sh = (
+        docs.select("doc_id", F.split("text", " ").alias("ws"))
+        .select("doc_id", F.explode(tri).alias("shingle"))
+        .distinct()
+    )
+    firsts = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(firsts, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.round(
+                F.sum((F.col("first_doc") == F.col("doc_id")).cast("int")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("novelty"),
+        )
+    )
+
+
+@register(
+    "q158_watermark_replay",
+    tier="T2",
+    oracle="""
+WITH e AS (
+  SELECT event_id, event_type,
+         CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_s,
+         (event_id * 2654435761) % 900 AS delay_s
+  FROM events
+),
+w AS (
+  SELECT event_type, ts_s,
+         max(ts_s) OVER (ORDER BY ts_s + delay_s, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           - 600 AS wm
+  FROM e
+)
+SELECT event_type,
+       CAST(sum(CASE WHEN wm IS NULL OR ts_s >= wm THEN 1 ELSE 0 END) AS BIGINT)
+         AS on_time_cnt,
+       CAST(sum(CASE WHEN ts_s < wm THEN 1 ELSE 0 END) AS BIGINT) AS late_cnt
+FROM w
+GROUP BY event_type
+""",
+)
+def q158_watermark_replay(spark, sf_dir):
+    """Deterministic replay of Structured Streaming's watermark
+    semantics as an oracle-checked batch query: events arrive delayed
+    by a deterministic per-event network delay (0-900 s arithmetic
+    hash), the watermark trails the max event-time SEEN so far by 600 s,
+    and each event is late iff its event time is below the watermark at
+    its arrival.  Census of on-time vs late per event type — the
+    drop-rate report you run before choosing a production watermark.
+
+    Scale shape: "max over all earlier arrivals" is a prefix scan in
+    arrival order — as a single window it is one corpus-sized
+    partition.  Here it is the two-level distributed prefix scan
+    (Blelloch): arrival-HOUR buckets compute their in-bucket strict
+    prefix max with a window partitioned by bucket, the per-bucket maxes
+    (one row per hour — bounded by the time range, not the data) take a
+    tiny cumulative window, and ``greatest(in_bucket, prev_buckets)``
+    recombines.  Same decomposition as q139's prefix SUM, here for the
+    non-invertible max, which no subtraction trick can emulate.
+    Integer-second arithmetic end to end, so both engines compare
+    identical values (FIXTURES.md timestamp convention)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.expr("unix_seconds(date_trunc('second', ts))").alias("ts_s"),
+        F.expr("(event_id * 2654435761) % 900").alias("delay_s"),
+    )
+    ev = ev.withColumn("arr", F.col("ts_s") + F.col("delay_s")).withColumn(
+        "bkt", F.expr("arr div 3600")
+    )
+    w_in = (
+        Window.partitionBy("bkt")
+        .orderBy("arr", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = ev.withColumn("pre_in", F.max("ts_s").over(w_in))
+    bmax = ev.groupBy("bkt").agg(F.max("ts_s").alias("bm"))
+    w_b = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    prev = bmax.select("bkt", F.max("bm").over(w_b).alias("pre_b"))
+    return (
+        local.join(F.broadcast(prev), "bkt")
+        .withColumn("wm", F.greatest("pre_in", "pre_b") - 600)
+        .withColumn(
+            "late",
+            F.when(F.col("wm").isNull(), F.lit(False)).otherwise(
+                F.col("ts_s") < F.col("wm")
+            ),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum((~F.col("late")).cast("int")).cast("bigint").alias("on_time_cnt"),
+            F.sum(F.col("late").cast("int")).cast("bigint").alias("late_cnt"),
+        )
+    )
+
+
+@register(
+    "q159_weighted_median",
+    tier="T2",
+    oracle="""
+WITH hist AS (
+  SELECT l_returnflag, l_quantity,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS w
+  FROM lineitem GROUP BY 1, 2
+),
+cum AS (
+  SELECT l_returnflag, l_quantity,
+         sum(w) OVER (PARTITION BY l_returnflag ORDER BY l_quantity
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+         sum(w) OVER (PARTITION BY l_returnflag) AS tw
+  FROM hist
+)
+SELECT l_returnflag, CAST(min(l_quantity) AS INT) AS wmed_qty
+FROM cum WHERE 2 * cw >= tw
+GROUP BY l_returnflag
+""",
+)
+def q159_weighted_median(spark, sf_dir):
+    """Revenue-weighted median order quantity per return flag ("half
+    the money sits at or below this quantity") — computed from the
+    VALUE-DOMAIN histogram, never by sorting raw rows.
+
+    Scale shape: a weighted median normally wants the rows of each
+    group sorted by value with a running weight — a corpus-sized window
+    again.  l_quantity has a bounded domain (50 distinct values), so
+    the exact answer folds into one partial-agg shuffle to the
+    (flag, quantity) histogram, a histogram-sized cumulative window,
+    and a one-row-per-group min.  Weights are summed as DECIMAL(18,2)
+    (prices carry 2 dp), so the partial sums are EXACT and associative
+    — the `2*cum >= total` boundary cannot flip on float summation
+    order between engines (FIXTURES.md micro-unit convention)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_quantity",
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+    )
+    hist = li.groupBy("l_returnflag", "l_quantity").agg(F.sum("price").alias("w"))
+    w_cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_quantity")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy("l_returnflag")
+    cum = hist.select(
+        "l_returnflag",
+        "l_quantity",
+        F.sum("w").over(w_cum).alias("cw"),
+        F.sum("w").over(w_tot).alias("tw"),
+    )
+    return (
+        cum.filter(F.lit(2) * F.col("cw") >= F.col("tw"))
+        .groupBy("l_returnflag")
+        .agg(F.min("l_quantity").cast("int").alias("wmed_qty"))
+    )
+
+
+@register(
+    "q160_lang_overlap",
+    tier="T2",
+    oracle="""
+WITH tl AS (
+  SELECT DISTINCT lang, tok
+  FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents)
+  WHERE length(tok) > 0
+),
+s AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM tl GROUP BY lang),
+i AS (
+  SELECT a.lang AS l1, b.lang AS l2, CAST(count(*) AS BIGINT) AS inter
+  FROM tl a JOIN tl b ON a.tok = b.tok AND a.lang < b.lang
+  GROUP BY 1, 2
+)
+SELECT i.l1, i.l2, sa.n AS n1, sb.n AS n2, i.inter,
+       round(CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter), 4) AS jac
+FROM i JOIN s sa ON sa.lang = i.l1 JOIN s sb ON sb.lang = i.l2
+""",
+)
+def q160_lang_overlap(spark, sf_dir):
+    """Pairwise vocabulary overlap between languages (exact Jaccard on
+    distinct-token sets) — the cross-corpus contamination / shared-
+    vocabulary matrix — via a 2^|langs| BITMASK CENSUS instead of a
+    token-level pair join.
+
+    Scale shape: the oracle joins the token-language relation with
+    itself on tok — a second full shuffle of the vocabulary whose
+    output grows with pairs x shared tokens.  Membership of a token is
+    one bit per language, so: assign each language a bit (rank over the
+    tiny distinct-lang table, broadcast), OR the bits per token (one
+    partial-agg shuffle over the vocab — the only data-sized move),
+    then count tokens per MASK: at most 2^|langs| rows.  Every pairwise
+    intersection/union is a conditional sum over that census — lang
+    pairs x masks, all broadcast-tiny.  Adding a 6th language grows the
+    census to 64 rows, not the shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    tl = (
+        docs.select("lang", F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.length("tok") > 0)
+        .distinct()
+    )
+    langs = docs.select("lang").distinct()
+    w_idx = Window.orderBy("lang")  # tiny: one row per language
+    lang_bits = langs.select(
+        "lang", (F.row_number().over(w_idx) - 1).alias("idx")
+    ).select("lang", F.expr("shiftleft(CAST(1 AS BIGINT), CAST(idx AS INT))").alias("bit"))
+    masks = (
+        tl.join(F.broadcast(lang_bits), "lang")
+        .groupBy("tok")
+        .agg(F.expr("bit_or(bit)").alias("mask"))
+        .groupBy("mask")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    pairs = (
+        lang_bits.alias("x")
+        .join(
+            lang_bits.alias("y"),
+            F.col("x.lang") < F.col("y.lang"),
+        )
+        .select(
+            F.col("x.lang").alias("l1"),
+            F.col("y.lang").alias("l2"),
+            F.col("x.bit").alias("b1"),
+            F.col("y.bit").alias("b2"),
+        )
+    )
+    cells = pairs.join(
+        F.broadcast(masks),
+        (F.expr("mask & b1") != 0) | (F.expr("mask & b2") != 0),
+    )
+    agg = cells.groupBy("l1", "l2").agg(
+        F.sum(
+            F.when((F.expr("mask & b1") != 0) & (F.expr("mask & b2") != 0), F.col("cnt"))
+            .otherwise(F.lit(0))
+        ).cast("bigint").alias("inter"),
+        F.sum(F.when(F.expr("mask & b1") != 0, F.col("cnt")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("n1"),
+        F.sum(F.when(F.expr("mask & b2") != 0, F.col("cnt")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("n2"),
+    )
+    return (
+        agg.filter(F.col("inter") > 0)
+        .select(
+            "l1",
+            "l2",
+            "n1",
+            "n2",
+            "inter",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("n1") + F.col("n2") - F.col("inter")),
+                4,
+            ).alias("jac"),
+        )
+    )

@@ -425,3 +425,86 @@ def test_q151_windows_share_one_user_shuffle(spark, sf_dir):
     plan = executed_plan(df)
     assert plan.count("Window") >= 2  # chained windows present
     assert num_exchanges(df) <= 3, executed_plan(df)
+
+
+def test_q153_bitmap_words_partial_agg(spark, sf_dir):
+    """The daily word layer must be a partial (map-side) aggregate —
+    the whole point of the bitmap state is combinability — and the
+    merge/count layers add no raw-data re-scan (3 exchanges total:
+    daily words, cross-day merge, final census)."""
+    df = QUERIES["q153_bitmap_distinct"].builder(spark, sf_dir)
+    assert has_partial_aggregate(df)
+    assert num_exchanges(df) <= 3, executed_plan(df)
+    # the expand trick countDistinct uses must NOT appear
+    assert "Expand" not in executed_plan(df)
+
+
+def test_q154_no_corpus_single_partition_window(spark, sf_dir):
+    """The corpus-side window is partitioned by n_chars; only the
+    histogram (domain-bounded) takes an unpartitioned window, and the
+    offsets come back via broadcast."""
+    df = QUERIES["q154_global_ordinal"].builder(spark, sf_dir)
+    assert has_broadcast_join(df)
+    plan = executed_plan(df)
+    # exactly one SinglePartition exchange: the histogram cumulative
+    # window — never a second one for the corpus-side ranking
+    assert plan.count("SinglePartition") == 1, plan
+
+
+def test_q155_candidate_join_is_equi(spark, sf_dir):
+    """The deletion-neighborhood join must be an equi-join on the
+    variant key — never a nested loop over name pairs (that is the
+    oracle's O(n^2) formulation, not ours)."""
+    df = QUERIES["q155_deletion_neighbors"].builder(spark, sf_dir)
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q156_partial_topk_before_shuffle(spark, sf_dir):
+    """The mapInPandas partial top-k must run under the single ranking
+    exchange: survivors shuffle, the table does not."""
+    df = QUERIES["q156_topk_pushdown"].builder(spark, sf_dir)
+    plan = executed_plan(df)
+    assert "MapInPandas" in plan, plan
+    assert num_exchanges(df) == 1, plan
+    # partial stage feeds the exchange, not the other way around
+    assert plan.index("MapInPandas") > plan.index("Exchange"), plan
+
+
+def test_q157_no_doc_pair_join(spark, sf_dir):
+    """Novelty routes through the shingle key domain: partial-agg min
+    per shingle + equi join-back; no doc-to-doc comparison."""
+    df = QUERIES["q157_novelty_score"].builder(spark, sf_dir)
+    assert has_partial_aggregate(df)
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q158_prefix_scan_recombines_via_broadcast(spark, sf_dir):
+    """The two-level prefix max: per-bucket window + tiny cumulative
+    bucket table joined back by broadcast; the corpus never sees a
+    SinglePartition window."""
+    df = QUERIES["q158_watermark_replay"].builder(spark, sf_dir)
+    assert has_broadcast_join(df)
+    plan = executed_plan(df)
+    assert plan.count("SinglePartition") == 1, plan  # bucket table only
+
+
+def test_q159_median_from_histogram(spark, sf_dir):
+    """The weighted median must aggregate to the (flag, quantity)
+    histogram first (partial agg), then window over the histogram —
+    never sort raw rows."""
+    df = QUERIES["q159_weighted_median"].builder(spark, sf_dir)
+    assert has_partial_aggregate(df)
+    plan = executed_plan(df)
+    assert "Window" in plan
+
+
+def test_q160_single_vocab_shuffle(spark, sf_dir):
+    """The only data-sized moves are the distinct + per-token mask
+    aggregation; the pair/census algebra is broadcast-tiny."""
+    df = QUERIES["q160_lang_overlap"].builder(spark, sf_dir)
+    assert has_partial_aggregate(df)
+    assert has_broadcast_join(df)
