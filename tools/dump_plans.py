@@ -49,6 +49,11 @@ SHOWCASE = {
     "q144_incremental_agg_merge": "the merge side scans the tiny parquet STATE table + the delta only; both feed partial aggregates into one (event_type, day) Exchange — history is absent from the plan.",
     "q146_snapshot_diff_merkle": "two digest aggregates (4096-row domain), a broadcast LeftSemi bucket drill-down on each side, and the final full-outer key join runs over dirty-bucket rows only.",
     "q150_triangle_count": "edges come from ONE lineitem scan (in-row basket expansion, no distinct self-join); the wedge join keys on the oriented source vertex and the closing-edge check is a LeftSemi — no three-way raw-edge join anywhere.",
+    "q153_bitmap_distinct": "NO Expand node (the countDistinct shape never appears): three partial-agg Exchanges fold events into daily bitmap words, OR-merge them across days, and sum bit_counts — every state on the wire is 8 bytes per 64 users.",
+    "q154_global_ordinal": "exactly ONE SinglePartition Exchange and it carries the (n_chars) histogram, not the corpus; offsets return via BroadcastHashJoin and the corpus-side row_number window is hash-partitioned by n_chars.",
+    "q156_topk_pushdown": "MapInPandas sits BELOW the single Exchange: the partial top-k folds each scan partition to groups x k candidate rows, and only those shuffle into the exact ranking window.",
+    "q158_watermark_replay": "the prefix max is two windows — one hash-partitioned by arrival-hour bucket, one SinglePartition over the bucket table (rows = hours, not events) — recombined with greatest() above a BroadcastHashJoin.",
+    "q160_lang_overlap": "the vocabulary shuffles exactly twice (distinct, then per-token mask bit_or); everything pairwise runs over the mask census and lang-bit table, both BroadcastNestedLoopJoin sides bounded by 2^|langs|.",
 }
 
 HEADER = """# PLANS — physical plans of representative queries
