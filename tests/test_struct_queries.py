@@ -1,0 +1,205 @@
+"""Invariant tests for the q153-q160 exact-structure queries: each one
+cross-checks the scale-shaped plan against the naive Spark formulation
+it replaces (an in-process oracle, independent of the DuckDB gate), or
+pins a structural property the value-hash alone can't express."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Window
+
+from multi_threaded_mapreduce_framework_spark.queries import all_queries
+from multi_threaded_mapreduce_framework_spark.sources import load_table
+
+QUERIES = all_queries()
+
+
+def test_q153_bitmap_equals_count_distinct(spark, sf_dir):
+    """The merged bitmap census must equal Spark's own exact
+    countDistinct (word packing / OR-merge loses nothing)."""
+    got = {
+        (r.event_type, r.distinct_users)
+        for r in QUERIES["q153_bitmap_distinct"].builder(spark, sf_dir).collect()
+    }
+    want = {
+        (r.event_type, r.d)
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("d"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_q154_ordinal_is_permutation(spark, sf_dir):
+    """Ordinals must be exactly 1..N with no gaps or dupes (offset +
+    local rank composes into a bijection), and respect the declared
+    total order."""
+    rows = QUERIES["q154_global_ordinal"].builder(spark, sf_dir).collect()
+    ords = sorted(r.ordinal for r in rows)
+    assert ords == list(range(1, len(rows) + 1))
+    docs = {
+        r.doc_id: (r.n_chars, r.doc_id)
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    by_ord = sorted(rows, key=lambda r: r.ordinal)
+    keys = [docs[r.doc_id] for r in by_ord]
+    assert keys == sorted(keys)
+
+
+def test_q155_matches_bruteforce_levenshtein(spark, sf_dir):
+    """The deletion-neighborhood candidates + verify must return
+    EXACTLY the all-pairs levenshtein==1 set (FastSS recall proof on
+    real data)."""
+    got = {
+        (r.name1, r.name2)
+        for r in QUERIES["q155_deletion_neighbors"].builder(spark, sf_dir).collect()
+    }
+    names = [
+        r.c_name
+        for r in load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_name")
+        .collect()
+    ]
+
+    def lev1(a: str, b: str) -> bool:
+        if abs(len(a) - len(b)) > 1 or a == b:
+            return False
+        if len(a) == len(b):
+            return sum(x != y for x, y in zip(a, b)) == 1
+        s, t = (a, b) if len(a) < len(b) else (b, a)
+        i = 0
+        while i < len(s) and s[i] == t[i]:
+            i += 1
+        return s[i:] == t[i + 1 :]
+
+    want = {
+        (a, b) for i, a in enumerate(names) for b in names[i + 1 :] if lev1(*sorted((a, b)))
+    }
+    want = {tuple(sorted(p)) for p in want}
+    assert got == want
+
+
+def test_q156_equals_full_window_topk(spark, sf_dir):
+    """Partial top-k pushdown must be lossless vs the full-shuffle
+    window formulation, including price ties broken by o_orderkey."""
+    got = {
+        (r.o_orderpriority, r.o_orderkey, r.o_totalprice, r.rk)
+        for r in QUERIES["q156_topk_pushdown"].builder(spark, sf_dir).collect()
+    }
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    want = {
+        (r.o_orderpriority, r.o_orderkey, r.o_totalprice, r.rk)
+        for r in load_table(spark, sf_dir, "orders")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_q158_census_partitions_all_events(spark, sf_dir):
+    """on_time + late must account for every event (the bucket-boundary
+    recombination drops or double-counts nothing), and the earliest
+    arrival is never late (null watermark => on-time)."""
+    rows = QUERIES["q158_watermark_replay"].builder(spark, sf_dir).collect()
+    total = sum(r.on_time_cnt + r.late_cnt for r in rows)
+    assert total == load_table(spark, sf_dir, "events").count()
+    assert all(r.on_time_cnt >= 1 or r.late_cnt == 0 for r in rows)
+
+
+def test_q158_matches_single_window_prefix_max(spark, sf_dir):
+    """The two-level (bucket) prefix max must equal the single-window
+    formulation it decomposes — per event type and count."""
+    got = {
+        (r.event_type, r.on_time_cnt, r.late_cnt)
+        for r in QUERIES["q158_watermark_replay"].builder(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.expr("unix_seconds(date_trunc('second', ts))").alias("ts_s"),
+        F.expr("(event_id * 2654435761) % 900").alias("d"),
+    )
+    w = Window.orderBy(F.col("ts_s") + F.col("d"), "event_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    naive = (
+        ev.withColumn("wm", F.max("ts_s").over(w) - 600)
+        .withColumn(
+            "late",
+            F.when(F.col("wm").isNull(), F.lit(False)).otherwise(
+                F.col("ts_s") < F.col("wm")
+            ),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum((~F.col("late")).cast("int")).cast("bigint").alias("on_time_cnt"),
+            F.sum(F.col("late").cast("int")).cast("bigint").alias("late_cnt"),
+        )
+    )
+    want = {(r.event_type, r.on_time_cnt, r.late_cnt) for r in naive.collect()}
+    assert got == want
+
+
+def test_q159_matches_sorted_scan_median(spark, sf_dir):
+    """Histogram weighted median == the definitionally-sorted running
+    weight crossing, computed driver-side from the (tiny) histogram."""
+    got = {
+        (r.l_returnflag, r.wmed_qty)
+        for r in QUERIES["q159_weighted_median"].builder(spark, sf_dir).collect()
+    }
+    hist = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", "l_quantity")
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("w"))
+        .collect()
+    )
+    from collections import defaultdict
+
+    per_flag = defaultdict(list)
+    for r in hist:
+        per_flag[r.l_returnflag].append((r.l_quantity, r.w))
+    want = set()
+    for flag, vals in per_flag.items():
+        vals.sort()
+        total = sum(w for _, w in vals)
+        cum = 0
+        for q, w in vals:
+            cum += w
+            if 2 * cum >= total:
+                want.add((flag, int(q)))
+                break
+    assert got == want
+
+
+def test_q160_jaccard_matches_set_math(spark, sf_dir):
+    """Mask-census algebra == literal Python set intersection over the
+    per-language vocabularies."""
+    got = {
+        (r.l1, r.l2): (r.n1, r.n2, r.inter)
+        for r in QUERIES["q160_lang_overlap"].builder(spark, sf_dir).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents").select("lang", "text").collect()
+    from collections import defaultdict
+
+    vocab = defaultdict(set)
+    for r in docs:
+        vocab[r.lang].update(t for t in r.text.split(" ") if t)
+    langs = sorted(vocab)
+    want = {}
+    for i, a in enumerate(langs):
+        for b in langs[i + 1 :]:
+            inter = len(vocab[a] & vocab[b])
+            if inter > 0:
+                want[(a, b)] = (len(vocab[a]), len(vocab[b]), inter)
+    assert got == want
