@@ -84,6 +84,7 @@ _DRIVER_PRIORITY = (
     "q158_watermark_replay",
     "q159_weighted_median",
     "q160_lang_overlap",
+    "q161_sorted_neighborhood",
     # --- new in round 4: debut driver rows ---
     "q127_vocab_ids",
     "q128_train_holdout_leakage",

@@ -1,8 +1,9 @@
-"""Exact distributed-structure queries (q153-q160): re-aggregatable
+"""Exact distributed-structure queries (q153-q161): re-aggregatable
 bitmap distinct counts, a histogram-offset global ordinal, a
 deletion-neighborhood similarity join, partial top-k pushdown,
 first-occurrence novelty scoring, a deterministic watermark replay,
-histogram weighted medians, and a bitmask overlap census.
+histogram weighted medians, a bitmask overlap census, and
+sorted-neighborhood dedup blocking.
 
 Each declares, as an oracle-checked query, an EXACT structure that
 replaces an approximate sketch or a non-scalable plan at 100 TB:
@@ -519,5 +520,64 @@ def q160_lang_overlap(spark, sf_dir):
                 / (F.col("n1") + F.col("n2") - F.col("inter")),
                 4,
             ).alias("jac"),
+        )
+    )
+
+
+@register(
+    "q161_sorted_neighborhood",
+    tier="T2",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, text,
+         string_split(text, ' ')[1] AS w1,
+         array_to_string(string_split(text, ' ')[1:2], ' ') AS p2
+  FROM documents
+),
+lagd AS (
+  SELECT doc_id, p2,
+         lag(doc_id) OVER (PARTITION BY w1 ORDER BY text, doc_id) AS prev_id,
+         lag(p2) OVER (PARTITION BY w1 ORDER BY text, doc_id) AS prev_p2
+  FROM d
+)
+SELECT prev_id AS doc_a, doc_id AS doc_b, p2 AS shared_prefix
+FROM lagd WHERE prev_id IS NOT NULL AND p2 = prev_p2
+""",
+)
+def q161_sorted_neighborhood(spark, sf_dir):
+    """Sorted-neighborhood dedup blocking: candidate near-duplicate
+    pairs = documents ADJACENT in sort order that share their two-word
+    opening (boilerplate-opening detection) — the third classical
+    blocking family next to LSH (q35) and prefix filtering (q126).
+
+    Scale shape: the method needs a sorted neighborhood, not a global
+    sort.  The sort key's own leading token is the block: two docs can
+    only share a 2-word prefix if they share the 1st word, so windowing
+    PARTITION BY first-word ORDER BY (text, doc_id) is LOSSLESS for the
+    adjacency predicate while keeping every window partition a
+    vocabulary bucket instead of the corpus.  One shuffle, one lag —
+    no self-join, no single-partition window.  A skewed opening word
+    (every doc starting "the") widens one bucket; the fix is one more
+    prefix word in the block key, the same governable trade as q142's
+    basket cap."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        F.element_at(F.split("text", " "), 1).alias("w1"),
+        F.concat_ws(" ", F.slice(F.split("text", " "), 1, 2)).alias("p2"),
+    )
+    w = Window.partitionBy("w1").orderBy("text", "doc_id")
+    lagd = docs.select(
+        "doc_id",
+        "p2",
+        F.lag("doc_id").over(w).alias("prev_id"),
+        F.lag("p2").over(w).alias("prev_p2"),
+    )
+    return (
+        lagd.filter(F.col("prev_id").isNotNull() & (F.col("p2") == F.col("prev_p2")))
+        .select(
+            F.col("prev_id").alias("doc_a"),
+            F.col("doc_id").alias("doc_b"),
+            F.col("p2").alias("shared_prefix"),
         )
     )

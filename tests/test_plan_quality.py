@@ -508,3 +508,14 @@ def test_q160_single_vocab_shuffle(spark, sf_dir):
     df = QUERIES["q160_lang_overlap"].builder(spark, sf_dir)
     assert has_partial_aggregate(df)
     assert has_broadcast_join(df)
+
+
+def test_q161_one_shuffle_no_self_join(spark, sf_dir):
+    """Sorted-neighborhood adjacency: one window shuffle on the block
+    key, a lag, and a filter — no join nodes, no SinglePartition
+    window."""
+    df = QUERIES["q161_sorted_neighborhood"].builder(spark, sf_dir)
+    plan = executed_plan(df)
+    assert "Join" not in plan, plan
+    assert "SinglePartition" not in plan, plan
+    assert num_exchanges(df) == 1, plan
