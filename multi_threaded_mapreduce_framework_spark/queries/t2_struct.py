@@ -138,6 +138,9 @@ def q155_deletion_neighbors(spark, sf_dir):
     names = (
         load_table(spark, sf_dir, "customer")
         .filter(F.col("c_mktsegment") == "BUILDING")
+        # sequence(1, 0) DESCENDS in Spark: an empty name would emit
+        # junk variants instead of none, so exclude empties explicitly
+        .filter(F.length("c_name") > 0)
         .select(F.col("c_name").alias("name"))
     )
     variants = names.select(
