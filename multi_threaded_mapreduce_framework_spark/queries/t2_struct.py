@@ -58,8 +58,10 @@ def q153_bitmap_distinct(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events").select(
         "event_type", F.to_date("ts").alias("day"), "user_id"
     )
+    # arithmetic shift floors toward -inf for ALL int64 (div truncates
+    # toward zero, which would collide id -1 with id 63 under pmod)
     daily = ev.groupBy(
-        "event_type", "day", F.expr("user_id div 64").alias("wi")
+        "event_type", "day", F.expr("shiftright(user_id, 6)").alias("wi")
     ).agg(
         F.expr(
             "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pmod(user_id, 64) AS INT)))"
