@@ -87,6 +87,8 @@ _DRIVER_PRIORITY = (
     "q159_weighted_median",
     "q160_lang_overlap",
     "q161_sorted_neighborhood",
+    "q162_bitmap_set_algebra",
+    "q163_bitmap_distinct_rollup",
     # --- new in round 4: debut driver rows ---
     "q127_vocab_ids",
     "q128_train_holdout_leakage",

@@ -1,9 +1,10 @@
-"""Exact distributed-structure queries (q153-q161): re-aggregatable
+"""Exact distributed-structure queries (q153-q163): re-aggregatable
 bitmap distinct counts, a histogram-offset global ordinal, a
 deletion-neighborhood similarity join, partial top-k pushdown,
 first-occurrence novelty scoring, a deterministic watermark replay,
-histogram weighted medians, a bitmask overlap census, and
-sorted-neighborhood dedup blocking.
+histogram weighted medians, a bitmask overlap census,
+sorted-neighborhood dedup blocking, and bitmap set algebra +
+distinct-count rollups composed from the q153 word layer.
 
 Each declares, as an oracle-checked query, an EXACT structure that
 replaces an approximate sketch or a non-scalable plan at 100 TB:
@@ -586,3 +587,115 @@ def q161_sorted_neighborhood(spark, sf_dir):
             F.col("p2").alias("shared_prefix"),
         )
     )
+
+
+@register(
+    "q162_bitmap_set_algebra",
+    tier="T2",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_users
+FROM (
+  SELECT user_id FROM events GROUP BY user_id
+  HAVING bool_or(event_type = 'purchase') AND bool_or(event_type = 'error')
+     AND NOT bool_or(event_type = 'signup')
+)
+""",
+)
+def q162_bitmap_set_algebra(spark, sf_dir):
+    """Exact audience set algebra — users who purchased AND hit an
+    error but never signed up — computed as bitwise AND/AND-NOT over
+    q153's bitmap words, never by re-shuffling raw user ids per
+    predicate.
+
+    Scale shape: the oracle groups every (user, predicate) combination
+    from raw events; each new predicate in the expression re-reads the
+    fact table.  With per-type bitmap words the fact table is read
+    ONCE: one shuffle to (type, word-index) words, a conditional
+    bit_or pivots the three types into columns of the SAME word row,
+    and the whole boolean expression collapses to
+    ``bit_count(a & b & ~c)`` per word — 24 bytes per 64 users on the
+    wire regardless of how many predicates compose.  This composability
+    is WHY engines keep bitmap indexes (Druid/ClickHouse groupBitmapAnd
+    family): q153 proves the census, this proves the algebra."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    words = (
+        ev.filter(F.col("event_type").isin("purchase", "error", "signup"))
+        .groupBy(F.expr("shiftright(user_id, 6)").alias("wi"))
+        .agg(
+            *[
+                F.expr(
+                    "bit_or(CASE WHEN event_type = '{t}' THEN "
+                    "shiftleft(CAST(1 AS BIGINT), CAST(pmod(user_id, 64) AS INT)) "
+                    "ELSE CAST(0 AS BIGINT) END)".format(t=t)
+                ).alias(a)
+                for t, a in (("purchase", "a"), ("error", "b"), ("signup", "c"))
+            ]
+        )
+    )
+    return words.agg(
+        F.coalesce(F.sum(F.expr("bit_count(a & b & ~c)")), F.lit(0))
+        .cast("bigint")
+        .alias("n_users")
+    )
+
+
+@register(
+    "q163_bitmap_distinct_rollup",
+    tier="T2",
+    oracle="""
+WITH g AS (
+  SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day, user_id FROM events
+)
+SELECT event_type, day, CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_users
+FROM g GROUP BY GROUPING SETS ((event_type), (day), (event_type, day))
+""",
+)
+def q163_bitmap_distinct_rollup(spark, sf_dir):
+    """Distinct-user counts at THREE granularities — per type, per day,
+    per (type, day) — all answered from ONE (type, day, word) bitmap
+    layer, proving the rollup reuse q153's docstring promises.
+
+    Scale shape: ``GROUPING SETS`` with ``count(DISTINCT)`` makes Spark
+    Expand the raw (user, grouping) space — every additional grouping
+    set re-shuffles the fact table.  The bitmap word layer is built
+    once (one fact shuffle, finest granularity), and every coarser
+    distinct count is an OR-merge of word rows: two more shuffles over
+    the WORD domain (users/64 x days), never over events.  A month of
+    daily layers rolls up the same way without touching a single raw
+    event — the maintenance path of every bitmap-backed metrics
+    store."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.to_date("ts").cast("string").alias("day"),
+        "user_id",
+    )
+    layer = ev.groupBy(
+        "event_type", "day", F.expr("shiftright(user_id, 6)").alias("wi")
+    ).agg(
+        F.expr(
+            "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pmod(user_id, 64) AS INT)))"
+        ).alias("w")
+    )
+    cnt = lambda df: F.sum(F.expr("bit_count(w)")).cast("bigint").alias(
+        "distinct_users"
+    )
+    by_type = (
+        layer.groupBy("event_type", "wi")
+        .agg(F.expr("bit_or(w)").alias("w"))
+        .groupBy("event_type")
+        .agg(cnt(None))
+        .select("event_type", F.lit(None).cast("string").alias("day"), "distinct_users")
+    )
+    by_day = (
+        layer.groupBy("day", "wi")
+        .agg(F.expr("bit_or(w)").alias("w"))
+        .groupBy("day")
+        .agg(cnt(None))
+        .select(F.lit(None).cast("string").alias("event_type"), "day", "distinct_users")
+    )
+    by_both = (
+        layer.groupBy("event_type", "day")
+        .agg(cnt(None))
+        .select("event_type", "day", "distinct_users")
+    )
+    return by_type.unionByName(by_day).unionByName(by_both)

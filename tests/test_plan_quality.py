@@ -519,3 +519,24 @@ def test_q161_one_shuffle_no_self_join(spark, sf_dir):
     assert "Join" not in plan, plan
     assert "SinglePartition" not in plan, plan
     assert num_exchanges(df) == 1, plan
+
+
+def test_q162_no_expand_single_fact_shuffle(spark, sf_dir):
+    """The set-algebra expression must evaluate over bitmap words: no
+    countDistinct Expand, one fact-table exchange into the word layer
+    (+ the 1-row final aggregate)."""
+    df = QUERIES["q162_bitmap_set_algebra"].builder(spark, sf_dir)
+    plan = executed_plan(df)
+    assert "Expand" not in plan, plan
+    assert has_partial_aggregate(df)
+    assert num_exchanges(df) <= 2, plan
+
+
+def test_q163_rollups_reuse_word_layer(spark, sf_dir):
+    """Three granularities, no Expand anywhere: the raw-event shuffle
+    happens once per branch at the finest granularity and every
+    coarser count aggregates words, not events."""
+    df = QUERIES["q163_bitmap_distinct_rollup"].builder(spark, sf_dir)
+    plan = executed_plan(df)
+    assert "Expand" not in plan, plan
+    assert has_partial_aggregate(df)

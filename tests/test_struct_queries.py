@@ -203,3 +203,39 @@ def test_q160_jaccard_matches_set_math(spark, sf_dir):
             if inter > 0:
                 want[(a, b)] = (len(vocab[a]), len(vocab[b]), inter)
     assert got == want
+
+
+def test_q162_matches_raw_predicate_sets(spark, sf_dir):
+    """Bitmap AND/AND-NOT algebra == literal per-user predicate sets."""
+    got = QUERIES["q162_bitmap_set_algebra"].builder(spark, sf_dir).collect()[0].n_users
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id").collect()
+    by_user = {}
+    for r in ev:
+        by_user.setdefault(r.user_id, set()).add(r.event_type)
+    want = sum(
+        1
+        for types in by_user.values()
+        if "purchase" in types and "error" in types and "signup" not in types
+    )
+    assert got == want
+
+
+def test_q163_matches_grouping_sets_count_distinct(spark, sf_dir):
+    """Word-layer rollups == Spark's own GROUPING SETS countDistinct."""
+    got = {
+        (r.event_type, r.day, r.distinct_users)
+        for r in QUERIES["q163_bitmap_distinct_rollup"].builder(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").cast("string").alias("day"), "user_id"
+    )
+    ev.createOrReplaceTempView("ev_gs")
+    want = {
+        (r.event_type, r.day, r.distinct_users)
+        for r in spark.sql(
+            "SELECT event_type, day, CAST(count(DISTINCT user_id) AS BIGINT)"
+            " AS distinct_users FROM ev_gs"
+            " GROUP BY GROUPING SETS ((event_type), (day), (event_type, day))"
+        ).collect()
+    }
+    assert got == want
