@@ -89,6 +89,7 @@ _DRIVER_PRIORITY = (
     "q161_sorted_neighborhood",
     "q162_bitmap_set_algebra",
     "q163_bitmap_distinct_rollup",
+    "q164_bitmap_retention",
     # --- new in round 4: debut driver rows ---
     "q127_vocab_ids",
     "q128_train_holdout_leakage",

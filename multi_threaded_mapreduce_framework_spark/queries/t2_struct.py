@@ -1,10 +1,11 @@
-"""Exact distributed-structure queries (q153-q163): re-aggregatable
+"""Exact distributed-structure queries (q153-q164): re-aggregatable
 bitmap distinct counts, a histogram-offset global ordinal, a
 deletion-neighborhood similarity join, partial top-k pushdown,
 first-occurrence novelty scoring, a deterministic watermark replay,
 histogram weighted medians, a bitmask overlap census,
-sorted-neighborhood dedup blocking, and bitmap set algebra +
-distinct-count rollups composed from the q153 word layer.
+sorted-neighborhood dedup blocking, and the bitmap composition suite
+(set algebra, distinct-count rollups, next-day retention) built from
+the q153 word layer.
 
 Each declares, as an oracle-checked query, an EXACT structure that
 replaces an approximate sketch or a non-scalable plan at 100 TB:
@@ -699,3 +700,47 @@ def q163_bitmap_distinct_rollup(spark, sf_dir):
         .select("event_type", "day", "distinct_users")
     )
     return by_type.unionByName(by_day).unionByName(by_both)
+
+
+@register(
+    "q164_bitmap_retention",
+    tier="T2",
+    oracle="""
+WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events)
+SELECT CAST(a.day AS VARCHAR) AS day, CAST(count(*) AS BIGINT) AS retained
+FROM du a JOIN du b ON b.day = a.day + INTERVAL 1 DAY AND a.user_id = b.user_id
+GROUP BY a.day
+""",
+)
+def q164_bitmap_retention(spark, sf_dir):
+    """Next-day retention (users active on day d AND day d+1) — the
+    DAU-retention matrix cell — computed as a word-level AND between
+    consecutive days of q153's bitmap layer.
+
+    Scale shape: the oracle self-joins the distinct (day, user)
+    relation on user_id — a user-domain shuffle per matrix cell, and a
+    7/30-day retention matrix multiplies it.  The bitmap layer turns
+    retention into a self-join on (next day, WORD INDEX): the join key
+    domain is days x users/64, each matched row ANDs two 8-byte words,
+    and the count is one bit_count sum.  Every other matrix offset
+    (d+7, d+30) reuses the SAME layer — zero additional raw-event
+    passes.  Completes the bitmap story: census (q153), boolean
+    algebra (q162), rollup (q163), temporal composition (here)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    layer = ev.groupBy("day", F.expr("shiftright(user_id, 6)").alias("wi")).agg(
+        F.expr(
+            "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pmod(user_id, 64) AS INT)))"
+        ).alias("w")
+    )
+    a = layer.alias("a")
+    b = layer.select(
+        F.date_sub("day", 1).alias("day_prev"), F.col("wi"), F.col("w").alias("w2")
+    ).alias("b")
+    return (
+        a.join(b, (F.col("a.day") == F.col("b.day_prev")) & (F.col("a.wi") == F.col("b.wi")))
+        .groupBy(F.col("a.day").cast("string").alias("day"))
+        .agg(F.sum(F.expr("bit_count(w & w2)")).cast("bigint").alias("retained"))
+        .filter(F.col("retained") > 0)
+    )

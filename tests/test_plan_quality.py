@@ -540,3 +540,13 @@ def test_q163_rollups_reuse_word_layer(spark, sf_dir):
     plan = executed_plan(df)
     assert "Expand" not in plan, plan
     assert has_partial_aggregate(df)
+
+
+def test_q164_retention_joins_word_layer(spark, sf_dir):
+    """Retention must self-join the bitmap layer on (day, word index) —
+    no Expand, no user-domain join, equi-join only."""
+    df = QUERIES["q164_bitmap_retention"].builder(spark, sf_dir)
+    plan = executed_plan(df)
+    assert "Expand" not in plan, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert has_partial_aggregate(df)

@@ -239,3 +239,30 @@ def test_q163_matches_grouping_sets_count_distinct(spark, sf_dir):
         ).collect()
     }
     assert got == want
+
+
+def test_q164_matches_raw_day_sets(spark, sf_dir):
+    """Word-AND retention == literal per-day user-set intersections."""
+    got = {
+        (r.day, r.retained)
+        for r in QUERIES["q164_bitmap_retention"].builder(spark, sf_dir).collect()
+    }
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select(F.to_date("ts").cast("string").alias("day"), "user_id")
+        .distinct()
+        .collect()
+    )
+    from collections import defaultdict
+    from datetime import date, timedelta
+
+    days = defaultdict(set)
+    for r in rows:
+        days[r.day].add(r.user_id)
+    want = set()
+    for d, users in days.items():
+        nxt = (date.fromisoformat(d) + timedelta(days=1)).isoformat()
+        inter = len(users & days.get(nxt, set()))
+        if inter > 0:
+            want.add((d, inter))
+    assert got == want
