@@ -15,8 +15,10 @@ generation + verify instead of an all-pairs string join (q155),
 scan-stage partial top-k instead of a full-data ranking shuffle (q156),
 a key-domain shuffle instead of corpus self-joins (q157), a two-level
 distributed prefix scan instead of a total-order window (q158), a
-value-domain histogram instead of sorting raw rows (q159), and a
-2^|langs| mask census instead of a token-level pair join (q160).
+value-domain histogram instead of sorting raw rows (q159), a
+2^|langs| mask census instead of a token-level pair join (q160), a
+block-keyed lag instead of a global sort (q161), and bitmap-word
+algebra instead of per-predicate fact re-shuffles (q162-q164).
 
 The reference engine (``MapReduceFramework.cpp:160-218``) would express
 every one of these as map/sort/shuffle/reduce with NO combiner — every

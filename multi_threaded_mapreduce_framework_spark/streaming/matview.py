@@ -144,3 +144,123 @@ def compact_matview(spark, state_dir: str, keys: list[str]) -> int:
     for i in fold:
         shutil.rmtree(os.path.join(state_dir, f"batch_id={i}"), ignore_errors=True)
     return wm_new
+
+
+# ---------------------------------------------------------------------------
+# Bitmap-word distinct-count matview: the q153/q163 word layer maintained
+# incrementally.  count(DISTINCT id) is NOT algebraic, so the partial-
+# aggregate discipline above cannot express it — but the 64-bit bitmap
+# word (wi = id >> 6, w = bit_or(1 << (id & 63))) IS: words OR-merge,
+# and OR is additionally IDEMPOTENT, so a replayed or even double-
+# counted batch cannot change the view (strictly stronger than the
+# overwrite-idempotency the cnt/sum view relies on).  State per batch
+# dir is keys x (ids/64) x 8 bytes; the state store stays empty.
+
+_WORD = (
+    "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pmod({id}, 64) AS INT)))"
+)
+
+
+def _bitmap_partials(df: DataFrame, keys: list[str], id_col: str) -> DataFrame:
+    return df.groupBy(
+        *keys, F.expr(f"shiftright({id_col}, 6)").alias("wi")
+    ).agg(F.expr(_WORD.format(id=id_col)).alias("w"))
+
+
+def start_bitmap_matview(
+    stream_df: DataFrame,
+    keys: list[str],
+    id_col: str,
+    state_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Maintain an exact distinct-``id_col``-per-key view of
+    ``stream_df`` as mergeable bitmap words under ``state_dir``.
+    Stateless stream; append mode; no watermark; no state store."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        _bitmap_partials(batch_df, keys, id_col).write.mode("overwrite").parquet(
+            f"{state_dir}/batch_id={batch_id}"
+        )
+
+    return (
+        stream_df.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(write_batch)
+        .start()
+    )
+
+
+def _bitmap_state(spark, state_dir: str, keys: list[str]) -> DataFrame:
+    """Union of base + above-watermark batch word partials."""
+    wm = _watermark(state_dir)
+    parts = []
+    base = os.path.join(state_dir, "base")
+    if os.path.isdir(base):
+        parts.append(spark.read.parquet(base).select(*keys, "wi", "w"))
+    batch_dirs = [
+        os.path.join(state_dir, d)
+        for d in os.listdir(state_dir)
+        if d.startswith("batch_id=") and int(d.split("=", 1)[1]) > wm
+    ]
+    if batch_dirs:
+        parts.append(
+            spark.read.option("basePath", state_dir)
+            .parquet(*batch_dirs)
+            .select(*keys, "wi", "w")
+        )
+    if not parts:
+        raise FileNotFoundError(f"no bitmap matview state under {state_dir}")
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return u
+
+
+def read_bitmap_matview(spark, state_dir: str, keys: list[str]) -> DataFrame:
+    """Current exact distinct count per key: OR-merge words, sum
+    bit_counts.  Exact at any moment, under any replay history."""
+    merged = (
+        _bitmap_state(spark, state_dir, keys)
+        .groupBy(*keys, "wi")
+        .agg(F.expr("bit_or(w)").alias("w"))
+    )
+    return merged.groupBy(*keys).agg(
+        F.sum(F.expr("bit_count(w)")).cast("bigint").alias("distinct_ids")
+    )
+
+
+def compact_bitmap_matview(spark, state_dir: str, keys: list[str]) -> int:
+    """Fold base + batch word partials into a fresh OR-merged ``base/``
+    snapshot (same atomic rename + in-snapshot watermark discipline as
+    :func:`compact_matview`).  The snapshot keeps WORDS, not counts, so
+    it stays mergeable with future batches forever."""
+    ids = [
+        int(d.split("=", 1)[1])
+        for d in os.listdir(state_dir)
+        if d.startswith("batch_id=")
+    ]
+    wm_old = _watermark(state_dir)
+    fold = [i for i in ids if i > wm_old]
+    if not fold:
+        return wm_old
+    wm_new = max(fold)
+    snap = (
+        _bitmap_state(spark, state_dir, keys)
+        .groupBy(*keys, "wi")
+        .agg(F.expr("bit_or(w)").alias("w"))
+    )
+    tmp = os.path.join(state_dir, f"._base-{uuid.uuid4().hex[:8]}")
+    snap.coalesce(1).write.mode("overwrite").parquet(tmp)
+    with open(os.path.join(tmp, _WM), "w") as f:
+        f.write(str(wm_new))
+    base = os.path.join(state_dir, "base")
+    old = os.path.join(state_dir, f"._old-{uuid.uuid4().hex[:8]}")
+    if os.path.isdir(base):
+        os.rename(base, old)
+    os.rename(tmp, base)
+    if os.path.isdir(old):
+        shutil.rmtree(old)
+    for i in fold:
+        shutil.rmtree(os.path.join(state_dir, f"batch_id={i}"), ignore_errors=True)
+    return wm_new

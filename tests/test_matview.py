@@ -113,3 +113,122 @@ def test_matview_replayed_batch_is_idempotent(spark, tmp_path):
     part.write.mode("overwrite").parquet(f"{state}/batch_id=0")
     v2 = sorted(map(tuple, read_matview(spark, state, KEYS).collect()))
     assert v2 == v1
+
+
+# ---------------------------------------------------------- bitmap view
+def _bitmap_truth(spark):
+    return (
+        load_table(spark, SF, "events")
+        .groupBy(*KEYS)
+        .agg(F.countDistinct("user_id").cast("bigint").alias("distinct_ids"))
+    )
+
+
+def test_bitmap_matview_converges_to_batch_count_distinct(
+    spark, wire_dir, tmp_path
+):
+    from multi_threaded_mapreduce_framework_spark.streaming.matview import (
+        read_bitmap_matview,
+        start_bitmap_matview,
+    )
+
+    state = str(tmp_path / "bstate")
+    q = start_bitmap_matview(
+        parse_events(kafka_wire_stream(spark, wire_dir)),
+        KEYS,
+        "user_id",
+        state,
+        str(tmp_path / "bckpt"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(map(tuple, read_bitmap_matview(spark, state, KEYS).collect()))
+    want = sorted(map(tuple, _bitmap_truth(spark).collect()))
+    assert got == want
+    assert len([d for d in os.listdir(state) if d.startswith("batch_id=")]) >= 2
+
+
+def test_bitmap_matview_or_idempotent_under_duplicated_batch(
+    spark, wire_dir, tmp_path
+):
+    """Stronger than replay-overwrite idempotency: even a batch
+    DUPLICATED under a fresh id (at-least-once delivery with a broken
+    checkpoint) cannot change the view, because OR is idempotent."""
+    import shutil as _sh
+
+    from multi_threaded_mapreduce_framework_spark.streaming.matview import (
+        read_bitmap_matview,
+        start_bitmap_matview,
+    )
+
+    state = str(tmp_path / "bstate")
+    q = start_bitmap_matview(
+        parse_events(kafka_wire_stream(spark, wire_dir)),
+        KEYS,
+        "user_id",
+        state,
+        str(tmp_path / "bckpt"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    before = sorted(map(tuple, read_bitmap_matview(spark, state, KEYS).collect()))
+    dirs = sorted(d for d in os.listdir(state) if d.startswith("batch_id="))
+    dup_id = max(int(d.split("=", 1)[1]) for d in dirs) + 1
+    _sh.copytree(
+        os.path.join(state, dirs[0]), os.path.join(state, f"batch_id={dup_id}")
+    )
+    after = sorted(map(tuple, read_bitmap_matview(spark, state, KEYS).collect()))
+    assert before == after
+
+
+def test_bitmap_matview_compaction_keeps_words_mergeable(
+    spark, wire_dir, tmp_path
+):
+    from multi_threaded_mapreduce_framework_spark.streaming.matview import (
+        compact_bitmap_matview,
+        read_bitmap_matview,
+        start_bitmap_matview,
+    )
+
+    state = str(tmp_path / "bstate")
+    q = start_bitmap_matview(
+        parse_events(kafka_wire_stream(spark, wire_dir)),
+        KEYS,
+        "user_id",
+        state,
+        str(tmp_path / "bckpt"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    before = sorted(map(tuple, read_bitmap_matview(spark, state, KEYS).collect()))
+    wm = compact_bitmap_matview(spark, state, KEYS)
+    assert wm >= 0 and _watermark(state) == wm
+    assert [d for d in os.listdir(state) if d.startswith("batch_id=")] == []
+    assert (
+        sorted(map(tuple, read_bitmap_matview(spark, state, KEYS).collect()))
+        == before
+    )
+    # post-compaction batches still merge with the snapshot WORDS: feed
+    # a synthetic batch of brand-new user ids above the current range
+    from multi_threaded_mapreduce_framework_spark.streaming.matview import (
+        _bitmap_partials,
+    )
+
+    new = spark.createDataFrame(
+        [("purchase", 100000), ("purchase", 100001)], "event_type string, user_id long"
+    )
+    _bitmap_partials(new, KEYS, "user_id").write.mode("overwrite").parquet(
+        os.path.join(state, f"batch_id={wm + 1}")
+    )
+    merged = {
+        r.event_type: r.distinct_ids
+        for r in read_bitmap_matview(spark, state, KEYS).collect()
+    }
+    base = {r[0]: r[1] for r in before}
+    assert merged["purchase"] == base["purchase"] + 2
