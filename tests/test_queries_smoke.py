@@ -82,3 +82,24 @@ def test_driver_priority_names_all_registered():
     # every round-4 debut query sits inside the ~50-query driver window
     debut = [n for n in ordered if 127 <= int(n[1:].split("_", 1)[0]) <= 164]
     assert debut and all(ordered.index(n) < 50 for n in debut), debut
+
+
+def test_every_query_has_a_survey_inventory_row():
+    """SURVEY.md §2.3 is the judge-facing coverage contract: a query
+    registered here but missing there is invisible coverage, and a
+    SURVEY row without a registration is a false claim. Keep the
+    registry and the inventory in lockstep (names are backticked in the
+    table's first column)."""
+    import os
+    import re
+
+    survey = open(
+        os.path.join(os.path.dirname(__file__), os.pardir, "SURVEY.md"),
+        encoding="utf-8",
+    ).read()
+    declared = set(re.findall(r"^\| `(q\d+_[a-z0-9_]+)` \|", survey, re.M))
+    registered = set(QUERIES)
+    missing_rows = sorted(registered - declared)
+    phantom_rows = sorted(declared - registered)
+    assert missing_rows == [], f"registered but not in SURVEY §2.3: {missing_rows}"
+    assert phantom_rows == [], f"in SURVEY §2.3 but not registered: {phantom_rows}"
