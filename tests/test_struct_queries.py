@@ -266,3 +266,52 @@ def test_q164_matches_raw_day_sets(spark, sf_dir):
         if inter > 0:
             want.add((d, inter))
     assert got == want
+
+
+def test_q156_partial_fold_correct_across_many_partitions(spark, sf_dir):
+    """The fixture scan may be a single partition (one parquet row
+    group), which would make the in-scan partial top-k trivially
+    global — so force 13 partitions and re-run the same fold + final
+    window, asserting losslessness when every partition really does
+    contribute its own candidate set."""
+    import pandas as pd
+
+    K = 3
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderpriority", "o_orderkey", "o_totalprice")
+        .repartition(13)
+    )
+
+    def partial_topk(batches):
+        cand = None
+        for pdf in batches:
+            cur = pd.concat([cand, pdf]) if cand is not None else pdf
+            cur = cur.sort_values(
+                ["o_orderpriority", "o_totalprice", "o_orderkey"],
+                ascending=[True, False, True],
+            )
+            cand = cur.groupby("o_orderpriority", sort=False).head(K)
+        if cand is not None:
+            yield cand
+
+    survivors = orders.mapInPandas(partial_topk, orders.schema)
+    # survivors must be bounded by partitions x groups x K, not table size
+    assert survivors.count() <= 13 * 5 * K
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    got = {
+        (r.o_orderpriority, r.o_orderkey)
+        for r in survivors.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= K)
+        .collect()
+    }
+    want = {
+        (r.o_orderpriority, r.o_orderkey)
+        for r in load_table(spark, sf_dir, "orders")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= K)
+        .collect()
+    }
+    assert got == want
