@@ -59,21 +59,19 @@ def q153_bitmap_distinct(spark, sf_dir):
     days — proving the rollup path — so the count that matches the
     oracle's flat COUNT(DISTINCT) was produced from mergeable partials,
     the way a 100 TB ingest pipeline would actually maintain it."""
+    from multi_threaded_mapreduce_framework_spark.functions.bitmap import (
+        bitmap_layer,
+        count_distinct_words,
+        merge_words,
+    )
+
     ev = load_table(spark, sf_dir, "events").select(
         "event_type", F.to_date("ts").alias("day"), "user_id"
     )
-    # arithmetic shift floors toward -inf for ALL int64 (div truncates
-    # toward zero, which would collide id -1 with id 63 under pmod)
-    daily = ev.groupBy(
-        "event_type", "day", F.expr("shiftright(user_id, 6)").alias("wi")
-    ).agg(
-        F.expr(
-            "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pmod(user_id, 64) AS INT)))"
-        ).alias("w")
-    )
-    merged = daily.groupBy("event_type", "wi").agg(F.expr("bit_or(w)").alias("w"))
-    return merged.groupBy("event_type").agg(
-        F.sum(F.expr("bit_count(w)")).cast("bigint").alias("distinct_users")
+    daily = bitmap_layer(ev, ["event_type", "day"], "user_id")
+    merged = merge_words(daily, ["event_type"])
+    return count_distinct_words(merged, ["event_type"]).withColumnRenamed(
+        "distinct_ids", "distinct_users"
     )
 
 
@@ -620,17 +618,18 @@ def q162_bitmap_set_algebra(spark, sf_dir):
     wire regardless of how many predicates compose.  This composability
     is WHY engines keep bitmap indexes (Druid/ClickHouse groupBitmapAnd
     family): q153 proves the census, this proves the algebra."""
+    from multi_threaded_mapreduce_framework_spark.functions.bitmap import (
+        word_bit_agg_when,
+        word_index,
+    )
+
     ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
     words = (
         ev.filter(F.col("event_type").isin("purchase", "error", "signup"))
-        .groupBy(F.expr("shiftright(user_id, 6)").alias("wi"))
+        .groupBy(word_index("user_id").alias("wi"))
         .agg(
             *[
-                F.expr(
-                    "bit_or(CASE WHEN event_type = '{t}' THEN "
-                    "shiftleft(CAST(1 AS BIGINT), CAST(pmod(user_id, 64) AS INT)) "
-                    "ELSE CAST(0 AS BIGINT) END)".format(t=t)
-                ).alias(a)
+                word_bit_agg_when("user_id", f"event_type = '{t}'").alias(a)
                 for t, a in (("purchase", "a"), ("error", "b"), ("signup", "c"))
             ]
         )
@@ -672,34 +671,27 @@ def q163_bitmap_distinct_rollup(spark, sf_dir):
         F.to_date("ts").cast("string").alias("day"),
         "user_id",
     )
-    layer = ev.groupBy(
-        "event_type", "day", F.expr("shiftright(user_id, 6)").alias("wi")
-    ).agg(
-        F.expr(
-            "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pmod(user_id, 64) AS INT)))"
-        ).alias("w")
+    from multi_threaded_mapreduce_framework_spark.functions.bitmap import (
+        bitmap_layer,
+        count_distinct_words,
+        merge_words,
     )
-    cnt = lambda df: F.sum(F.expr("bit_count(w)")).cast("bigint").alias(
-        "distinct_users"
+
+    layer = bitmap_layer(ev, ["event_type", "day"], "user_id")
+
+    def _cnt(df, keys):
+        return count_distinct_words(df, keys).withColumnRenamed(
+            "distinct_ids", "distinct_users"
+        )
+
+    by_type = _cnt(merge_words(layer, ["event_type"]), ["event_type"]).select(
+        "event_type", F.lit(None).cast("string").alias("day"), "distinct_users"
     )
-    by_type = (
-        layer.groupBy("event_type", "wi")
-        .agg(F.expr("bit_or(w)").alias("w"))
-        .groupBy("event_type")
-        .agg(cnt(None))
-        .select("event_type", F.lit(None).cast("string").alias("day"), "distinct_users")
+    by_day = _cnt(merge_words(layer, ["day"]), ["day"]).select(
+        F.lit(None).cast("string").alias("event_type"), "day", "distinct_users"
     )
-    by_day = (
-        layer.groupBy("day", "wi")
-        .agg(F.expr("bit_or(w)").alias("w"))
-        .groupBy("day")
-        .agg(cnt(None))
-        .select(F.lit(None).cast("string").alias("event_type"), "day", "distinct_users")
-    )
-    by_both = (
-        layer.groupBy("event_type", "day")
-        .agg(cnt(None))
-        .select("event_type", "day", "distinct_users")
+    by_both = _cnt(layer, ["event_type", "day"]).select(
+        "event_type", "day", "distinct_users"
     )
     return by_type.unionByName(by_day).unionByName(by_both)
 
@@ -728,14 +720,12 @@ def q164_bitmap_retention(spark, sf_dir):
     (d+7, d+30) reuses the SAME layer — zero additional raw-event
     passes.  Completes the bitmap story: census (q153), boolean
     algebra (q162), rollup (q163), temporal composition (here)."""
+    from multi_threaded_mapreduce_framework_spark.functions.bitmap import bitmap_layer
+
     ev = load_table(spark, sf_dir, "events").select(
         F.to_date("ts").alias("day"), "user_id"
     )
-    layer = ev.groupBy("day", F.expr("shiftright(user_id, 6)").alias("wi")).agg(
-        F.expr(
-            "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pmod(user_id, 64) AS INT)))"
-        ).alias("w")
-    )
+    layer = bitmap_layer(ev, ["day"], "user_id")
     a = layer.alias("a")
     b = layer.select(
         F.date_sub("day", 1).alias("day_prev"), F.col("wi"), F.col("w").alias("w2")

@@ -156,15 +156,10 @@ def compact_matview(spark, state_dir: str, keys: list[str]) -> int:
 # overwrite-idempotency the cnt/sum view relies on).  State per batch
 # dir is keys x (ids/64) x 8 bytes; the state store stays empty.
 
-_WORD = (
-    "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pmod({id}, 64) AS INT)))"
-)
-
-
 def _bitmap_partials(df: DataFrame, keys: list[str], id_col: str) -> DataFrame:
-    return df.groupBy(
-        *keys, F.expr(f"shiftright({id_col}, 6)").alias("wi")
-    ).agg(F.expr(_WORD.format(id=id_col)).alias("w"))
+    from multi_threaded_mapreduce_framework_spark.functions.bitmap import bitmap_layer
+
+    return bitmap_layer(df, keys, id_col)
 
 
 def start_bitmap_matview(
