@@ -47,9 +47,17 @@ def word_bit_agg_when(id_col: str, cond_sql: str) -> Column:
 def bitmap_layer(df: DataFrame, keys: list[str], id_col: str) -> DataFrame:
     """The finest-granularity word layer: one row per (keys..., wi)
     with the merged word ``w``.  One partial-agg shuffle of ``df``;
-    everything coarser derives from this by OR-merge."""
-    return df.groupBy(*keys, word_index(id_col).alias("wi")).agg(
-        word_bit_agg(id_col).alias("w")
+    everything coarser derives from this by OR-merge.
+
+    NULL ids are dropped first — a NULL is not an id, matching
+    ``COUNT(DISTINCT)``'s null-skipping.  One documented asymmetry
+    remains: a key whose ids are ALL null has no layer rows and is
+    therefore ABSENT from word-derived counts, where a per-key
+    ``COUNT(DISTINCT)`` would report the key with 0."""
+    return (
+        df.filter(F.col(id_col).isNotNull())
+        .groupBy(*keys, word_index(id_col).alias("wi"))
+        .agg(word_bit_agg(id_col).alias("w"))
     )
 
 

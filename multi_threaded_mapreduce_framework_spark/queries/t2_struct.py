@@ -40,7 +40,7 @@ from multi_threaded_mapreduce_framework_spark.sources import load_table, spread_
     tier="T2",
     oracle="""
 SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_users
-FROM events
+FROM events WHERE user_id IS NOT NULL
 GROUP BY event_type
 """,
 )
@@ -142,11 +142,11 @@ def q155_deletion_neighbors(spark, sf_dir):
     names = (
         load_table(spark, sf_dir, "customer")
         .filter(F.col("c_mktsegment") == "BUILDING")
-        # sequence(1, 0) DESCENDS in Spark: an empty name would emit
-        # junk variants instead of none, so exclude empties explicitly
-        .filter(F.length("c_name") > 0)
         .select(F.col("c_name").alias("name"))
     )
+    # empty names need no special case: sequence(1,0) is [1,0] and both
+    # deletion variants of '' collapse to '' under array_union — the
+    # exact FastSS neighborhood of the empty string
     variants = names.select(
         "name",
         F.explode(
@@ -596,7 +596,7 @@ def q161_sorted_neighborhood(spark, sf_dir):
     oracle="""
 SELECT CAST(count(*) AS BIGINT) AS n_users
 FROM (
-  SELECT user_id FROM events GROUP BY user_id
+  SELECT user_id FROM events WHERE user_id IS NOT NULL GROUP BY user_id
   HAVING bool_or(event_type = 'purchase') AND bool_or(event_type = 'error')
      AND NOT bool_or(event_type = 'signup')
 )
@@ -625,7 +625,10 @@ def q162_bitmap_set_algebra(spark, sf_dir):
 
     ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
     words = (
-        ev.filter(F.col("event_type").isin("purchase", "error", "signup"))
+        # NULL is not a user (oracle filters identically): a NULL id
+        # would otherwise form a NULL word row invisible to bit_count
+        ev.filter(F.col("user_id").isNotNull())
+        .filter(F.col("event_type").isin("purchase", "error", "signup"))
         .groupBy(word_index("user_id").alias("wi"))
         .agg(
             *[
@@ -646,7 +649,8 @@ def q162_bitmap_set_algebra(spark, sf_dir):
     tier="T2",
     oracle="""
 WITH g AS (
-  SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day, user_id FROM events
+  SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day, user_id
+  FROM events WHERE user_id IS NOT NULL
 )
 SELECT event_type, day, CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_users
 FROM g GROUP BY GROUPING SETS ((event_type), (day), (event_type, day))
@@ -700,7 +704,8 @@ def q163_bitmap_distinct_rollup(spark, sf_dir):
     "q164_bitmap_retention",
     tier="T2",
     oracle="""
-WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events)
+WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+            FROM events WHERE user_id IS NOT NULL)
 SELECT CAST(a.day AS VARCHAR) AS day, CAST(count(*) AS BIGINT) AS retained
 FROM du a JOIN du b ON b.day = a.day + INTERVAL 1 DAY AND a.user_id = b.user_id
 GROUP BY a.day

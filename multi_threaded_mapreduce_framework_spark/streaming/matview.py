@@ -156,12 +156,6 @@ def compact_matview(spark, state_dir: str, keys: list[str]) -> int:
 # overwrite-idempotency the cnt/sum view relies on).  State per batch
 # dir is keys x (ids/64) x 8 bytes; the state store stays empty.
 
-def _bitmap_partials(df: DataFrame, keys: list[str], id_col: str) -> DataFrame:
-    from multi_threaded_mapreduce_framework_spark.functions.bitmap import bitmap_layer
-
-    return bitmap_layer(df, keys, id_col)
-
-
 def start_bitmap_matview(
     stream_df: DataFrame,
     keys: list[str],
@@ -173,8 +167,10 @@ def start_bitmap_matview(
     ``stream_df`` as mergeable bitmap words under ``state_dir``.
     Stateless stream; append mode; no watermark; no state store."""
 
+    from multi_threaded_mapreduce_framework_spark.functions.bitmap import bitmap_layer
+
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        _bitmap_partials(batch_df, keys, id_col).write.mode("overwrite").parquet(
+        bitmap_layer(batch_df, keys, id_col).write.mode("overwrite").parquet(
             f"{state_dir}/batch_id={batch_id}"
         )
 
@@ -215,14 +211,13 @@ def _bitmap_state(spark, state_dir: str, keys: list[str]) -> DataFrame:
 def read_bitmap_matview(spark, state_dir: str, keys: list[str]) -> DataFrame:
     """Current exact distinct count per key: OR-merge words, sum
     bit_counts.  Exact at any moment, under any replay history."""
-    merged = (
-        _bitmap_state(spark, state_dir, keys)
-        .groupBy(*keys, "wi")
-        .agg(F.expr("bit_or(w)").alias("w"))
+    from multi_threaded_mapreduce_framework_spark.functions.bitmap import (
+        count_distinct_words,
+        merge_words,
     )
-    return merged.groupBy(*keys).agg(
-        F.sum(F.expr("bit_count(w)")).cast("bigint").alias("distinct_ids")
-    )
+
+    merged = merge_words(_bitmap_state(spark, state_dir, keys), keys)
+    return count_distinct_words(merged, keys)
 
 
 def compact_bitmap_matview(spark, state_dir: str, keys: list[str]) -> int:
@@ -240,11 +235,9 @@ def compact_bitmap_matview(spark, state_dir: str, keys: list[str]) -> int:
     if not fold:
         return wm_old
     wm_new = max(fold)
-    snap = (
-        _bitmap_state(spark, state_dir, keys)
-        .groupBy(*keys, "wi")
-        .agg(F.expr("bit_or(w)").alias("w"))
-    )
+    from multi_threaded_mapreduce_framework_spark.functions.bitmap import merge_words
+
+    snap = merge_words(_bitmap_state(spark, state_dir, keys), keys)
     tmp = os.path.join(state_dir, f"._base-{uuid.uuid4().hex[:8]}")
     snap.coalesce(1).write.mode("overwrite").parquet(tmp)
     with open(os.path.join(tmp, _WM), "w") as f:

@@ -216,14 +216,12 @@ def test_bitmap_matview_compaction_keeps_words_mergeable(
     )
     # post-compaction batches still merge with the snapshot WORDS: feed
     # a synthetic batch of brand-new user ids above the current range
-    from multi_threaded_mapreduce_framework_spark.streaming.matview import (
-        _bitmap_partials,
-    )
+    from multi_threaded_mapreduce_framework_spark.functions.bitmap import bitmap_layer
 
     new = spark.createDataFrame(
         [("purchase", 100000), ("purchase", 100001)], "event_type string, user_id long"
     )
-    _bitmap_partials(new, KEYS, "user_id").write.mode("overwrite").parquet(
+    bitmap_layer(new, KEYS, "user_id").write.mode("overwrite").parquet(
         os.path.join(state, f"batch_id={wm + 1}")
     )
     merged = {
