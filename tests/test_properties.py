@@ -89,7 +89,7 @@ def test_bitmap_word_distinct_count_invariant(spark, data):
 
 # ------------------------------------- deletion-neighborhood recall
 tokens = st.lists(
-    st.text(alphabet="abc", min_size=1, max_size=5), min_size=0, max_size=12
+    st.text(alphabet="abc", min_size=0, max_size=5), min_size=0, max_size=12
 )
 
 
@@ -99,7 +99,7 @@ def test_deletion_neighborhood_finds_all_lev1_pairs(spark, data):
     """q155's in-row variant expansion + equi-join + levenshtein verify
     == brute-force edit-distance-1 pairs for arbitrary short strings
     (FastSS recall/precision on adversarial hypothesis inputs:
-    duplicates, shared prefixes, length-1 strings)."""
+    duplicates, shared prefixes, length-1 and EMPTY strings)."""
     import pyspark.sql.functions as F
 
     names = sorted(set(data))
