@@ -285,3 +285,83 @@ def test_tws_dataframe_builds_without_protobuf(spark, replay_dir):
     assert [(f.name, f.dataType.simpleString()) for f in agg.schema.fields] == [
         ("user_id", "bigint"), ("cnt", "bigint"), ("sum_value", "double")
     ]
+
+
+def test_watermark_drops_late_event_from_finalized_window(spark, tmp_path_factory):
+    """Pin REAL watermark drop semantics (the behavior q158's batch
+    replay models): after the watermark advances past a window's end,
+    a late arrival into that window is DROPPED from the append-mode
+    result; the same event arriving before the advance would have
+    counted.  Batch order is forced via file mtimes (FileStreamSource
+    orders by modification time), one file per trigger."""
+    import os
+    import time
+
+    src = str(tmp_path_factory.mktemp("wm_src"))
+    ck = str(tmp_path_factory.mktemp("wm_ck"))
+
+    def write_chunk(name, rows, mtime):
+        import glob as _glob
+        import shutil as _sh
+
+        df = spark.createDataFrame(rows, "ts timestamp, k string")
+        tmp = os.path.join(src, f"._tmp_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(src, f"{name}.parquet")
+        _sh.move(part, dst)
+        _sh.rmtree(tmp)
+        os.utime(dst, (mtime, mtime))
+
+    from datetime import datetime
+
+    t = datetime(2024, 1, 1, 10, 0, 0)
+
+    def at(h, m):
+        return t.replace(hour=h, minute=m)
+
+    base = time.time() - 1000
+    # batch 0: two rows in window [10:00,10:15) + one at 12:00 that
+    # advances the watermark to 11:50 — far past the window's end
+    write_chunk(
+        "c1", [(at(10, 0), "a"), (at(10, 14), "a"), (at(12, 0), "a")], base
+    )
+    # batch 1: the 11:50 watermark takes effect, finalizes + EVICTS the
+    # [10:00,10:15) window (watermark advancement lags one batch)
+    write_chunk("c2", [(at(12, 1), "a")], base + 100)
+    # batch 2: a LATE row for the already-evicted window and an on-time
+    # row at 12:05 — the late row must be dropped, never resurrect the
+    # window into a duplicate append emission
+    write_chunk("c3", [(at(10, 5), "a"), (at(12, 5), "a")], base + 200)
+
+    schema = spark.read.parquet(os.path.join(src, "c1.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "15 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.date_format("w.start", "HH:mm").alias("start"), "cnt")
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wm_drop")
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = [
+        (r.start, r.cnt)
+        for r in spark.sql("SELECT * FROM wm_drop WHERE start = '10:00'").collect()
+    ]
+    # finalized once, with exactly its two on-time rows: the late 10:05
+    # arrival was dropped AND did not re-open the window (a resurrected
+    # window would show as a second append row for the same start)
+    assert rows == [("10:00", 2)], rows
