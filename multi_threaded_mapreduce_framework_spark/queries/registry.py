@@ -90,6 +90,7 @@ _DRIVER_PRIORITY = (
     "q162_bitmap_set_algebra",
     "q163_bitmap_distinct_rollup",
     "q164_bitmap_retention",
+    "q165_bitmap_rolling_wau",
     # --- new in round 4: debut driver rows ---
     "q127_vocab_ids",
     "q128_train_holdout_leakage",

@@ -1,11 +1,11 @@
-"""Exact distributed-structure queries (q153-q164): re-aggregatable
+"""Exact distributed-structure queries (q153-q165): re-aggregatable
 bitmap distinct counts, a histogram-offset global ordinal, a
 deletion-neighborhood similarity join, partial top-k pushdown,
 first-occurrence novelty scoring, a deterministic watermark replay,
 histogram weighted medians, a bitmask overlap census,
 sorted-neighborhood dedup blocking, and the bitmap composition suite
-(set algebra, distinct-count rollups, next-day retention) built from
-the q153 word layer.
+(set algebra, distinct-count rollups, next-day retention, rolling
+WAU) built from the q153 word layer.
 
 Each declares, as an oracle-checked query, an EXACT structure that
 replaces an approximate sketch or a non-scalable plan at 100 TB:
@@ -740,4 +740,58 @@ def q164_bitmap_retention(spark, sf_dir):
         .groupBy(F.col("a.day").cast("string").alias("day"))
         .agg(F.sum(F.expr("bit_count(w & w2)")).cast("bigint").alias("retained"))
         .filter(F.col("retained") > 0)
+    )
+
+
+@register(
+    "q165_bitmap_rolling_wau",
+    tier="T2",
+    oracle="""
+WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events WHERE user_id IS NOT NULL),
+du AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id
+       FROM events WHERE user_id IS NOT NULL)
+SELECT CAST(days.d AS VARCHAR) AS day,
+       CAST(count(DISTINCT du.user_id) AS BIGINT) AS wau
+FROM days JOIN du ON du.d BETWEEN days.d - 6 AND days.d
+GROUP BY days.d
+""",
+)
+def q165_bitmap_rolling_wau(spark, sf_dir):
+    """Rolling 7-day active users per day — the WAU curve — as a
+    RANGE-framed OR over the daily bitmap layer, closing the bitmap
+    suite with the sliding-window composition.
+
+    Scale shape: q109 computes the same statistic by exploding each
+    (user, day) presence into 7 window contributions and
+    count-distinct-ing — shuffle grows with presences x 7.  Here the
+    daily word layer (one fact shuffle) is completed to the
+    days x word-index GRID (both sides domain-bounded: days by the
+    time range, word indexes by users/64), and the 7-day OR runs as a
+    window per word index with a RANGE frame on the day number —
+    calendar gaps handled by the frame, zero additional passes over
+    events.  Every window partition holds at most |days| 8-byte words.
+    The same grid answers MAU (frame -29..0) with no new shuffle —
+    the rollup-reuse property counting DISTINCT users can never have."""
+    from multi_threaded_mapreduce_framework_spark.functions.bitmap import bitmap_layer
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    layer = bitmap_layer(ev, ["day"], "user_id")
+    days = layer.select("day").distinct()
+    wis = layer.select("wi").distinct()
+    grid = days.crossJoin(F.broadcast(wis))
+    g = grid.join(layer, ["day", "wi"], "left").select(
+        "day",
+        "wi",
+        F.coalesce("w", F.lit(0)).alias("w"),
+        F.datediff("day", F.to_date(F.lit("1970-01-01"))).alias("dn"),
+    )
+    w7 = Window.partitionBy("wi").orderBy("dn").rangeBetween(-6, 0)
+    rolled = g.select(
+        "day", F.expr("bit_or(w)").over(w7).alias("w7")
+    )
+    return (
+        rolled.groupBy(F.col("day").cast("string").alias("day"))
+        .agg(F.sum(F.expr("bit_count(w7)")).cast("bigint").alias("wau"))
     )

@@ -550,3 +550,14 @@ def test_q164_retention_joins_word_layer(spark, sf_dir):
     assert "Expand" not in plan, plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert has_partial_aggregate(df)
+
+
+def test_q165_rolling_or_over_word_grid(spark, sf_dir):
+    """The 7-day OR must window over the word grid (no Expand, no
+    event-level explode): one fact exchange into the layer, the rest
+    domain-bounded."""
+    df = QUERIES["q165_bitmap_rolling_wau"].builder(spark, sf_dir)
+    plan = executed_plan(df)
+    assert "Expand" not in plan, plan
+    assert "Window" in plan, plan
+    assert has_partial_aggregate(df)

@@ -315,3 +315,30 @@ def test_q156_partial_fold_correct_across_many_partitions(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_q165_matches_raw_window_sets(spark, sf_dir):
+    """Grid-windowed word OR == literal 7-day user-set unions."""
+    got = {
+        (r.day, r.wau)
+        for r in QUERIES["q165_bitmap_rolling_wau"].builder(spark, sf_dir).collect()
+    }
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select(F.to_date("ts").alias("d"), "user_id")
+        .distinct()
+        .collect()
+    )
+    from collections import defaultdict
+    from datetime import timedelta
+
+    days = defaultdict(set)
+    for r in rows:
+        days[r.d].add(r.user_id)
+    want = set()
+    for d in days:
+        users = set()
+        for back in range(7):
+            users |= days.get(d - timedelta(days=back), set())
+        want.add((d.isoformat(), len(users)))
+    assert got == want
