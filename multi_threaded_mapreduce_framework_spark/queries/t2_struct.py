@@ -1,11 +1,12 @@
-"""Exact distributed-structure queries (q153-q165): re-aggregatable
+"""Exact distributed-structure queries (q153-q166): re-aggregatable
 bitmap distinct counts, a histogram-offset global ordinal, a
 deletion-neighborhood similarity join, partial top-k pushdown,
 first-occurrence novelty scoring, a deterministic watermark replay,
 histogram weighted medians, a bitmask overlap census,
 sorted-neighborhood dedup blocking, and the bitmap composition suite
 (set algebra, distinct-count rollups, next-day retention, rolling
-WAU) built from the q153 word layer.
+WAU) built from the q153 word layer, plus the native batch
+session_window tier (q166).
 
 Each declares, as an oracle-checked query, an EXACT structure that
 replaces an approximate sketch or a non-scalable plan at 100 TB:
@@ -794,4 +795,54 @@ def q165_bitmap_rolling_wau(spark, sf_dir):
     return (
         rolled.groupBy(F.col("day").cast("string").alias("day"))
         .agg(F.sum(F.expr("bit_count(w7)")).cast("bigint").alias("wau"))
+    )
+
+
+@register(
+    "q166_session_window",
+    tier="T2",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS us FROM events
+),
+s AS (
+  SELECT user_id, us, event_id,
+         CASE WHEN lag(us) OVER w IS NULL
+                OR us - lag(us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS st
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+sid AS (
+  SELECT user_id,
+         sum(st) OVER (PARTITION BY user_id ORDER BY us, event_id
+                       ROWS UNBOUNDED PRECEDING) AS sid
+  FROM s
+),
+per AS (SELECT user_id, sid, count(*) AS n FROM sid GROUP BY 1, 2)
+SELECT user_id, CAST(count(*) AS BIGINT) AS num_sessions,
+       CAST(max(n) AS BIGINT) AS max_session_events
+FROM per GROUP BY user_id
+""",
+)
+def q166_session_window(spark, sf_dir):
+    """Per-user session census — session count and busiest session —
+    via Spark's NATIVE gap-based ``session_window`` in BATCH mode (the
+    same operator the streaming tier runs under a watermark,
+    ``streaming/windowed.py``).
+
+    q23 builds sessions from lag + running-sum windows (two window
+    passes sharing one user_id shuffle); this is the built-in form —
+    one shuffle on user_id into the session-merging aggregate (sorted
+    merge per key, state bounded by one session), then a per-user
+    rollup of session rows.  Boundary semantics pinned by the oracle:
+    a gap of EXACTLY the 30-minute threshold starts a new session
+    (session windows are half-open — [start, last + gap)), which is
+    where this differs from q23's strict-> comparison; the oracle
+    encodes >= in integer microseconds so both engines agree exactly."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    sessions = ev.groupBy(
+        F.session_window("ts", "30 minutes").alias("sw"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return sessions.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("num_sessions"),
+        F.max("n_events").cast("bigint").alias("max_session_events"),
     )

@@ -561,3 +561,13 @@ def test_q165_rolling_or_over_word_grid(spark, sf_dir):
     assert "Expand" not in plan, plan
     assert "Window" in plan, plan
     assert has_partial_aggregate(df)
+
+
+def test_q166_single_user_shuffle_session_merge(spark, sf_dir):
+    """The native session aggregate must ride one user_id exchange (the
+    session merge is in-partition after the shuffle) plus the tiny
+    rollup — never an Expand or a second corpus pass."""
+    df = QUERIES["q166_session_window"].builder(spark, sf_dir)
+    plan = executed_plan(df)
+    assert "Expand" not in plan, plan
+    assert num_exchanges(df) <= 2, plan
