@@ -1,4 +1,4 @@
-"""Exact distributed-structure queries (q153-q166): re-aggregatable
+"""Exact distributed-structure queries (q153-q167): re-aggregatable
 bitmap distinct counts, a histogram-offset global ordinal, a
 deletion-neighborhood similarity join, partial top-k pushdown,
 first-occurrence novelty scoring, a deterministic watermark replay,
@@ -6,7 +6,8 @@ histogram weighted medians, a bitmask overlap census,
 sorted-neighborhood dedup blocking, and the bitmap composition suite
 (set algebra, distinct-count rollups, next-day retention, rolling
 WAU) built from the q153 word layer, plus the native batch
-session_window tier (q166).
+session_window tier (q166) and exact-parity linear interpolation
+(q167).
 
 Each declares, as an oracle-checked query, an EXACT structure that
 replaces an approximate sketch or a non-scalable plan at 100 TB:
@@ -845,4 +846,114 @@ def q166_session_window(spark, sf_dir):
     return sessions.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("num_sessions"),
         F.max("n_events").cast("bigint").alias("max_session_events"),
+    )
+
+
+@register(
+    "q167_linear_interpolate",
+    tier="T2",
+    oracle="""
+WITH ev AS (SELECT user_id, ts FROM events WHERE ts < TIMESTAMP '2024-01-08'),
+obs AS (
+  SELECT user_id, date_trunc('hour', ts) AS h, CAST(count(*) AS BIGINT) AS n
+  FROM ev GROUP BY 1, 2
+),
+grid AS (
+  SELECT user_id, unnest(generate_series(date_trunc('hour', min(ts)),
+                                         date_trunc('hour', max(ts)),
+                                         INTERVAL 1 HOUR)) AS h
+  FROM ev GROUP BY user_id
+),
+j AS (
+  SELECT g.user_id, g.h, obs.n,
+         CAST(epoch(g.h) AS BIGINT) // 3600 AS hn
+  FROM grid g LEFT JOIN obs ON obs.user_id = g.user_id AND obs.h = g.h
+),
+f AS (
+  SELECT user_id, h, n, hn,
+         last_value(n IGNORE NULLS) OVER wp AS pv,
+         last_value(CASE WHEN n IS NOT NULL THEN hn END IGNORE NULLS) OVER wp AS ph,
+         first_value(n IGNORE NULLS) OVER wn AS nv,
+         first_value(CASE WHEN n IS NOT NULL THEN hn END IGNORE NULLS) OVER wn AS nh
+  FROM j
+  WINDOW wp AS (PARTITION BY user_id ORDER BY hn
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wn AS (PARTITION BY user_id ORDER BY hn
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, strftime(h, '%Y-%m-%d %H:%M:%S') AS bucket_hour,
+       round(CASE WHEN n IS NOT NULL THEN CAST(n AS DOUBLE)
+                  ELSE CAST(pv AS DOUBLE)
+                       + CAST((nv - pv) * (hn - ph) AS DOUBLE) / (nh - ph)
+             END, 4) AS n_interp
+FROM f
+""",
+)
+def q167_linear_interpolate(spark, sf_dir):
+    """Linear interpolation of each user's hourly activity curve over
+    silent hours (q82 zero-fills the same grid; models and anomaly
+    baselines want the interpolated line, not zeros).
+
+    Scale shape: identical to q82 — per-user grid from two aggregate
+    scalars, everything riding the user_id partitioning; the fills are
+    two ignore-nulls windows (running last / upcoming first) on that
+    same shuffle.  The grid's endpoints are always OBSERVED hours (it
+    spans min..max event), so every silent hour sits strictly between
+    two observations and the interpolation needs no edge case.
+    Engine parity by construction: every input to the interpolation is
+    an exact int64 (counts, hour numbers), the float expression
+    ``pv + ((nv - pv) * dt) / DT`` is evaluated by both engines over
+    identical exact integers in the same operation order, so the
+    rounded doubles are bit-identical — no micro-unit scaffolding
+    needed."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts") < F.lit("2024-01-08").cast("timestamp")
+    )
+    obs = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    grid = (
+        ev.groupBy("user_id")
+        .agg(
+            F.date_trunc("hour", F.min("ts")).alias("_h0"),
+            F.date_trunc("hour", F.max("ts")).alias("_h1"),
+        )
+        .select(
+            "user_id",
+            F.explode(F.sequence("_h0", "_h1", F.expr("INTERVAL 1 HOUR"))).alias("h"),
+        )
+    )
+    j = grid.join(obs, ["user_id", "h"], "left").select(
+        "user_id", "h", "n", F.expr("unix_seconds(h) div 3600").alias("hn")
+    )
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("hn")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = (
+        Window.partitionBy("user_id")
+        .orderBy("hn")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    hn_obs = F.when(F.col("n").isNotNull(), F.col("hn"))
+    filled = j.select(
+        "user_id",
+        "h",
+        "n",
+        "hn",
+        F.last("n", ignorenulls=True).over(wp).alias("pv"),
+        F.last(hn_obs, ignorenulls=True).over(wp).alias("ph"),
+        F.first("n", ignorenulls=True).over(wn).alias("nv"),
+        F.first(hn_obs, ignorenulls=True).over(wn).alias("nh"),
+    )
+    interp = F.when(F.col("n").isNotNull(), F.col("n").cast("double")).otherwise(
+        F.col("pv").cast("double")
+        + ((F.col("nv") - F.col("pv")) * (F.col("hn") - F.col("ph"))).cast("double")
+        / (F.col("nh") - F.col("ph"))
+    )
+    return filled.select(
+        "user_id",
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("bucket_hour"),
+        F.round(interp, 4).alias("n_interp"),
     )

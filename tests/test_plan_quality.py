@@ -571,3 +571,12 @@ def test_q166_single_user_shuffle_session_merge(spark, sf_dir):
     plan = executed_plan(df)
     assert "Expand" not in plan, plan
     assert num_exchanges(df) <= 2, plan
+
+
+def test_q167_fills_ride_user_shuffle(spark, sf_dir):
+    """Both fill windows and the grid must share the user partitioning
+    — no Expand, no corpus-global window."""
+    df = QUERIES["q167_linear_interpolate"].builder(spark, sf_dir)
+    plan = executed_plan(df)
+    assert "SinglePartition" not in plan, plan
+    assert plan.count("Window") >= 1, plan
