@@ -1,4 +1,4 @@
-"""Exact distributed-structure queries (q153-q167): re-aggregatable
+"""Exact distributed-structure queries (q153-q169): re-aggregatable
 bitmap distinct counts, a histogram-offset global ordinal, a
 deletion-neighborhood similarity join, partial top-k pushdown,
 first-occurrence novelty scoring, a deterministic watermark replay,
@@ -6,8 +6,9 @@ histogram weighted medians, a bitmask overlap census,
 sorted-neighborhood dedup blocking, and the bitmap composition suite
 (set algebra, distinct-count rollups, next-day retention, rolling
 WAU) built from the q153 word layer, plus the native batch
-session_window tier (q166) and exact-parity linear interpolation
-(q167).
+session_window tier (q166), exact-parity linear interpolation
+(q167), and exact-arithmetic audit statistics: Benford first-digit
+census (q168) and CUSUM changepoint scan (q169).
 
 Each declares, as an oracle-checked query, an EXACT structure that
 replaces an approximate sketch or a non-scalable plan at 100 TB:
@@ -956,4 +957,125 @@ def q167_linear_interpolate(spark, sf_dir):
         "user_id",
         F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("bucket_hour"),
         F.round(interp, 4).alias("n_interp"),
+    )
+
+
+@register(
+    "q168_benford_audit",
+    tier="T2",
+    oracle="""
+WITH d AS (
+  SELECT o_orderpriority,
+         CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT)
+           AS digit
+  FROM orders WHERE o_totalprice >= 1
+),
+c AS (
+  SELECT o_orderpriority, digit, CAST(count(*) AS BIGINT) AS cnt
+  FROM d GROUP BY 1, 2
+),
+t AS (SELECT o_orderpriority, sum(cnt) AS n FROM c GROUP BY 1)
+SELECT c.o_orderpriority, c.digit, c.cnt,
+       round(CAST(c.cnt AS DOUBLE) / t.n, 4) AS p_obs,
+       round(log10(1.0 + 1.0 / c.digit), 4) AS p_benford
+FROM c JOIN t ON c.o_orderpriority = t.o_orderpriority
+""",
+)
+def q168_benford_audit(spark, sf_dir):
+    """First-significant-digit census of order totals per priority
+    class vs Benford's law — the fraud/synthetic-data audit that flags
+    a partition whose digit distribution cannot come from natural
+    multiplicative data.
+
+    Scale shape: the digit is an in-row expression under the scan, the
+    census is one domain-bounded partial-agg shuffle (priorities x 9
+    digits), and the per-class totals join back from the census itself
+    — no second scan, nothing data-sized after the first aggregate.
+    Observed and expected shares are computed from exact integer
+    counts, so both engines round identical doubles."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    d = o.select(
+        "o_orderpriority",
+        F.substring(F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1)
+        .cast("int")
+        .alias("digit"),
+    )
+    c = d.groupBy("o_orderpriority", "digit").agg(F.count(F.lit(1)).alias("cnt"))
+    t = c.groupBy("o_orderpriority").agg(F.sum("cnt").alias("n"))
+    return (
+        c.join(F.broadcast(t), "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            "digit",
+            "cnt",
+            F.round(F.col("cnt").cast("double") / F.col("n"), 4).alias("p_obs"),
+            F.round(F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit")), 4).alias(
+                "p_benford"
+            ),
+        )
+    )
+
+
+@register(
+    "q169_cusum_changepoint",
+    tier="T2",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1
+),
+m AS (SELECT CAST(sum(x) AS BIGINT) AS tot, CAST(count(*) AS BIGINT) AS nd FROM daily),
+c AS (
+  SELECT d, x,
+         sum(x) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cx,
+         row_number() OVER (ORDER BY d) AS i
+  FROM daily
+)
+SELECT CAST(c.d AS VARCHAR) AS day, c.x AS n_events,
+       round(CAST(c.cx * m.nd - c.i * m.tot AS DOUBLE) / m.nd, 4) AS cusum
+FROM c, m
+ORDER BY abs(CAST(c.cx * m.nd - c.i * m.tot AS DOUBLE) / m.nd) DESC, c.d
+LIMIT 5
+""",
+)
+def q169_cusum_changepoint(spark, sf_dir):
+    """CUSUM changepoint scan over the daily event-count series: the 5
+    days where the cumulative deviation from the global mean peaks —
+    the first statistic a rate-shift / regression detector computes.
+
+    Scale shape: the only corpus pass is the daily-count partial
+    aggregate; the CUSUM runs entirely on the DAY domain (bounded by
+    the time range).  The deviation sum is kept EXACT by clearing the
+    mean's denominator: cusum_i = (cx_i * n_days - i * total) / n_days
+    where cx, i, total, n_days are all exact int64 — one float
+    division at the end, identical in both engines.  The day-domain
+    window is single-partition by construction (it is the histogram,
+    not the data — q154's discipline)."""
+    ev = load_table(spark, sf_dir, "events").select(F.to_date("ts").alias("d"))
+    daily = ev.groupBy("d").agg(F.count(F.lit(1)).alias("x"))
+    m = daily.agg(
+        F.sum("x").cast("bigint").alias("tot"),
+        F.count(F.lit(1)).cast("bigint").alias("nd"),
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    c = daily.select(
+        "d",
+        "x",
+        F.sum("x").over(w).alias("cx"),
+        F.row_number().over(Window.orderBy("d")).alias("i"),
+    )
+    cusum = (
+        (F.col("cx") * F.col("nd") - F.col("i") * F.col("tot")).cast("double")
+        / F.col("nd")
+    )
+    return (
+        c.join(F.broadcast(m))
+        .select(
+            F.col("d").cast("string").alias("day"),
+            F.col("x").alias("n_events"),
+            F.round(cusum, 4).alias("cusum"),
+        )
+        .orderBy(F.abs(F.col("cusum")).desc(), F.col("day"))
+        .limit(5)
     )
