@@ -29,6 +29,39 @@ from multi_threaded_mapreduce_framework_spark.queries.registry import register
 from multi_threaded_mapreduce_framework_spark.sources import load_table
 
 
+FIRST_WEEK_CUTOFF = "2024-01-08"
+
+
+def first_week_events(spark, sf_dir):
+    """Events before the first-week cutoff — the shared input window of
+    the dense-series queries (q82 zero-fill, q167 interpolation)."""
+    return load_table(spark, sf_dir, "events").filter(
+        F.col("ts") < F.lit(FIRST_WEEK_CUTOFF).cast("timestamp")
+    )
+
+
+def user_hour_grid(ev):
+    """Dense per-user hourly grid between each user's first and last
+    event hour, synthesized from two aggregate scalars via
+    ``sequence()`` + ``explode`` — grid cost scales with users x hours,
+    not events, and no global calendar cross join exists.  Shared by
+    q82 and q167 so a grid-semantics change cannot silently diverge."""
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.date_trunc("hour", F.min("ts")).alias("_h0"),
+            F.date_trunc("hour", F.max("ts")).alias("_h1"),
+        )
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("_h0", "_h1", F.expr("INTERVAL 1 HOUR"))
+            ).alias("bucket_ts"),
+        )
+    )
+
+
+
 @register(
     "q82_gap_fill",
     tier="T2",
@@ -62,28 +95,14 @@ def q82_gap_fill(spark, sf_dir):
     join exists in the plan. Both the hourly aggregate and the grid
     hash-partition by user_id, and Spark's `sequence` and DuckDB's
     `generate_series` are both inclusive of the endpoint."""
-    ev = load_table(spark, sf_dir, "events").filter(
-        F.col("ts") < F.lit("2024-01-08").cast("timestamp")
-    )
+    ev = first_week_events(spark, sf_dir)
     hourly = ev.groupBy(
         "user_id", F.date_trunc("hour", "ts").alias("bucket_ts")
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 2).alias("value_sum"),
     )
-    grid = (
-        ev.groupBy("user_id")
-        .agg(
-            F.date_trunc("hour", F.min("ts")).alias("_h0"),
-            F.date_trunc("hour", F.max("ts")).alias("_h1"),
-        )
-        .select(
-            "user_id",
-            F.explode(
-                F.sequence("_h0", "_h1", F.expr("INTERVAL 1 HOUR"))
-            ).alias("bucket_ts"),
-        )
-    )
+    grid = user_hour_grid(ev)
     return (
         grid.join(hourly, ["user_id", "bucket_ts"], "left")
         .select(

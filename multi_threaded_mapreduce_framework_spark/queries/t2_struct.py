@@ -810,7 +810,7 @@ WITH e AS (
 s AS (
   SELECT user_id, us, event_id,
          CASE WHEN lag(us) OVER w IS NULL
-                OR us - lag(us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS st
+                OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS st
   FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
 ),
 sid AS (
@@ -836,10 +836,12 @@ def q166_session_window(spark, sf_dir):
     one shuffle on user_id into the session-merging aggregate (sorted
     merge per key, state bounded by one session), then a per-user
     rollup of session rows.  Boundary semantics pinned by the oracle:
-    a gap of EXACTLY the 30-minute threshold starts a new session
-    (session windows are half-open — [start, last + gap)), which is
-    where this differs from q23's strict-> comparison; the oracle
-    encodes >= in integer microseconds so both engines agree exactly."""
+    a gap of EXACTLY the 30-minute threshold still MERGES — Spark's
+    session window end is last + gap and a new event merges while
+    ``ts <= end`` — so the session-start condition is the strict
+    ``gap > threshold``, the same comparison q23 uses; the oracle
+    encodes it in integer microseconds so both engines agree exactly
+    (verified against an exact-30:00 two-event probe)."""
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
     sessions = ev.groupBy(
         F.session_window("ts", "30 minutes").alias("sw"), "user_id"
@@ -883,10 +885,10 @@ f AS (
                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
 )
 SELECT user_id, strftime(h, '%Y-%m-%d %H:%M:%S') AS bucket_hour,
-       round(CASE WHEN n IS NOT NULL THEN CAST(n AS DOUBLE)
-                  ELSE CAST(pv AS DOUBLE)
-                       + CAST((nv - pv) * (hn - ph) AS DOUBLE) / (nh - ph)
-             END, 4) AS n_interp
+       CAST(CASE WHEN n IS NOT NULL THEN n * 1000000
+                 ELSE ((pv * (nh - ph) + (nv - pv) * (hn - ph)) * 1000000)
+                      // (nh - ph)
+            END AS BIGINT) AS n_interp_micro
 FROM f
 """,
 )
@@ -901,29 +903,22 @@ def q167_linear_interpolate(spark, sf_dir):
     same shuffle.  The grid's endpoints are always OBSERVED hours (it
     spans min..max event), so every silent hour sits strictly between
     two observations and the interpolation needs no edge case.
-    Engine parity by construction: every input to the interpolation is
-    an exact int64 (counts, hour numbers), the float expression
-    ``pv + ((nv - pv) * dt) / DT`` is evaluated by both engines over
-    identical exact integers in the same operation order, so the
-    rounded doubles are bit-identical — no micro-unit scaffolding
-    needed."""
-    ev = load_table(spark, sf_dir, "events").filter(
-        F.col("ts") < F.lit("2024-01-08").cast("timestamp")
+    Engine parity by the FIXTURES.md micro-unit convention: every
+    interpolation input is exact int64 (counts, hour numbers), so the
+    line evaluates as the exact rational ``(pv*DT + (nv-pv)*dt) / DT``
+    and the output is its floor in integer micro-units — no doubles
+    anywhere, hence no exposure to the engines' divergent round()
+    behavior on shortest-decimal half boundaries."""
+    from multi_threaded_mapreduce_framework_spark.queries.relational4 import (
+        first_week_events,
+        user_hour_grid,
     )
+
+    ev = first_week_events(spark, sf_dir)
     obs = ev.groupBy(
         "user_id", F.date_trunc("hour", "ts").alias("h")
     ).agg(F.count(F.lit(1)).alias("n"))
-    grid = (
-        ev.groupBy("user_id")
-        .agg(
-            F.date_trunc("hour", F.min("ts")).alias("_h0"),
-            F.date_trunc("hour", F.max("ts")).alias("_h1"),
-        )
-        .select(
-            "user_id",
-            F.explode(F.sequence("_h0", "_h1", F.expr("INTERVAL 1 HOUR"))).alias("h"),
-        )
-    )
+    grid = user_hour_grid(ev).withColumnRenamed("bucket_ts", "h")
     j = grid.join(obs, ["user_id", "h"], "left").select(
         "user_id", "h", "n", F.expr("unix_seconds(h) div 3600").alias("hn")
     )
@@ -948,15 +943,18 @@ def q167_linear_interpolate(spark, sf_dir):
         F.first("n", ignorenulls=True).over(wn).alias("nv"),
         F.first(hn_obs, ignorenulls=True).over(wn).alias("nh"),
     )
-    interp = F.when(F.col("n").isNotNull(), F.col("n").cast("double")).otherwise(
-        F.col("pv").cast("double")
-        + ((F.col("nv") - F.col("pv")) * (F.col("hn") - F.col("ph"))).cast("double")
-        / (F.col("nh") - F.col("ph"))
+    interp = F.when(
+        F.col("n").isNotNull(), F.col("n") * F.lit(1_000_000)
+    ).otherwise(
+        F.expr(
+            "((pv * (nh - ph) + (nv - pv) * (hn - ph)) * 1000000)"
+            " div (nh - ph)"
+        )
     )
     return filled.select(
         "user_id",
         F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("bucket_hour"),
-        F.round(interp, 4).alias("n_interp"),
+        interp.cast("bigint").alias("n_interp_micro"),
     )
 
 
@@ -976,7 +974,7 @@ c AS (
 ),
 t AS (SELECT o_orderpriority, sum(cnt) AS n FROM c GROUP BY 1)
 SELECT c.o_orderpriority, c.digit, c.cnt,
-       round(CAST(c.cnt AS DOUBLE) / t.n, 4) AS p_obs,
+       CAST((c.cnt * 10000) // t.n AS BIGINT) AS p_obs_bp,
        round(log10(1.0 + 1.0 / c.digit), 4) AS p_benford
 FROM c JOIN t ON c.o_orderpriority = t.o_orderpriority
 """,
@@ -991,8 +989,10 @@ def q168_benford_audit(spark, sf_dir):
     census is one domain-bounded partial-agg shuffle (priorities x 9
     digits), and the per-class totals join back from the census itself
     — no second scan, nothing data-sized after the first aggregate.
-    Observed and expected shares are computed from exact integer
-    counts, so both engines round identical doubles."""
+    The observed share is exact integer basis points
+    ((cnt*10000) div n — the micro-unit convention); the Benford
+    reference is a fixed set of nine constants whose 4-dp roundings
+    are verified off the half-boundary, so both engines agree."""
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
     d = o.select(
         "o_orderpriority",
@@ -1008,7 +1008,7 @@ def q168_benford_audit(spark, sf_dir):
             "o_orderpriority",
             "digit",
             "cnt",
-            F.round(F.col("cnt").cast("double") / F.col("n"), 4).alias("p_obs"),
+            F.expr("(cnt * 10000) div n").cast("bigint").alias("p_obs_bp"),
             F.round(F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit")), 4).alias(
                 "p_benford"
             ),
@@ -1074,8 +1074,11 @@ def q169_cusum_changepoint(spark, sf_dir):
         .select(
             F.col("d").cast("string").alias("day"),
             F.col("x").alias("n_events"),
-            F.round(cusum, 4).alias("cusum"),
+            cusum.alias("_raw"),
         )
-        .orderBy(F.abs(F.col("cusum")).desc(), F.col("day"))
+        # top-k discipline (q28/FIXTURES.md): order on the RAW value,
+        # round only in the output projection
+        .orderBy(F.abs(F.col("_raw")).desc(), F.col("day"))
         .limit(5)
+        .select("day", "n_events", F.round("_raw", 4).alias("cusum"))
     )

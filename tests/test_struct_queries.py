@@ -325,6 +325,7 @@ def test_q165_matches_raw_window_sets(spark, sf_dir):
     }
     rows = (
         load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())  # NULL is not a user
         .select(F.to_date("ts").alias("d"), "user_id")
         .distinct()
         .collect()
@@ -342,3 +343,26 @@ def test_q165_matches_raw_window_sets(spark, sf_dir):
             users |= days.get(d - timedelta(days=back), set())
         want.add((d.isoformat(), len(users)))
     assert got == want
+
+
+def test_q166_exact_gap_merges_session(spark):
+    """The boundary the review caught: two events separated by EXACTLY
+    the 30-minute gap must land in ONE session (Spark merges while
+    ts <= window end = last + gap); the oracle's strict > encodes the
+    same rule.  A >= oracle would split this pair and fail the gate on
+    any fixture with second-granularity timestamps."""
+    from datetime import datetime
+
+    df = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1, 10, 0, 0)),
+            (1, datetime(2024, 1, 1, 10, 30, 0)),
+            (1, datetime(2024, 1, 1, 11, 0, 1)),  # 30:01 gap -> new session
+        ],
+        "user_id long, ts timestamp",
+    )
+    sessions = df.groupBy(
+        F.session_window("ts", "30 minutes").alias("sw"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    got = sorted(r.n for r in sessions.collect())
+    assert got == [1, 2], got  # exact gap merged, 30:01 split
