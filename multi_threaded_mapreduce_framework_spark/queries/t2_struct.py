@@ -1,4 +1,4 @@
-"""Exact distributed-structure queries (q153-q169): re-aggregatable
+"""Exact distributed-structure queries (q153-q170): re-aggregatable
 bitmap distinct counts, a histogram-offset global ordinal, a
 deletion-neighborhood similarity join, partial top-k pushdown,
 first-occurrence novelty scoring, a deterministic watermark replay,
@@ -8,7 +8,8 @@ sorted-neighborhood dedup blocking, and the bitmap composition suite
 WAU) built from the q153 word layer, plus the native batch
 session_window tier (q166), exact-parity linear interpolation
 (q167), and exact-arithmetic audit statistics: Benford first-digit
-census (q168) and CUSUM changepoint scan (q169).
+census (q168), CUSUM changepoint scan (q169), and the histogram-
+decomposed Pareto skyline (q170).
 
 Each declares, as an oracle-checked query, an EXACT structure that
 replaces an approximate sketch or a non-scalable plan at 100 TB:
@@ -1081,4 +1082,64 @@ def q169_cusum_changepoint(spark, sf_dir):
         .orderBy(F.abs(F.col("_raw")).desc(), F.col("day"))
         .limit(5)
         .select("day", "n_events", F.round("_raw", 4).alias("cusum"))
+    )
+
+
+@register(
+    "q170_pareto_skyline",
+    tier="T2",
+    oracle="""
+WITH d AS (
+  SELECT doc_id,
+         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS v,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+  FROM documents
+)
+SELECT a.doc_id, a.v, a.n
+FROM d a
+WHERE NOT EXISTS (
+  SELECT 1 FROM d b
+  WHERE b.v >= a.v AND b.n <= a.n AND (b.v > a.v OR b.n < a.n)
+)
+""",
+)
+def q170_pareto_skyline(spark, sf_dir):
+    """Pareto skyline of documents under (MAXIMIZE vocabulary size,
+    MINIMIZE token count) — the multi-objective "best trade-off"
+    operator (here: the densest texts per vocabulary level, a
+    curriculum/dedup-exemplar selection shape).
+
+    Scale shape: the oracle's NOT EXISTS is an all-pairs dominance
+    test — O(n^2) and the textbook skyline bottleneck.  For a 2D
+    skyline with one DOMAIN-BOUNDED dimension the answer decomposes
+    exactly (q154/q158's histogram discipline, here with a SUFFIX
+    aggregate): per vocabulary value v, best_n(v) = min token count
+    (partial-agg shuffle over the v domain); suffix_min(v) = min of
+    best_n over all larger v (a window over the tiny histogram); a doc
+    survives iff its n == best_n(v) AND n < suffix_min(v).  Equal
+    (v, n) duplicates all survive — dominance requires a strict
+    inequality — which the decomposition preserves.  One corpus
+    shuffle, one broadcast join-back, zero pairwise work."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("ws")
+    )
+    d = docs.select(
+        "doc_id",
+        F.size(F.array_distinct("ws")).cast("bigint").alias("v"),
+        F.size("ws").cast("bigint").alias("n"),
+    )
+    hist = d.groupBy("v").agg(F.min("n").alias("best_n"))
+    w_suffix = (
+        Window.orderBy(F.desc("v")).rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cuts = hist.select(
+        "v", "best_n", F.min("best_n").over(w_suffix).alias("suffix_min")
+    )
+    return (
+        d.join(F.broadcast(cuts), "v")
+        .filter(
+            (F.col("n") == F.col("best_n"))
+            & (F.col("suffix_min").isNull() | (F.col("n") < F.col("suffix_min")))
+        )
+        .select("doc_id", "v", "n")
     )

@@ -580,3 +580,15 @@ def test_q167_fills_ride_user_shuffle(spark, sf_dir):
     plan = executed_plan(df)
     assert "SinglePartition" not in plan, plan
     assert plan.count("Window") >= 1, plan
+
+
+def test_q170_no_pairwise_dominance(spark, sf_dir):
+    """The skyline must come from the histogram decomposition: no
+    nested-loop/cartesian dominance join, one corpus-side partial agg,
+    broadcast join-back."""
+    df = QUERIES["q170_pareto_skyline"].builder(spark, sf_dir)
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert has_partial_aggregate(df)
+    assert has_broadcast_join(df)

@@ -366,3 +366,23 @@ def test_q166_exact_gap_merges_session(spark):
     ).agg(F.count(F.lit(1)).alias("n"))
     got = sorted(r.n for r in sessions.collect())
     assert got == [1, 2], got  # exact gap merged, 30:01 split
+
+
+def test_q170_matches_bruteforce_dominance(spark, sf_dir):
+    """Histogram-decomposed skyline == literal O(n^2) dominance scan."""
+    got = {
+        (r.doc_id, r.v, r.n)
+        for r in QUERIES["q170_pareto_skyline"].builder(spark, sf_dir).collect()
+    }
+    rows = [
+        (r.doc_id, len(set(r.text.split(" "))), len(r.text.split(" ")))
+        for r in load_table(spark, sf_dir, "documents").collect()
+    ]
+    want = {
+        (i, v, n)
+        for (i, v, n) in rows
+        if not any(
+            bv >= v and bn <= n and (bv > v or bn < n) for (_, bv, bn) in rows
+        )
+    }
+    assert got == want
