@@ -66,14 +66,14 @@ _REGISTRY: dict[str, Query] = {}
 # declared order (~50 per round).  Cumulative driver coverage: r01 drove
 # q01-q49+q67, r02 drove q50-q110 minus q76-q85, r03 drove q76-q85 +
 # q88 + q56 + q111-q126 + q01-q22.  Round-4 priority: (1) every query
-# NEW this round (q127-q170 — debut rows; q153-q170 are the late-
+# NEW this round (q127-q171 — debut rows; q153-q171 are the late-
 # session band and lead), (2) queries MODIFIED this round (q35 is in
 # the r01 band below; q94/q98/q102), (3) the oldest stale rows
 # (q23-q49+q67, r01-only) as far as the ~50 window reaches.
 # q50-q75 then q86-q110 (r02 rows) queue for the round-5 window.  The
 # full query set was additionally re-proven green locally against the
 # round-4 fixtures at BOTH sf0.01 and sf0.1 via tools/check_oracle.py
-# (q01-q152 full-suite ALL OK + q153-q170 at both SFs on debut).  Any
+# (q01-q152 full-suite ALL OK + q153-q170 at both SFs on debut, q171 rows-only by contract).  Any
 # new query is inserted at the TOP on creation so it gets a driver row
 # in its debut round.
 _DRIVER_PRIORITY = (
@@ -96,6 +96,7 @@ _DRIVER_PRIORITY = (
     "q168_benford_audit",
     "q169_cusum_changepoint",
     "q170_pareto_skyline",
+    "q171_multimodal_audio",
     # --- new in round 4: debut driver rows ---
     "q127_vocab_ids",
     "q128_train_holdout_leakage",

@@ -1,4 +1,4 @@
-"""Exact distributed-structure queries (q153-q170): re-aggregatable
+"""Exact distributed-structure queries (q153-q171): re-aggregatable
 bitmap distinct counts, a histogram-offset global ordinal, a
 deletion-neighborhood similarity join, partial top-k pushdown,
 first-occurrence novelty scoring, a deterministic watermark replay,
@@ -9,7 +9,8 @@ WAU) built from the q153 word layer, plus the native batch
 session_window tier (q166), exact-parity linear interpolation
 (q167), and exact-arithmetic audit statistics: Benford first-digit
 census (q168), CUSUM changepoint scan (q169), and the histogram-
-decomposed Pareto skyline (q170).
+decomposed Pareto skyline (q170), and the declared multimodal
+audio pipeline (q171, rows-only).
 
 Each declares, as an oracle-checked query, an EXACT structure that
 replaces an approximate sketch or a non-scalable plan at 100 TB:
@@ -1142,4 +1143,107 @@ def q170_pareto_skyline(spark, sf_dir):
             & (F.col("suffix_min").isNull() | (F.col("n") < F.col("suffix_min")))
         )
         .select("doc_id", "v", "n")
+    )
+
+
+@register(
+    "q171_multimodal_audio",
+    tier="T2",
+    oracle=None,  # rows-only by contract: binary decode is not SQL-expressible
+)
+def q171_multimodal_audio(spark, sf_dir):
+    """Multimodal binary-column pipeline as a DECLARED query: each
+    document gets a genuine WAV payload (RIFF + 16-bit PCM sine,
+    parameters derived from doc_id) synthesized ON THE EXECUTORS, the
+    REAL stdlib-wave kernel (``operators/multimodal.py::decode_audio``)
+    recovers rate/duration/levels from the bytes alone, and the
+    features roll up per language.  Driver contract: rows-only (binary
+    decode has no SQL oracle); value-level checks live in
+    tests/test_multimodal.py against known sine RMS.
+
+    Scale shape: payloads are born and consumed inside Arrow batch
+    kernels — the binary column never reaches the driver and never
+    crosses a shuffle (synthesis and decode are in the same scan
+    stage); only the per-doc FEATURE rows (a few scalars) shuffle for
+    the language rollup.  This is the shape a real 100 TB media
+    pipeline has: bytes stay columnar on executors, metadata-only
+    queries never read them (column pruning), features aggregate."""
+    from multi_threaded_mapreduce_framework_spark.operators.multimodal import (
+        decode_audio,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+
+    def synth(batches):
+        import io
+        import math
+        import struct as struct_mod
+        import wave as wave_mod
+
+        import pandas as pd
+
+        sample_rate = 8_000
+        for pdf in batches:
+            payloads, metas = [], []
+            for did in pdf["doc_id"]:
+                duration_ms = 100 + int(did % 32) * 25
+                freq = 220.0 + float(did % 16) * 55.0
+                n_frames = sample_rate * duration_ms // 1000
+                buf = io.BytesIO()
+                with wave_mod.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(sample_rate)
+                    w.writeframes(
+                        b"".join(
+                            struct_mod.pack(
+                                "<h",
+                                int(
+                                    16383
+                                    * math.sin(
+                                        2 * math.pi * freq * t / sample_rate
+                                    )
+                                ),
+                            )
+                            for t in range(n_frames)
+                        )
+                    )
+                payloads.append(buf.getvalue())
+                metas.append(
+                    {
+                        "width": 0,
+                        "height": 0,
+                        "codec": "wav",
+                        "duration_ms": duration_ms,
+                        "sample_rate": sample_rate,
+                    }
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": ["audio"] * len(pdf),
+                    "payload": payloads,
+                    "meta": metas,
+                }
+            )
+
+    media = docs.mapInPandas(
+        synth,
+        schema=(
+            "media_id bigint, kind string, payload binary,"
+            " meta struct<width:int, height:int, codec:string,"
+            " duration_ms:int, sample_rate:int>"
+        ),
+    )
+    feats = decode_audio(media, fake=False)
+    return (
+        feats.join(
+            docs.withColumnRenamed("doc_id", "media_id"), "media_id"
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_clips"),
+            F.sum("duration_ms").cast("bigint").alias("total_ms"),
+            F.round(F.avg("rms"), 2).alias("avg_rms"),
+        )
     )

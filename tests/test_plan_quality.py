@@ -592,3 +592,14 @@ def test_q170_no_pairwise_dominance(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert has_partial_aggregate(df)
     assert has_broadcast_join(df)
+
+
+def test_q171_payload_never_shuffles(spark, sf_dir):
+    """Synthesis and decode must share the scan stage: both MapInPandas
+    below the first Exchange, so the binary column never crosses a
+    shuffle — only feature scalars do."""
+    df = QUERIES["q171_multimodal_audio"].builder(spark, sf_dir)
+    plan = executed_plan(df)
+    assert plan.count("MapInPandas") == 2, plan
+    first_ex = plan.index("Exchange")
+    assert plan.rindex("MapInPandas") > first_ex, plan

@@ -80,7 +80,7 @@ def test_driver_priority_names_all_registered():
     assert len(set(_DRIVER_PRIORITY)) == len(_DRIVER_PRIORITY)  # no dupes
     ordered = list(all_queries())
     # every round-4 debut query sits inside the ~50-query driver window
-    debut = [n for n in ordered if 127 <= int(n[1:].split("_", 1)[0]) <= 170]
+    debut = [n for n in ordered if 127 <= int(n[1:].split("_", 1)[0]) <= 171]
     assert debut and all(ordered.index(n) < 50 for n in debut), debut
 
 
