@@ -1177,9 +1177,9 @@ def q171_multimodal_audio(spark, sf_dir):
     def synth(batches):
         import io
         import math
-        import struct as struct_mod
         import wave as wave_mod
 
+        import numpy as np
         import pandas as pd
 
         sample_rate = 8_000
@@ -1189,25 +1189,16 @@ def q171_multimodal_audio(spark, sf_dir):
                 duration_ms = 100 + int(did % 32) * 25
                 freq = 220.0 + float(did % 16) * 55.0
                 n_frames = sample_rate * duration_ms // 1000
+                t = np.arange(n_frames, dtype=np.float64)
+                pcm = np.trunc(
+                    16383.0 * np.sin(2 * math.pi * freq * t / sample_rate)
+                ).astype("<i2")
                 buf = io.BytesIO()
                 with wave_mod.open(buf, "wb") as w:
                     w.setnchannels(1)
                     w.setsampwidth(2)
                     w.setframerate(sample_rate)
-                    w.writeframes(
-                        b"".join(
-                            struct_mod.pack(
-                                "<h",
-                                int(
-                                    16383
-                                    * math.sin(
-                                        2 * math.pi * freq * t / sample_rate
-                                    )
-                                ),
-                            )
-                            for t in range(n_frames)
-                        )
-                    )
+                    w.writeframes(pcm.tobytes())
                 payloads.append(buf.getvalue())
                 metas.append(
                     {
