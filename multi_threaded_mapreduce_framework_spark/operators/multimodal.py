@@ -386,6 +386,32 @@ def synthesize_png_media(spark: SparkSession, n: int = 10, parts: int = 4) -> Da
     return spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(parts)
 
 
+def wav_sine_bytes(freq: float, duration_ms: int, sample_rate: int = 8_000) -> bytes:
+    """GENUINE WAV bytes (RIFF header + 16-bit PCM mono, stdlib
+    ``wave``) for a 0.5-amplitude sine — the single WAV-generation law
+    shared by :func:`synthesize_wav_media` and the q171 declared query.
+    Vectorized: samples come from one numpy expression (``np.trunc``
+    matches python ``int()``'s toward-zero truncation)."""
+    import io
+    import math
+    import wave as wave_mod
+
+    import numpy as np
+
+    n_frames = sample_rate * duration_ms // 1000
+    t = np.arange(n_frames, dtype=np.float64)
+    pcm = np.trunc(
+        16383.0 * np.sin(2 * math.pi * freq * t / sample_rate)
+    ).astype("<i2")
+    buf = io.BytesIO()
+    with wave_mod.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
 def synthesize_wav_media(
     spark: SparkSession,
     n: int = 16,
@@ -398,31 +424,17 @@ def synthesize_wav_media(
     bytes end to end — :func:`decode_audio` must recover the declared
     duration/rate and the sine's RMS (0.5/sqrt(2)) from the payload
     alone."""
-    import io
-    import math
-    import wave as wave_mod
-
     rows = []
     for i in range(n):
         duration_ms = 200 + 50 * i
         freq = 220.0 + 55.0 * i
-        n_frames = sample_rate * duration_ms // 1000
-        buf = io.BytesIO()
-        with wave_mod.open(buf, "wb") as w:
-            w.setnchannels(1)
-            w.setsampwidth(2)
-            w.setframerate(sample_rate)
-            w.writeframes(
-                b"".join(
-                    struct.pack(
-                        "<h",
-                        int(16383 * math.sin(2 * math.pi * freq * t / sample_rate)),
-                    )
-                    for t in range(n_frames)
-                )
-            )
         rows.append(
-            (i, "audio", bytearray(buf.getvalue()), (0, 0, "wav", duration_ms, sample_rate))
+            (
+                i,
+                "audio",
+                bytearray(wav_sine_bytes(freq, duration_ms, sample_rate)),
+                (0, 0, "wav", duration_ms, sample_rate),
+            )
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(parts)
 

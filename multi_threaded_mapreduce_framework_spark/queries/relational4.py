@@ -29,9 +29,6 @@ from multi_threaded_mapreduce_framework_spark.queries.registry import register
 from multi_threaded_mapreduce_framework_spark.sources import load_table
 
 
-FIRST_WEEK_CUTOFF = "2024-01-08"
-
-
 def first_week_events(spark, sf_dir):
     """Events before the first-week cutoff — the shared input window of
     the dense-series queries (q82 zero-fill, q167 interpolation)."""
@@ -62,12 +59,15 @@ def user_hour_grid(ev):
 
 
 
+FIRST_WEEK_CUTOFF = "2024-01-08"
+
+
 @register(
     "q82_gap_fill",
     tier="T2",
-    oracle="""
+    oracle=f"""
 WITH ev AS (
-  SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-08'),
+  SELECT * FROM events WHERE ts < TIMESTAMP '{FIRST_WEEK_CUTOFF}'),
 hourly AS (
   SELECT user_id, date_trunc('hour', ts) AS bucket_ts,
          count(*) AS n_events, round(sum(value), 2) AS value_sum

@@ -37,6 +37,9 @@ import pyspark.sql.functions as F
 from pyspark.sql import Window
 
 from multi_threaded_mapreduce_framework_spark.queries.registry import register
+from multi_threaded_mapreduce_framework_spark.queries.relational4 import (
+    FIRST_WEEK_CUTOFF,
+)
 from multi_threaded_mapreduce_framework_spark.sources import load_table, spread_small_scan
 
 
@@ -857,8 +860,9 @@ def q166_session_window(spark, sf_dir):
 @register(
     "q167_linear_interpolate",
     tier="T2",
-    oracle="""
-WITH ev AS (SELECT user_id, ts FROM events WHERE ts < TIMESTAMP '2024-01-08'),
+    oracle=f"""
+WITH ev AS (SELECT user_id, ts FROM events
+            WHERE ts < TIMESTAMP '{FIRST_WEEK_CUTOFF}'),
 obs AS (
   SELECT user_id, date_trunc('hour', ts) AS h, CAST(count(*) AS BIGINT) AS n
   FROM ev GROUP BY 1, 2
@@ -1175,12 +1179,11 @@ def q171_multimodal_audio(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
 
     def synth(batches):
-        import io
-        import math
-        import wave as wave_mod
-
-        import numpy as np
         import pandas as pd
+
+        from multi_threaded_mapreduce_framework_spark.operators.multimodal import (
+            wav_sine_bytes,
+        )
 
         sample_rate = 8_000
         for pdf in batches:
@@ -1188,23 +1191,12 @@ def q171_multimodal_audio(spark, sf_dir):
             for did in pdf["doc_id"]:
                 duration_ms = 100 + int(did % 32) * 25
                 freq = 220.0 + float(did % 16) * 55.0
-                n_frames = sample_rate * duration_ms // 1000
-                t = np.arange(n_frames, dtype=np.float64)
-                pcm = np.trunc(
-                    16383.0 * np.sin(2 * math.pi * freq * t / sample_rate)
-                ).astype("<i2")
-                buf = io.BytesIO()
-                with wave_mod.open(buf, "wb") as w:
-                    w.setnchannels(1)
-                    w.setsampwidth(2)
-                    w.setframerate(sample_rate)
-                    w.writeframes(pcm.tobytes())
-                payloads.append(buf.getvalue())
+                payloads.append(wav_sine_bytes(freq, duration_ms, sample_rate))
                 metas.append(
                     {
                         "width": 0,
                         "height": 0,
-                        "codec": "wav",
+                        "format": "wav",
                         "duration_ms": duration_ms,
                         "sample_rate": sample_rate,
                     }
@@ -1222,7 +1214,7 @@ def q171_multimodal_audio(spark, sf_dir):
         synth,
         schema=(
             "media_id bigint, kind string, payload binary,"
-            " meta struct<width:int, height:int, codec:string,"
+            " meta struct<width:int, height:int, format:string,"
             " duration_ms:int, sample_rate:int>"
         ),
     )

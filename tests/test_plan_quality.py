@@ -601,5 +601,8 @@ def test_q171_payload_never_shuffles(spark, sf_dir):
     df = QUERIES["q171_multimodal_audio"].builder(spark, sf_dir)
     plan = executed_plan(df)
     assert plan.count("MapInPandas") == 2, plan
-    first_ex = plan.index("Exchange")
-    assert plan.rindex("MapInPandas") > first_ex, plan
+    # no Exchange BETWEEN the two kernels (plan text is top-down, so
+    # "between" = between the decode occurrence and the synth
+    # occurrence) — a repartition of the payload would appear there
+    between = plan[plan.index("MapInPandas") : plan.rindex("MapInPandas")]
+    assert "Exchange" not in between, plan
