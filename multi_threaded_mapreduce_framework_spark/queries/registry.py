@@ -71,9 +71,10 @@ _REGISTRY: dict[str, Query] = {}
 # the r01 band below; q94/q98/q102), (3) the oldest stale rows
 # (q23-q49+q67, r01-only) as far as the ~50 window reaches.
 # q50-q75 then q86-q110 (r02 rows) queue for the round-5 window.  The
-# full query set was additionally re-proven green locally against the
-# round-4 fixtures at BOTH sf0.01 and sf0.1 via tools/check_oracle.py
-# (q01-q152 full-suite ALL OK + q153-q170 at both SFs on debut, q171 rows-only by contract).  Any
+# full 171-query set was re-proven green locally against the round-4
+# fixtures at BOTH sf0.01 and sf0.1 via tools/check_oracle.py in its
+# final committed form (ALL OK end-of-session; q171 rows-only by
+# contract).  Any
 # new query is inserted at the TOP on creation so it gets a driver row
 # in its debut round.
 _DRIVER_PRIORITY = (
