@@ -61,78 +61,70 @@ class Query:
 
 _REGISTRY: dict[str, Query] = {}
 
-# Driver-check rotation (VERDICT.md r03 "Next round" item 1): the verify
+# Driver-check rotation (VERDICT.md r04 "Next round" item 1): the verify
 # driver records correctness rows for a bounded window of entries in
-# declared order (~50 per round).  Cumulative driver coverage: r01 drove
-# q01-q49+q67, r02 drove q50-q110 minus q76-q85, r03 drove q76-q85 +
-# q88 + q56 + q111-q126 + q01-q22.  Round-4 priority: (1) every query
-# NEW this round (q127-q171 — debut rows; q153-q171 are the late-
-# session band and lead), (2) queries MODIFIED this round (q35 is in
-# the r01 band below; q94/q98/q102), (3) the oldest stale rows
-# (q23-q49+q67, r01-only) as far as the ~50 window reaches.
-# q50-q75 then q86-q110 (r02 rows) queue for the round-5 window.  The
-# full 171-query set was re-proven green locally against the round-4
-# fixtures at BOTH sf0.01 and sf0.1 via tools/check_oracle.py in its
-# final committed form (ALL OK end-of-session; q171 rows-only by
-# contract).  Any
-# new query is inserted at the TOP on creation so it gets a driver row
-# in its debut round.
+# declared order (50 per round, observed).  Cumulative driver coverage:
+# r01 drove q01-q49+q67, r02 drove q50-q110 minus q76-q85, r03 drove
+# q76-q85 + q88 + q56 + q111-q126 + q01-q22, r04 drove q127-q171
+# debuts + q23/q24/q94/q98/q102.  The r04 verdict's #1 instruction:
+# retire the 71 rows last driven in r01/r02, AHEAD of any new round-5
+# queries.  Round-5 priority therefore is (1) the 45 names last driven
+# in r02 (q50-q75 minus q56, plus q86-q110 minus q88/q94/q98/q102),
+# (2) new round-5 queries (debut rows, as far as the 50-window
+# reaches), (3) the 26 names last driven in r01 (q25-q49 + q67 — the
+# window tail reaches the first few; the rest queue for round 6),
+# (4) the r03 band, (5) the r04 band.  The full set is re-proven
+# locally each session via tools/check_oracle.py at sf0.01 + sf0.1.
 _DRIVER_PRIORITY = (
-    # --- new in round 4 (late session): debut driver rows ---
-    "q153_bitmap_distinct",
-    "q154_global_ordinal",
-    "q155_deletion_neighbors",
-    "q156_topk_pushdown",
-    "q157_novelty_score",
-    "q158_watermark_replay",
-    "q159_weighted_median",
-    "q160_lang_overlap",
-    "q161_sorted_neighborhood",
-    "q162_bitmap_set_algebra",
-    "q163_bitmap_distinct_rollup",
-    "q164_bitmap_retention",
-    "q165_bitmap_rolling_wau",
-    "q166_session_window",
-    "q167_linear_interpolate",
-    "q168_benford_audit",
-    "q169_cusum_changepoint",
-    "q170_pareto_skyline",
-    "q171_multimodal_audio",
-    # --- new in round 4: debut driver rows ---
-    "q127_vocab_ids",
-    "q128_train_holdout_leakage",
-    "q129_skipgram_pairs",
-    "q130_sequence_packing",
-    "q131_kmeans_update",
-    "q132_quality_gates",
-    "q133_embedding_outliers",
-    "q134_bm25_topk",
-    "q135_heavy_hitter_shingles",
-    "q136_bloom_prefilter_join",
-    "q137_zorder_skipping",
-    "q138_bpe_pair_counts",
-    "q139_pps_systematic_sample",
-    "q140_char_entropy",
-    "q141_mad_outliers",
-    "q142_copurchase_pairs",
-    "q143_pmi_bigrams",
-    "q144_incremental_agg_merge",
-    "q145_time_weighted_avg",
-    "q146_snapshot_diff_merkle",
-    "q147_survivorship_merge",
-    "q148_tokenize_to_ids",
-    "q149_skew_audit",
-    "q150_triangle_count",
-    "q151_session_attribution",
-    "q152_quantile_normalize",
-    # --- modified in round 4 (q35 below too): re-prove under a fresh
-    #     driver row ---
-    "q94_dedup_clusters",
-    "q98_contamination",
-    "q102_cc_star",
-    # --- driver row from r01 only (oldest stale) ---
-    "q23_sessionize",
-    "q24_window_tumbling",
+    # --- last driver row r02: retire first (45 names) ---
+    "q50_mapreduce_wordcount",
+    "q51_tpch_q1",
+    "q52_tpch_q3",
+    "q53_tpch_q5",
+    "q54_tpch_q10",
+    "q55_approx_count_distinct",
+    "q57_date_arith",
+    "q58_string_funcs2",
+    "q59_window_range_frame",
+    "q60_min_max_by",
+    "q61_deterministic_split",
+    "q62_tfidf_top_terms",
+    "q63_event_transitions",
+    "q64_tpch_q7",
+    "q65_tpch_q16",
+    "q66_tpch_q2",
+    "q68_longest_streak",
+    "q69_regr_slope",
+    "q70_asof_join",
+    "q71_interval_join",
+    "q72_tpch_q6",
+    "q73_tpch_q4",
+    "q74_tpch_q14",
+    "q75_tpch_q18",
+    "q86_tpch_q8",
+    "q87_tpch_q9",
+    "q89_tpch_q13",
+    "q90_tpch_q15",
+    "q91_tpch_q17",
+    "q92_tpch_q20",
+    "q93_tpch_q21",
+    "q95_corpus_select",
+    "q96_repetition_stats",
+    "q97_trigram_lm",
+    "q99_stratified_sample",
+    "q100_pii_redact",
+    "q101_repeated_passages",
+    "q103_stratum_topk_sample",
+    "q104_length_histogram",
+    "q105_funnel_conversion",
+    "q106_variant_json",
+    "q107_retention_cohorts",
+    "q108_mixture_allocation",
+    "q109_rolling_wau",
+    "q110_unpivot",
+    # --- new in round 5: debut driver rows (window positions 46+) ---
+    "q172_multimodal_image",
+    # --- last driver row r01 (window tail; remainder queues for r6) ---
     "q25_exact_dedup",
     "q26_ngram_bigrams",
     "q27_jaccard_neardup",
@@ -159,53 +151,37 @@ _DRIVER_PRIORITY = (
     "q48_array_collect",
     "q49_ntile",
     "q67_simhash_hamming_pairs",
-    # --- driver row from r02 (q55/q56 rows-only by contract) ---
-    "q50_mapreduce_wordcount",
-    "q51_tpch_q1",
-    "q52_tpch_q3",
-    "q53_tpch_q5",
-    "q54_tpch_q10",
-    "q55_approx_count_distinct",
-    "q57_date_arith",
-    "q58_string_funcs2",
-    "q59_window_range_frame",
-    "q60_min_max_by",
-    "q61_deterministic_split",
-    "q62_tfidf_top_terms",
-    "q63_event_transitions",
-    "q64_tpch_q7",
-    "q65_tpch_q16",
-    "q66_tpch_q2",
-    "q68_longest_streak",
-    "q69_regr_slope",
-    "q70_asof_join",
-    "q71_interval_join",
-    "q72_tpch_q6",
-    "q73_tpch_q4",
-    "q74_tpch_q14",
-    "q75_tpch_q18",
-    # --- driver row from r02, queued for the round-5 window ---
-    "q86_tpch_q8",
-    "q87_tpch_q9",
-    "q89_tpch_q13",
-    "q90_tpch_q15",
-    "q91_tpch_q17",
-    "q92_tpch_q20",
-    "q93_tpch_q21",
-    "q95_corpus_select",
-    "q96_repetition_stats",
-    "q97_trigram_lm",
-    "q99_stratified_sample",
-    "q100_pii_redact",
-    "q101_repeated_passages",
-    "q103_stratum_topk_sample",
-    "q104_length_histogram",
-    "q105_funnel_conversion",
-    "q106_variant_json",
-    "q107_retention_cohorts",
-    "q108_mixture_allocation",
-    "q109_rolling_wau",
-    "q110_unpivot",
+    # --- last driver row r03: queue after the r01 band (r06 window) ---
+    "q76_tpch_q19",
+    "q77_tpch_q11",
+    "q78_tpch_q22",
+    "q79_corr_covar",
+    "q80_conditional_agg",
+    "q81_vector_minmax",
+    "q82_gap_fill",
+    "q83_window_distribution",
+    "q84_edit_distance_pairs",
+    "q85_chunk_documents",
+    "q88_tpch_q12",
+    "q56_approx_percentile",
+    "q111_global_quantile_buckets",
+    "q112_bucketed_join",
+    "q113_ivf_probe_search",
+    "q114_salted_agg",
+    "q115_partition_pruned_scan",
+    "q116_lm_doc_score",
+    "q117_incremental_dedup",
+    "q118_pagerank",
+    "q119_data_quality_audit",
+    "q120_ann_partition_pruned",
+    "q121_map_functions",
+    "q122_lateral_topk",
+    "q123_scd2_cdc",
+    "q124_asof_pandas",
+    "q125_window_sliding",
+    "q126_prefix_filter_join",
+    # (r04-driven names — q01-q22 via r03, q23/q24/q94/q98/q102 and
+    #  q127-q171 via r04 — follow in registration order via _ordered.)
 )
 
 
