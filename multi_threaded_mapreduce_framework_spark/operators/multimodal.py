@@ -192,6 +192,20 @@ def _parse_png(raw: bytes):
     flat = zlib.decompress(bytes(idat))
     if len(flat) != h * (stride + 1):
         raise ValueError("PNG IDAT length does not match dimensions")
+    raster = np.frombuffer(flat, dtype=np.uint8).reshape(h, stride + 1)
+    if not raster[:, 0].any():
+        # vectorized fast path: every scanline is filter 0 (None), so
+        # the raster IS the pixel data — no per-row reconstruction.
+        # This is the hot path for engine-synthesized payloads (q172
+        # encodes with all-zero filters); mixed-filter payloads take
+        # the general per-row loop below.
+        out = raster[:, 1:]
+        px = out.reshape(h, w, channels)
+        if color == 6:
+            px = px[:, :, :3]
+        elif color == 0:
+            px = np.repeat(px, 3, axis=2)
+        return w, h, px
     out = np.empty((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
     bpp = channels
@@ -255,6 +269,27 @@ def encode_png(px, filters=None) -> bytes:
     rows = px.reshape(h, stride).astype(np.int32)
     if filters is None:
         filters = [0] * h
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            _struct.pack(">I", len(data))
+            + ctype
+            + data
+            + _struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    ihdr = _struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    if not any(filters):
+        # vectorized fast path (mirror of the decoder's): all-zero
+        # filters mean the body is just a 0 byte prepended per row
+        body0 = np.zeros((h, stride + 1), dtype=np.uint8)
+        body0[:, 1:] = rows
+        return (
+            _PNG_SIG
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(body0.tobytes()))
+            + chunk(b"IEND", b"")
+        )
     body = bytearray()
     prev = np.zeros(stride, dtype=np.int32)
     for y in range(h):
@@ -276,16 +311,6 @@ def encode_png(px, filters=None) -> bytes:
         body.append(ftype)
         body += filt.astype(np.uint8).tobytes()
         prev = cur
-
-    def chunk(ctype: bytes, data: bytes) -> bytes:
-        return (
-            _struct.pack(">I", len(data))
-            + ctype
-            + data
-            + _struct.pack(">I", zlib.crc32(ctype + data))
-        )
-
-    ihdr = _struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
     return (
         _PNG_SIG
         + chunk(b"IHDR", ihdr)

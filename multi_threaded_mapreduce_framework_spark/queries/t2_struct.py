@@ -1230,3 +1230,114 @@ def q171_multimodal_audio(spark, sf_dir):
             F.round(F.avg("rms"), 2).alias("avg_rms"),
         )
     )
+
+
+@register(
+    "q172_multimodal_image",
+    tier="T2",
+    oracle=None,  # rows-only by contract: binary decode is not SQL-expressible
+)
+def q172_multimodal_image(spark, sf_dir):
+    """Multimodal IMAGE pipeline as a DECLARED query — the image-side
+    sibling of q171 over the REAL codec-free raster kernels: each
+    document gets a GENUINE image payload synthesized ON THE EXECUTORS
+    (even doc_id -> P6 PPM, odd -> PNG with zlib IDAT + CRC'd chunks;
+    both carry the same deterministic ramp law: pixel byte k of doc d
+    is ``(d + k) % 256`` on a ``(8 + d%8) x (6 + d%5)`` RGB grid), the
+    real nearest-neighbor resize (``operators/multimodal.py::
+    resize_images(fake=False)``) re-encodes every payload to 12x10 in
+    its SAME format, the real parse kernels (``_parse_ppm`` /
+    ``_parse_png``) recover dims + mean RGB intensity from the resized
+    bytes alone, and the features roll up per (lang, format).
+
+    Driver contract: rows-only (binary decode has no SQL oracle);
+    value-level checks — exact per-doc intensity against an
+    independently-computed NN-resampled ramp, and PPM-vs-PNG byte-law
+    agreement — live in tests/test_multimodal.py and
+    tests/test_struct_queries.py.
+
+    Scale shape (same discipline as q171): synth -> resize -> decode
+    are three chained ``mapInPandas`` kernels in ONE scan stage — the
+    payload bytes are born, rewritten, and consumed on the same
+    executor without ever crossing a shuffle or reaching the driver
+    (plan-asserted ``test_q172_payload_never_shuffles``); only the
+    per-doc feature scalars shuffle for the rollup.  ``max_w`` /
+    ``max_h`` pin, through the aggregate, that every payload really
+    was resized on the bytes (post-resize dims are read from the
+    re-encoded raster, not metadata)."""
+    from multi_threaded_mapreduce_framework_spark.operators.multimodal import (
+        decode_images,
+        resize_images,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        from multi_threaded_mapreduce_framework_spark.operators.multimodal import (
+            encode_png,
+        )
+
+        for pdf in batches:
+            payloads, metas = [], []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                w, h = 8 + d % 8, 6 + d % 5
+                px = ((np.arange(w * h * 3, dtype=np.int64) + d) % 256).astype(
+                    np.uint8
+                )
+                if d % 2:
+                    payload = encode_png(px.reshape(h, w, 3))
+                    fmt = "png"
+                else:
+                    payload = b"P6\n%d %d\n255\n" % (w, h) + px.tobytes()
+                    fmt = "ppm"
+                payloads.append(payload)
+                metas.append(
+                    {
+                        "width": w,
+                        "height": h,
+                        "format": fmt,
+                        "duration_ms": 0,
+                        "sample_rate": 0,
+                    }
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": ["image"] * len(pdf),
+                    "payload": payloads,
+                    "meta": metas,
+                }
+            )
+
+    media = docs.mapInPandas(
+        synth,
+        schema=(
+            "media_id bigint, kind string, payload binary,"
+            " meta struct<width:int, height:int, format:string,"
+            " duration_ms:int, sample_rate:int>"
+        ),
+    )
+    resized = resize_images(media, width=12, height=10, fake=False).withColumn(
+        "kind", F.lit("image")
+    )
+    feats = decode_images(resized, fake=False)
+    return (
+        feats.join(docs.withColumnRenamed("doc_id", "media_id"), "media_id")
+        .withColumn(
+            "format",
+            F.when(F.col("media_id") % 2 == 1, F.lit("png")).otherwise(
+                F.lit("ppm")
+            ),
+        )
+        .groupBy("lang", "format")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_images"),
+            F.round(F.avg("mean_intensity"), 2).alias("avg_intensity"),
+            F.max("width").alias("max_w"),
+            F.max("height").alias("max_h"),
+        )
+    )

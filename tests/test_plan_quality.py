@@ -606,3 +606,15 @@ def test_q171_payload_never_shuffles(spark, sf_dir):
     # occurrence) — a repartition of the payload would appear there
     between = plan[plan.index("MapInPandas") : plan.rindex("MapInPandas")]
     assert "Exchange" not in between, plan
+
+
+def test_q172_payload_never_shuffles(spark, sf_dir):
+    """All THREE image kernels (synth, resize, decode) must chain in
+    the scan stage: no Exchange between the first and last MapInPandas,
+    so payload bytes are born, rewritten, and consumed without ever
+    crossing a shuffle — only feature scalars reach the rollup."""
+    df = QUERIES["q172_multimodal_image"].builder(spark, sf_dir)
+    plan = executed_plan(df)
+    assert plan.count("MapInPandas") == 3, plan
+    between = plan[plan.index("MapInPandas") : plan.rindex("MapInPandas")]
+    assert "Exchange" not in between, plan

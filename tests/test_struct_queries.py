@@ -386,3 +386,35 @@ def test_q170_matches_bruteforce_dominance(spark, sf_dir):
         )
     }
     assert got == want
+
+
+def test_q172_matches_independent_raster_oracle(spark, sf_dir):
+    """The declared image pipeline's rollup must equal an oracle
+    computed HERE with plain numpy from first principles (the ramp law
+    + the NN grid mapping) — no engine code on the oracle side, so a
+    bug in encode/parse/resize cannot cancel itself out.  Also pins
+    that max_w/max_h came from the re-encoded raster (12 x 10)."""
+    import numpy as np
+
+    got = {
+        (r.lang, r.format): (r.n_images, r.avg_intensity, r.max_w, r.max_h)
+        for r in QUERIES["q172_multimodal_image"].builder(spark, sf_dir).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang").collect()
+
+    def nn_mean(d: int) -> float:
+        w, h = 8 + d % 8, 6 + d % 5
+        px = ((np.arange(w * h * 3) + d) % 256).astype(np.uint8).reshape(h, w, 3)
+        rows_ = np.minimum(((np.arange(10) + 0.5) * h / 10).astype(int), h - 1)
+        cols_ = np.minimum(((np.arange(12) + 0.5) * w / 12).astype(int), w - 1)
+        # the engine rounds each per-image mean to 2dp before averaging
+        return round(float(px[rows_][:, cols_].mean()), 2)
+
+    acc: dict[tuple[str, str], list[float]] = {}
+    for r in docs:
+        key = (r.lang, "png" if r.doc_id % 2 else "ppm")
+        acc.setdefault(key, []).append(nn_mean(int(r.doc_id)))
+    want = {
+        key: (len(v), round(sum(v) / len(v), 2), 12, 10) for key, v in acc.items()
+    }
+    assert got == want
