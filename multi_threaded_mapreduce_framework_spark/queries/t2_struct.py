@@ -306,7 +306,7 @@ def q157_novelty_score(spark, sf_dir):
 WITH e AS (
   SELECT event_id, event_type,
          CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_s,
-         (event_id * 2654435761) % 900 AS delay_s
+         ((event_id % 900) * 61) % 900 AS delay_s
   FROM events
 ),
 w AS (
@@ -348,7 +348,13 @@ def q158_watermark_replay(spark, sf_dir):
         "event_id",
         "event_type",
         F.expr("unix_seconds(date_trunc('second', ts))").alias("ts_s"),
-        F.expr("(event_id * 2654435761) % 900").alias("delay_s"),
+        # 61 = 2654435761 % 900 (Knuth's multiplicative constant reduced
+        # mod the delay range): ((a % 900) * 61) % 900 == (a *
+        # 2654435761) % 900 for every a, with a max intermediate of
+        # 899 * 61 — the unreduced product overflows BIGINT at
+        # event_id >= ~3.5e9, where ANSI DuckDB raises while Spark
+        # wraps silently, so the gate itself would diverge off-fixture.
+        F.expr("((event_id % 900) * 61) % 900").alias("delay_s"),
     )
     ev = ev.withColumn("arr", F.col("ts_s") + F.col("delay_s")).withColumn(
         "bkt", F.expr("arr div 3600")
@@ -483,9 +489,23 @@ def q160_lang_overlap(spark, sf_dir):
     )
     langs = docs.select("lang").distinct()
     w_idx = Window.orderBy("lang")  # tiny: one row per language
+    # The bit layout holds at most 64 languages; Spark (Java) shift
+    # semantics MASK the shift amount to 6 bits, so a 65th language
+    # would silently alias to bit 0 and corrupt every Jaccard count.
+    # Guard in-plan: a 65th distinct lang fails the job loudly instead.
     lang_bits = langs.select(
         "lang", (F.row_number().over(w_idx) - 1).alias("idx")
-    ).select("lang", F.expr("shiftleft(CAST(1 AS BIGINT), CAST(idx AS INT))").alias("bit"))
+    ).select(
+        "lang",
+        F.expr(
+            "CASE WHEN idx < 64"
+            " THEN shiftleft(CAST(1 AS BIGINT), CAST(idx AS INT))"
+            " ELSE raise_error("
+            "'q160: more than 64 distinct languages — 64-bit lang"
+            " bitmask layout would alias; widen to a mask array')"
+            " END"
+        ).alias("bit"),
+    )
     masks = (
         tl.join(F.broadcast(lang_bits), "lang")
         .groupBy("tok")

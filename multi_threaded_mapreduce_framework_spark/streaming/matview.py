@@ -16,9 +16,22 @@ stateless (append mode, no watermark, no state store), which means:
   at-least-once (same discipline as ``streaming/sinks.py``);
 - reads cost one merge over #batches x #keys-per-batch rows, which is
   why :func:`compact_matview` periodically folds everything into a
-  ``base/`` snapshot carrying a ``_watermark`` marker; batch dirs at
-  or below the watermark are ignored by readers (so a pathological
-  replay of an already-compacted batch cannot double count).
+  versioned ``base-N/`` snapshot carrying a ``_watermark`` marker;
+  batch dirs at or below the watermark are ignored by readers (so a
+  pathological replay of an already-compacted batch cannot double
+  count).
+
+Reader-vs-compactor atomicity: the current snapshot is named by a
+``_BASE`` pointer file swapped with ``os.replace`` (atomic on POSIX).
+A reader therefore always resolves to a COMPLETE snapshot — never a
+half-renamed directory, never "no base => watermark -1" mid-swap.
+Garbage collection is deferred one compaction: the previous base dir
+and the batch dirs folded by the PREVIOUS compaction are removed only
+by the NEXT one, so a reader holding the old pointer (or an old dir
+listing) still finds every file it needs.  The remaining exposure —
+a reader stalled across TWO full compactions — fails loudly on a
+missing path; it cannot silently undercount.  One compactor at a time
+is assumed (compaction is a maintenance action, not a data-path one).
 
 Works because count/sum are ALGEBRAIC (mergeable): merged partials ==
 one-pass aggregate, bit-exact thanks to integer micro-units.  avg is
@@ -69,12 +82,69 @@ def start_incremental_matview(
     )
 
 
+_PTR = "_BASE"
+
+
+def _base_dir(state_dir: str) -> str | None:
+    """Resolve the current base snapshot directory via the ``_BASE``
+    pointer file; fall back to the legacy unversioned ``base/`` (state
+    written before the pointer discipline)."""
+    ptr = os.path.join(state_dir, _PTR)
+    if os.path.exists(ptr):
+        with open(ptr) as f:
+            name = f.read().strip()
+        path = os.path.join(state_dir, name)
+        if os.path.isdir(path):
+            return path
+    legacy = os.path.join(state_dir, "base")
+    return legacy if os.path.isdir(legacy) else None
+
+
 def _watermark(state_dir: str) -> int:
-    path = os.path.join(state_dir, "base", _WM)
-    if os.path.exists(path):
-        with open(path) as f:
-            return int(f.read().strip())
+    base = _base_dir(state_dir)
+    if base is not None:
+        path = os.path.join(base, _WM)
+        if os.path.exists(path):
+            with open(path) as f:
+                return int(f.read().strip())
     return -1
+
+
+def _publish_base(state_dir: str, tmp: str, wm_old: int, wm_new: int) -> None:
+    """Atomically publish ``tmp`` (a complete snapshot dir already
+    carrying its ``_watermark``) as the current base, then GC state
+    made redundant by the PREVIOUS compaction.
+
+    Order of operations is the whole point:
+
+    1. rename tmp -> ``base-<wm_new>`` (invisible until the pointer
+       names it; version = the watermark it folds, strictly monotonic);
+    2. ``os.replace`` a fresh pointer file over ``_BASE`` — the single
+       atomic instant at which readers switch snapshots;
+    3. only THEN delete state a stale reader might still hold: base
+       dirs OLDER than the one replaced in step 2, and batch dirs
+       folded by the previous compaction (ids <= wm_old).  The
+       immediately-previous base and the batch dirs folded JUST NOW —
+       (wm_old, wm_new] — are retained until the next compaction: a
+       reader that resolved the old pointer before step 2 still needs
+       exactly that set, and post-swap readers ignore the retained
+       batch dirs via the watermark, so retention is harmless.
+    """
+    prev_base = _base_dir(state_dir)
+    prev_name = os.path.basename(prev_base) if prev_base else None
+    new_base = os.path.join(state_dir, f"base-{wm_new}")
+    os.rename(tmp, new_base)
+    ptr_tmp = os.path.join(state_dir, f"._ptr-{uuid.uuid4().hex[:8]}")
+    with open(ptr_tmp, "w") as f:
+        f.write(f"base-{wm_new}")
+    os.replace(ptr_tmp, os.path.join(state_dir, _PTR))
+    for d in os.listdir(state_dir):
+        path = os.path.join(state_dir, d)
+        is_base = d == "base" or d.startswith("base-")
+        if is_base and d not in (f"base-{wm_new}", prev_name):
+            shutil.rmtree(path, ignore_errors=True)
+        elif d.startswith("batch_id=") and int(d.split("=", 1)[1]) <= wm_old:
+            shutil.rmtree(path, ignore_errors=True)
 
 
 def read_matview(spark, state_dir: str, keys: list[str]) -> DataFrame:
@@ -82,8 +152,8 @@ def read_matview(spark, state_dir: str, keys: list[str]) -> DataFrame:
     the compaction watermark, re-aggregated.  Exact at any moment."""
     wm = _watermark(state_dir)
     parts = []
-    base = os.path.join(state_dir, "base")
-    if os.path.isdir(base):
+    base = _base_dir(state_dir)
+    if base is not None:
         parts.append(spark.read.parquet(base).select(*keys, "cnt", "sum_micro"))
     batch_dirs = [
         os.path.join(state_dir, d)
@@ -112,11 +182,11 @@ def read_matview(spark, state_dir: str, keys: list[str]) -> DataFrame:
 
 
 def compact_matview(spark, state_dir: str, keys: list[str]) -> int:
-    """Fold base + all batch partials into a fresh ``base/`` snapshot
-    whose ``_watermark`` records the highest folded batch id.  The
-    watermark travels INSIDE the base directory, so the reader sees
-    snapshot+watermark switch atomically with one rename.  Returns the
-    new watermark (-1 if there was nothing to fold)."""
+    """Fold base + all batch partials into a fresh versioned base
+    snapshot whose ``_watermark`` records the highest folded batch id,
+    published with the atomic pointer swap + one-generation-deferred
+    GC of :func:`_publish_base`.  Returns the new watermark (-1 if
+    there was nothing to fold)."""
     ids = [
         int(d.split("=", 1)[1])
         for d in os.listdir(state_dir)
@@ -132,17 +202,7 @@ def compact_matview(spark, state_dir: str, keys: list[str]) -> int:
     snap.coalesce(1).write.mode("overwrite").parquet(tmp)
     with open(os.path.join(tmp, _WM), "w") as f:
         f.write(str(wm_new))
-    base = os.path.join(state_dir, "base")
-    old = os.path.join(state_dir, f"._old-{uuid.uuid4().hex[:8]}")
-    if os.path.isdir(base):
-        os.rename(base, old)
-    os.rename(tmp, base)
-    if os.path.isdir(old):
-        shutil.rmtree(old)
-    # folded batch dirs are now redundant (reader ignores them via the
-    # watermark); remove to keep listings bounded
-    for i in fold:
-        shutil.rmtree(os.path.join(state_dir, f"batch_id={i}"), ignore_errors=True)
+    _publish_base(state_dir, tmp, wm_old, wm_new)
     return wm_new
 
 
@@ -186,8 +246,8 @@ def _bitmap_state(spark, state_dir: str, keys: list[str]) -> DataFrame:
     """Union of base + above-watermark batch word partials."""
     wm = _watermark(state_dir)
     parts = []
-    base = os.path.join(state_dir, "base")
-    if os.path.isdir(base):
+    base = _base_dir(state_dir)
+    if base is not None:
         parts.append(spark.read.parquet(base).select(*keys, "wi", "w"))
     batch_dirs = [
         os.path.join(state_dir, d)
@@ -221,10 +281,11 @@ def read_bitmap_matview(spark, state_dir: str, keys: list[str]) -> DataFrame:
 
 
 def compact_bitmap_matview(spark, state_dir: str, keys: list[str]) -> int:
-    """Fold base + batch word partials into a fresh OR-merged ``base/``
-    snapshot (same atomic rename + in-snapshot watermark discipline as
-    :func:`compact_matview`).  The snapshot keeps WORDS, not counts, so
-    it stays mergeable with future batches forever."""
+    """Fold base + batch word partials into a fresh OR-merged versioned
+    base snapshot (same atomic pointer swap + deferred-GC discipline as
+    :func:`compact_matview`, via :func:`_publish_base`).  The snapshot
+    keeps WORDS, not counts, so it stays mergeable with future batches
+    forever."""
     ids = [
         int(d.split("=", 1)[1])
         for d in os.listdir(state_dir)
@@ -242,13 +303,5 @@ def compact_bitmap_matview(spark, state_dir: str, keys: list[str]) -> int:
     snap.coalesce(1).write.mode("overwrite").parquet(tmp)
     with open(os.path.join(tmp, _WM), "w") as f:
         f.write(str(wm_new))
-    base = os.path.join(state_dir, "base")
-    old = os.path.join(state_dir, f"._old-{uuid.uuid4().hex[:8]}")
-    if os.path.isdir(base):
-        os.rename(base, old)
-    os.rename(tmp, base)
-    if os.path.isdir(old):
-        shutil.rmtree(old)
-    for i in fold:
-        shutil.rmtree(os.path.join(state_dir, f"batch_id={i}"), ignore_errors=True)
+    _publish_base(state_dir, tmp, wm_old, wm_new)
     return wm_new

@@ -82,11 +82,64 @@ def test_matview_compaction_preserves_view_and_prunes_dirs(spark, wire_dir, tmp_
     before = sorted(map(tuple, read_matview(spark, state, KEYS).collect()))
     wm = compact_matview(spark, state, KEYS)
     assert wm >= 0 and _watermark(state) == wm
-    assert [d for d in os.listdir(state) if d.startswith("batch_id=")] == []
+    # GC is deferred one generation: freshly-folded batch dirs are
+    # RETAINED (a reader holding the pre-swap pointer still needs
+    # them) and ignored by post-swap readers via the watermark
+    folded = [d for d in os.listdir(state) if d.startswith("batch_id=")]
+    assert folded != []
     after = sorted(map(tuple, read_matview(spark, state, KEYS).collect()))
     assert before == after
     # idempotent: a second compaction with nothing new is a no-op
     assert compact_matview(spark, state, KEYS) == wm
+    # the NEXT folding compaction removes the previous generation's
+    # folded dirs and the previous base snapshot
+    part = _partials(load_table(spark, SF, "events").limit(100), KEYS)
+    part.write.mode("overwrite").parquet(f"{state}/batch_id={wm + 1}")
+    wm2 = compact_matview(spark, state, KEYS)
+    assert wm2 == wm + 1 and _watermark(state) == wm2
+    left = [d for d in os.listdir(state) if d.startswith("batch_id=")]
+    assert left == [f"batch_id={wm + 1}"], left
+    bases = [d for d in os.listdir(state) if d.startswith("base")]
+    assert sorted(bases) == [f"base-{wm}", f"base-{wm2}"], bases
+
+
+def test_matview_reader_with_stale_pointer_stays_exact(spark, tmp_path):
+    """The advisor's race, pinned: a reader that resolved the base
+    pointer BEFORE a compaction published must still compute the exact
+    view from the OLD snapshot + the batch dirs above the old
+    watermark — all of which the deferred GC retains.  (The old code's
+    rename gap made such a reader see watermark -1 with compacted
+    history missing -> silent undercount.)"""
+    from multi_threaded_mapreduce_framework_spark.streaming.matview import (
+        _base_dir,
+    )
+
+    state = str(tmp_path / "state")
+    ev = load_table(spark, SF, "events")
+    _partials(ev.limit(300), KEYS).write.parquet(f"{state}/batch_id=0")
+    compact_matview(spark, state, KEYS)  # -> base-0 holds batch 0
+    _partials(ev.limit(700), KEYS).write.parquet(f"{state}/batch_id=1")
+    # stale reader: resolves pointer + watermark NOW (pre-compaction)
+    stale_base, stale_wm = _base_dir(state), _watermark(state)
+    truth = sorted(map(tuple, read_matview(spark, state, KEYS).collect()))
+    compact_matview(spark, state, KEYS)  # publishes base-1, GC defers
+    # everything the stale reader resolved must still exist and be
+    # complete: old snapshot + batch dirs above the old watermark
+    assert os.path.isdir(stale_base)
+    stale_view = (
+        spark.read.parquet(stale_base)
+        .unionByName(spark.read.parquet(f"{state}/batch_id=1"))
+        .groupBy(*KEYS)
+        .agg(
+            F.sum("cnt").cast("bigint").alias("cnt"),
+            F.sum("sum_micro").cast("bigint").alias("sum_micro"),
+        )
+        .withColumn("avg_micro", F.expr("sum_micro div cnt").cast("bigint"))
+    )
+    assert sorted(map(tuple, stale_view.collect())) == truth
+    assert stale_wm == 0
+    # and the post-swap reader sees the new snapshot, same values
+    assert sorted(map(tuple, read_matview(spark, state, KEYS).collect())) == truth
 
 
 def test_matview_replayed_batch_is_idempotent(spark, tmp_path):
@@ -209,7 +262,8 @@ def test_bitmap_matview_compaction_keeps_words_mergeable(
     before = sorted(map(tuple, read_bitmap_matview(spark, state, KEYS).collect()))
     wm = compact_bitmap_matview(spark, state, KEYS)
     assert wm >= 0 and _watermark(state) == wm
-    assert [d for d in os.listdir(state) if d.startswith("batch_id=")] == []
+    # deferred GC: freshly-folded dirs retained (ignored via watermark)
+    assert [d for d in os.listdir(state) if d.startswith("batch_id=")] != []
     assert (
         sorted(map(tuple, read_bitmap_matview(spark, state, KEYS).collect()))
         == before
