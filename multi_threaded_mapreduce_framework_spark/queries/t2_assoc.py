@@ -16,32 +16,22 @@ from pyspark.sql import Window
 from multi_threaded_mapreduce_framework_spark.queries.registry import register
 from multi_threaded_mapreduce_framework_spark.sources import layout_tag, load_table
 
+# q142 (top-k affinity) and q150 (triangle census) consume the SAME
+# co-purchase pair-count relation; the basket expansion that produces
+# it (lineitem scan -> per-order distinct array -> in-row pair
+# explode -> pair-count shuffle) is the dominant shared cost when both
+# run in one session (bench/driver do).  Materialize it once per
+# (SparkContext, fixture dir) — same discipline as
+# t2_cluster.minhash_pairs for the q35 pair graph.
+_PAIRCOUNT_CACHE: dict[tuple[str, str], "F.DataFrame"] = {}
 
-@register(
-    "q142_copurchase_pairs",
-    tier="T2",
-    oracle="""
-WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
-SELECT a.l_partkey AS p1, b.l_partkey AS p2, CAST(count(*) AS BIGINT) AS cnt
-FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-GROUP BY 1, 2
-ORDER BY cnt DESC, p1, p2 LIMIT 25
-""",
-)
-def q142_copurchase_pairs(spark, sf_dir):
-    """Top-25 co-purchased part pairs (market-basket affinity, the seed
-    statistic of recommenders and frequent-itemset miners).
 
-    Scale shape: the textbook formulation — the oracle's DISTINCT
-    self-join on l_orderkey — shuffles the fact table twice and
-    explodes quadratically on large orders.  Here each order collapses
-    ONCE to its sorted distinct part array (partial-agg shuffle), and
-    pairs expand IN-ROW from that array, bounded by basket size
-    squared, never by table size; pair counting is a second
-    partial-agg shuffle over the (sparse) pair domain.  At 100 TB a
-    per-basket size cap is one `filter(size(ps) <= B)` away — the
-    expansion cost is visible and governable, unlike a join blowup.
-    Deterministic top-k: cnt desc, then (p1, p2)."""
+def build_copurchase_pair_counts(spark, sf_dir: str):
+    """The UNCACHED (p1, p2, cnt) plan: lineitem scan -> per-order
+    sorted distinct part array (one partial-agg shuffle) -> in-row pair
+    explode -> pair-count shuffle.  One fact scan, no join operator —
+    the plan shape tests assert against THIS builder; the queries
+    consume the checkpointed form below."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     baskets = li.groupBy("l_orderkey").agg(
         F.array_sort(F.array_distinct(F.collect_list("l_partkey"))).alias("ps")
@@ -58,6 +48,48 @@ def q142_copurchase_pairs(spark, sf_dir):
         pairs.select("pr.p1", "pr.p2")
         .groupBy("p1", "p2")
         .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def copurchase_pair_counts(spark, sf_dir: str):
+    """(p1, p2, cnt): co-purchased distinct part pairs per order with
+    their order counts, localCheckpoint-ed once per session context."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    counts = _PAIRCOUNT_CACHE.get(key)
+    if counts is None:
+        counts = build_copurchase_pair_counts(spark, sf_dir).localCheckpoint()
+        _PAIRCOUNT_CACHE[key] = counts
+    return counts
+
+
+@register(
+    "q142_copurchase_pairs",
+    tier="T2",
+    oracle="""
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS p1, b.l_partkey AS p2, CAST(count(*) AS BIGINT) AS cnt
+FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+ORDER BY cnt DESC, p1, p2 LIMIT 25
+""",
+)
+def q142_copurchase_pairs(spark, sf_dir):
+    # (shared edge layer: see copurchase_pair_counts above)
+    """Top-25 co-purchased part pairs (market-basket affinity, the seed
+    statistic of recommenders and frequent-itemset miners).
+
+    Scale shape: the textbook formulation — the oracle's DISTINCT
+    self-join on l_orderkey — shuffles the fact table twice and
+    explodes quadratically on large orders.  Here each order collapses
+    ONCE to its sorted distinct part array (partial-agg shuffle), and
+    pairs expand IN-ROW from that array, bounded by basket size
+    squared, never by table size; pair counting is a second
+    partial-agg shuffle over the (sparse) pair domain.  At 100 TB a
+    per-basket size cap is one `filter(size(ps) <= B)` away — the
+    expansion cost is visible and governable, unlike a join blowup.
+    Deterministic top-k: cnt desc, then (p1, p2)."""
+    return (
+        copurchase_pair_counts(spark, sf_dir)
         .orderBy(F.desc("cnt"), F.asc("p1"), F.asc("p2"))
         .limit(25)
     )
@@ -304,23 +336,13 @@ def q150_triangle_count(spark, sf_dir):
     closing-edge check is a semi-join back to the oriented edge list.
     Edges themselves come from q142's in-row basket expansion — one
     lineitem scan, no distinct self-join anywhere."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    baskets = li.groupBy("l_orderkey").agg(
-        F.array_sort(F.array_distinct(F.collect_list("l_partkey"))).alias("ps")
-    )
+    # edge law: co-purchased part pairs in >= 2 orders, from the SAME
+    # materialized pair-count relation q142 ranks (edges feed four
+    # consumers — degrees, orientation, closing set, edge count — and
+    # the checkpoint underneath makes each a cheap re-read)
     edges = (
-        baskets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ps, (x, i) ->"
-                    " transform(slice(ps, i + 2, size(ps)), y -> struct(x AS p1, y AS p2))))"
-                )
-            ).alias("pr")
-        )
-        .select("pr.p1", "pr.p2")
-        .groupBy("p1", "p2")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") >= 2)
+        copurchase_pair_counts(spark, sf_dir)
+        .filter(F.col("cnt") >= 2)
         .select("p1", "p2")
     )
     deg = (
@@ -334,6 +356,13 @@ def q150_triangle_count(spark, sf_dir):
     oriented = (
         edges.join(d1, "p1")
         .join(d2, "p2")
+        # a degree-1 endpoint cannot be in any triangle: drop its edges
+        # BEFORE wedge generation (vertex/edge counts below still use
+        # the unpruned graph).  Orientation still uses the ORIGINAL
+        # degrees — any consistent total order counts each triangle
+        # exactly once, and co-purchase graphs have a long degree-1
+        # tail, so this shrinks the quadratic step's input for free.
+        .filter((F.col("deg1") >= 2) & (F.col("deg2") >= 2))
         .select(
             F.when(
                 (F.col("deg1") < F.col("deg2"))

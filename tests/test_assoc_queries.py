@@ -33,10 +33,18 @@ def test_q142_equals_self_join_but_scans_once(spark, sf_dir):
         .limit(25)
     )
     assert [tuple(r) for r in df.collect()] == [tuple(r) for r in naive.collect()]
-    # in-row expansion: exactly ONE lineitem scan, no join operator
-    # (count inside the AQE final plan only — the string repeats the
-    # initial plan below it)
-    plan = executed_plan(df).split("== Initial Plan ==")[0]
+    # in-row expansion: exactly ONE lineitem scan, no join operator.
+    # q142/q150 consume the pair counts through a shared localCheckpoint
+    # (one materialization per session), so the shape is asserted on the
+    # UNCACHED builder that produces that checkpoint.  (count inside the
+    # AQE final plan only — the string repeats the initial plan below it)
+    from multi_threaded_mapreduce_framework_spark.queries.t2_assoc import (
+        build_copurchase_pair_counts,
+    )
+
+    plan = executed_plan(
+        build_copurchase_pair_counts(spark, sf_dir)
+    ).split("== Initial Plan ==")[0]
     assert plan.count("Scan parquet") == 1, plan
     assert "Join" not in plan, plan
 

@@ -79,9 +79,20 @@ def test_driver_priority_names_all_registered():
     assert missing == [], missing
     assert len(set(_DRIVER_PRIORITY)) == len(_DRIVER_PRIORITY)  # no dupes
     ordered = list(all_queries())
-    # every round-4 debut query sits inside the ~50-query driver window
-    debut = [n for n in ordered if 127 <= int(n[1:].split("_", 1)[0]) <= 171]
+    num = lambda n: int(n[1:].split("_", 1)[0])  # noqa: E731
+    # round-5 rotation (VERDICT r04 item 1): the 45 names last driven
+    # in r02 lead the window...
+    r02_stale = ({50, 51, 52, 53, 54, 55} | set(range(57, 67)) | set(range(68, 76))
+                 | {86, 87} | set(range(89, 94))
+                 | {95, 96, 97} | set(range(99, 111)) - {102}) - {94, 98}
+    assert {num(n) for n in ordered[:45]} == r02_stale, sorted(
+        num(n) for n in ordered[:45]
+    )
+    # ...round-5 debut queries (q172+) still sit inside the 50-window...
+    debut = [n for n in ordered if num(n) >= 172]
     assert debut and all(ordered.index(n) < 50 for n in debut), debut
+    # ...and the window tail reaches into the r01-stale band (q25+)
+    assert all(25 <= num(n) <= 67 for n in ordered[45 + len(debut) : 50]), ordered[45:50]
 
 
 def test_every_query_has_a_survey_inventory_row():
