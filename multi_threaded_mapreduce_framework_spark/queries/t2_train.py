@@ -93,10 +93,26 @@ def q128_train_holdout_leakage(spark, sf_dir):
     decontamination, with the opposite scale posture: the reference
     side here is 80% OF THE CORPUS, so nothing broadcasts — the hit
     test is a distributed LEFT SEMI join on the shingle key (both
-    sides shuffle-partition on p; AQE handles Zipf-hot shingles), then
-    per-doc re-aggregation on the already-computed doc_id. This is the
-    shape dedup-against-big-reference takes whenever the reference set
-    outgrows executor memory.
+    sides shuffle-partition on p), then per-doc re-aggregation on the
+    already-computed doc_id. This is the shape dedup-against-big-
+    reference takes whenever the reference set outgrows executor
+    memory.
+
+    Skew posture: the TRAIN shingle index is deduplicated (partial-agg
+    distinct — the right mitigation for Zipf-hot shingles on the BUILD
+    side, collapsing each hot key to one row per mapper before the
+    shuffle) and then MATERIALIZED before the probe join.  The
+    materialization is the standard build-the-reference-index-once
+    discipline (q98/q117 reuse theirs across probes), and it is also
+    what lets AQE's skew splitter act on the PROBE side: Spark's
+    ``OptimizeSkewedJoin`` only matches a join whose children are plain
+    sorted shuffle stages, so a distinct feeding the join directly (the
+    join reuses the aggregate's exchange) makes the whole join
+    ineligible — a hot shingle concentrated in holdout docs would melt
+    one reducer with no recourse.  With the index materialized, the
+    probe-side exchange is a bare shuffle stage and the hot partition
+    splits (asserted by
+    ``tests/test_skew.py::test_q128_hot_shingle_aqe_skew_split``).
     """
     docs = spread_small_scan(load_table(spark, sf_dir, "documents"))
     bucket = (
@@ -113,7 +129,10 @@ def q128_train_holdout_leakage(spark, sf_dir):
         "doc_id", bucket.alias("bucket"), F.split("text", " ").alias("ws")
     ).select("doc_id", "bucket", sh.alias("sh"))
     train_p = (
-        base.filter(F.col("bucket") < 80).select(F.explode("sh").alias("p")).distinct()
+        base.filter(F.col("bucket") < 80)
+        .select(F.explode("sh").alias("p"))
+        .distinct()
+        .localCheckpoint()  # materialized reference index (see docstring)
     )
     hold = base.filter(F.col("bucket") >= 80).select(
         "doc_id", F.explode("sh").alias("p")

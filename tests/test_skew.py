@@ -92,6 +92,69 @@ def _write_skewed_corpus(spark, path: str, n_hot: int = 120, n_bg: int = 100):
     ).parquet(f"{path}/documents.parquet")
 
 
+def test_q128_hot_shingle_aqe_skew_split(spark, tmp_path):
+    """Contamination-tier skew hardening (VERDICT r04 item 7): q128's
+    distributed LEFT SEMI on the shingle key is the query where BOTH
+    sides shuffle, so a Zipf-hot shingle is its natural skew exposure.
+    Fixture: every doc is one shared hot 5-gram plus one unique token
+    (two shingles/doc), so ~half the holdout side's shuffle bytes pile
+    onto a single shingle key.  Assert the exact per-doc leak answer
+    AND that AQE's OptimizeSkewedJoin actually splits the skewed
+    partition (skew=true) with thresholds scaled to test size.
+
+    The split only fires because q128 MATERIALIZES the train index
+    before the probe join: OptimizeSkewedJoin requires both join
+    children to be plain sorted shuffle stages, so with the distinct
+    feeding the join directly (exchange reuse) the join is ineligible
+    and no fixture shape can make it split — measured, and documented
+    in q128's docstring."""
+    import hashlib
+
+    from multi_threaded_mapreduce_framework_spark.queries import all_queries
+
+    n_docs = 10_000
+    hot = " ".join(f"hotterm{j:02d}withlongpayloadbytes" for j in range(5))
+    rows = [(i, f"{hot} u{i}x") for i in range(n_docs)]
+    spark.createDataFrame(rows, "doc_id bigint, text string").repartition(
+        16
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    # replicate q61's md5 bucket split: bucket >= 80 -> holdout
+    bucket = lambda i: int(  # noqa: E731
+        hashlib.md5(str(i).encode()).hexdigest()[:14], 16
+    ) % 100
+    holdout = {i for i in range(n_docs) if bucket(i) >= 80}
+    assert holdout and len(holdout) < n_docs  # both splits populated
+
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1k",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "2k",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        # force the shuffle join path: broadcast would bypass skew
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        df = all_queries()["q128_train_holdout_leakage"].builder(spark, str(tmp_path))
+        got = {(r.doc_id, r.n_shingles, r.n_leaked, r.leak_centi) for r in df.collect()}
+        # 6 tokens -> 2 distinct shingles/doc; only the hot 5-gram is
+        # shared with train (the u{i}x-suffixed shingle is unique/doc)
+        want = {(i, 2, 1, 50) for i in holdout}
+        assert got == want
+        final_plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final_plan, final_plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_q35_hot_bucket_aqe_skew_split(spark, tmp_path):
     """Dedup-tier skew hardening: q35's band self-join on a corpus with
     one hot bucket still returns the exact answer, and with AQE skew

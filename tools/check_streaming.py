@@ -1,0 +1,412 @@
+"""Streaming correctness runner — check_oracle.py's report format for
+the streaming surface (VERDICT r04 item 8).
+
+Each scenario drives a Structured Streaming pipeline END TO END on the
+events fixture (file-source replay or kafka-wire shim, memory/parquet
+sinks, real checkpoints) and compares the CONVERGED streamed answer to
+the batch equivalent computed on the same data — the batch result is
+the oracle, exactly as the DuckDB SQL is for declared queries.  One
+line per scenario:
+
+    <scenario>  OK|FAIL|SKIP  rows=<n compared>  <sec>s  [detail]
+
+Usage: python tools/check_streaming.py [sf_dir] [scenario ...]
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyspark.sql.functions as F
+
+from multi_threaded_mapreduce_framework_spark.session import get_spark
+from multi_threaded_mapreduce_framework_spark.queries import all_queries
+from multi_threaded_mapreduce_framework_spark.streaming import (
+    events_stream,
+    kafka_wire_stream,
+    parse_events,
+    replay_events,
+    run_to_convergence,
+    session_counts,
+    sliding_window_counts,
+    stream_dedup,
+    stream_stream_inner_join,
+    tumbling_window_counts,
+    write_kafka_replay,
+)
+
+SCENARIOS = {}
+
+
+def scenario(fn):
+    SCENARIOS[fn.__name__] = fn
+    return fn
+
+
+class Skip(Exception):
+    pass
+
+
+def _check(cond, detail=""):
+    if not cond:
+        raise AssertionError(detail)
+
+
+# --------------------------------------------------------------- windowed
+@scenario
+def tumbling_vs_batch_q24(spark, sf_dir, replay_dir, work):
+    agg = tumbling_window_counts(events_stream(spark, replay_dir))
+    q = run_to_convergence(agg, "cs_q24")
+    try:
+        got = {tuple(r) for r in spark.table("cs_q24").collect()}
+    finally:
+        q.stop()
+    batch = {
+        tuple(r)
+        for r in all_queries()["q24_window_tumbling"].builder(spark, sf_dir).collect()
+    }
+    _check(got == batch, f"stream={len(got)} batch={len(batch)}")
+    return len(got)
+
+
+@scenario
+def sliding_coverage_4x(spark, sf_dir, replay_dir, work):
+    agg = sliding_window_counts(events_stream(spark, replay_dir))
+    q = run_to_convergence(agg, "cs_sliding")
+    try:
+        total = spark.table("cs_sliding").agg(F.sum("cnt").alias("s")).first().s
+        rows = spark.table("cs_sliding").count()
+    finally:
+        q.stop()
+    n_events = spark.read.parquet(replay_dir).count()
+    _check(total == 4 * n_events, f"total={total} != 4x{n_events}")
+    return rows
+
+
+@scenario
+def session_vs_batch_q23(spark, sf_dir, replay_dir, work):
+    # watermark off: the replay is hash-partitioned, not time-ordered
+    agg = session_counts(events_stream(spark, replay_dir), watermark=None)
+    q = run_to_convergence(agg, "cs_q23")
+    try:
+        got = {
+            (r.user_id, r.num_sessions)
+            for r in spark.table("cs_q23")
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("num_sessions"))
+            .collect()
+        }
+    finally:
+        q.stop()
+    batch = {
+        (r.user_id, r.num_sessions)
+        for r in all_queries()["q23_sessionize"].builder(spark, sf_dir).collect()
+    }
+    _check(got == batch, f"stream={len(got)} batch={len(batch)}")
+    return len(got)
+
+
+# --------------------------------------------------------------- stateful
+@scenario
+def stateful_totals_vs_batch_q04(spark, sf_dir, replay_dir, work):
+    from multi_threaded_mapreduce_framework_spark.streaming.stateful import (
+        running_user_totals,
+    )
+
+    agg = running_user_totals(events_stream(spark, replay_dir))
+    q = run_to_convergence(agg, "cs_q04", output_mode="update")
+    try:
+        rows = spark.table("cs_q04").collect()
+    finally:
+        q.stop()
+    latest = {}
+    for r in rows:
+        if r.user_id not in latest or r.cnt > latest[r.user_id].cnt:
+            latest[r.user_id] = r
+    batch = {
+        r.user_id: r
+        for r in all_queries()["q04_user_event_stats"].builder(spark, sf_dir).collect()
+    }
+    _check(set(latest) == set(batch), "user-id sets differ")
+    for uid, r in latest.items():
+        _check(r.cnt == batch[uid].cnt, f"cnt mismatch for user {uid}")
+        # per-user float accumulation order differs batch-vs-stream
+        _check(abs(r.sum_value - batch[uid].sum_value) < 0.05, f"sum user {uid}")
+    return len(latest)
+
+
+@scenario
+def tws_totals_vs_batch_q04(spark, sf_dir, replay_dir, work):
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        raise Skip("protobuf not installed; transformWithState needs it")
+    from multi_threaded_mapreduce_framework_spark.streaming.stateful import (
+        running_user_totals_tws,
+    )
+
+    agg = running_user_totals_tws(events_stream(spark, replay_dir))
+    q = run_to_convergence(agg, "cs_q04_tws", output_mode="update")
+    try:
+        rows = spark.table("cs_q04_tws").collect()
+    finally:
+        q.stop()
+    latest = {}
+    for r in rows:
+        if r.user_id not in latest or r.cnt > latest[r.user_id].cnt:
+            latest[r.user_id] = r
+    batch = {
+        r.user_id: r
+        for r in all_queries()["q04_user_event_stats"].builder(spark, sf_dir).collect()
+    }
+    _check(set(latest) == set(batch), "user-id sets differ")
+    for uid, r in latest.items():
+        _check(r.cnt == batch[uid].cnt, f"cnt mismatch for user {uid}")
+    return len(latest)
+
+
+@scenario
+def dedup_first_wins(spark, sf_dir, replay_dir, work):
+    s = stream_dedup(events_stream(spark, replay_dir), ["user_id", "event_type"])
+    q = run_to_convergence(s, "cs_dedup", output_mode="append")
+    try:
+        got_n = spark.table("cs_dedup").count()
+        dupes = (
+            spark.table("cs_dedup")
+            .groupBy("user_id", "event_type")
+            .count()
+            .filter("count > 1")
+            .count()
+        )
+    finally:
+        q.stop()
+    want = spark.read.parquet(replay_dir).select("user_id", "event_type").distinct().count()
+    _check(got_n == want and dupes == 0, f"got={got_n} want={want} dupes={dupes}")
+    return got_n
+
+
+@scenario
+def checkpoint_recovery_exactly_once(spark, sf_dir, replay_dir, work):
+    from multi_threaded_mapreduce_framework_spark.sources import load_table
+
+    src, ckpt = os.path.join(work, "cr_events"), os.path.join(work, "cr_ckpt")
+    full = load_table(spark, sf_dir, "events")
+    first, second = full.filter("event_id % 2 = 0"), full.filter("event_id % 2 = 1")
+    first.repartition(2).write.mode("overwrite").parquet(src)
+
+    def run_once():
+        agg = tumbling_window_counts(events_stream(spark, src))
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("cs_ckpt")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run_once()
+    second.repartition(2).write.mode("append").parquet(src)
+    run_once()  # restart from checkpoint; picks up only the new files
+    got = {tuple(r) for r in spark.table("cs_ckpt").collect()}
+    batch = {
+        tuple(r)
+        for r in all_queries()["q24_window_tumbling"].builder(spark, sf_dir).collect()
+    }
+    _check(got == batch, f"stream={len(got)} batch={len(batch)}")
+    return len(got)
+
+
+# ---------------------------------------------------------------- matview
+@scenario
+def matview_vs_batch_agg(spark, sf_dir, replay_dir, work):
+    from multi_threaded_mapreduce_framework_spark.sources import load_table
+    from multi_threaded_mapreduce_framework_spark.streaming import (
+        compact_matview,
+        read_matview,
+        start_incremental_matview,
+    )
+
+    wire = os.path.join(work, "mv_wire")
+    write_kafka_replay(spark, sf_dir, wire, n_chunks=3)
+    state = os.path.join(work, "mv_state")
+    q = start_incremental_matview(
+        parse_events(kafka_wire_stream(spark, wire)),
+        ["event_type"],
+        state,
+        os.path.join(work, "mv_ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    truth = sorted(
+        map(
+            tuple,
+            load_table(spark, sf_dir, "events")
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("cnt"),
+                F.sum(
+                    F.expr("cast(cast(value as decimal(18,6)) * 1000000 as bigint)")
+                )
+                .cast("bigint")
+                .alias("sum_micro"),
+            )
+            .withColumn("avg_micro", F.expr("sum_micro div cnt").cast("bigint"))
+            .collect(),
+        )
+    )
+    got = sorted(map(tuple, read_matview(spark, state, ["event_type"]).collect()))
+    _check(got == truth, "pre-compaction view != batch")
+    compact_matview(spark, state, ["event_type"])
+    got2 = sorted(map(tuple, read_matview(spark, state, ["event_type"]).collect()))
+    _check(got2 == truth, "post-compaction view != batch")
+    return len(got)
+
+
+@scenario
+def bitmap_matview_vs_batch_distinct(spark, sf_dir, replay_dir, work):
+    from multi_threaded_mapreduce_framework_spark.sources import load_table
+    from multi_threaded_mapreduce_framework_spark.streaming.matview import (
+        compact_bitmap_matview,
+        read_bitmap_matview,
+        start_bitmap_matview,
+    )
+
+    wire = os.path.join(work, "bmv_wire")
+    write_kafka_replay(spark, sf_dir, wire, n_chunks=3)
+    state = os.path.join(work, "bmv_state")
+    q = start_bitmap_matview(
+        parse_events(kafka_wire_stream(spark, wire)),
+        ["event_type"],
+        "user_id",
+        state,
+        os.path.join(work, "bmv_ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    truth = sorted(
+        map(
+            tuple,
+            load_table(spark, sf_dir, "events")
+            .groupBy("event_type")
+            .agg(F.countDistinct("user_id").cast("bigint").alias("distinct_ids"))
+            .collect(),
+        )
+    )
+    got = sorted(
+        map(tuple, read_bitmap_matview(spark, state, ["event_type"]).collect())
+    )
+    _check(got == truth, "pre-compaction view != batch countDistinct")
+    compact_bitmap_matview(spark, state, ["event_type"])
+    got2 = sorted(
+        map(tuple, read_bitmap_matview(spark, state, ["event_type"]).collect())
+    )
+    _check(got2 == truth, "post-compaction view != batch countDistinct")
+    return len(got)
+
+
+# ------------------------------------------------------------------ joins
+@scenario
+def ss_inner_join_vs_batch(spark, sf_dir, replay_dir, work):
+    lag, wm = "1 hour", "45 days"  # replay is hash-partitioned (see tests)
+    joined = stream_stream_inner_join(
+        events_stream(spark, replay_dir).filter(F.col("event_type") == "click"),
+        events_stream(spark, replay_dir).filter(F.col("event_type") == "purchase"),
+        max_lag=lag,
+        watermark=wm,
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("cs_ssj")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {tuple(r) for r in spark.table("cs_ssj").collect()}
+    finally:
+        q.stop()
+    ev = spark.read.parquet(replay_dir)
+    l = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("l_user"),
+        F.col("ts").alias("l_ts"),
+        F.col("event_id").alias("l_event"),
+    )
+    r = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("r_user"),
+        F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_event"),
+    )
+    cond = (
+        (l.l_user == r.r_user)
+        & (r.r_ts >= l.l_ts)
+        & (r.r_ts <= l.l_ts + F.expr(f"interval {lag}"))
+    )
+    batch = {tuple(row) for row in l.join(r, cond, "inner").collect()}
+    _check(got == batch and len(got) > 0, f"stream={len(got)} batch={len(batch)}")
+    return len(got)
+
+
+@scenario
+def kafka_wire_tumbling_vs_batch_q24(spark, sf_dir, replay_dir, work):
+    wire = os.path.join(work, "kw_wire")
+    write_kafka_replay(spark, sf_dir, wire, n_chunks=3)
+    agg = tumbling_window_counts(parse_events(kafka_wire_stream(spark, wire)))
+    q = run_to_convergence(agg, "cs_kw_q24")
+    try:
+        got = {tuple(r) for r in spark.table("cs_kw_q24").collect()}
+    finally:
+        q.stop()
+    batch = {
+        tuple(r)
+        for r in all_queries()["q24_window_tumbling"].builder(spark, sf_dir).collect()
+    }
+    _check(got == batch, f"stream={len(got)} batch={len(batch)}")
+    return len(got)
+
+
+def main():
+    args = sys.argv[1:]
+    sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.001"
+    names = args[1:] if args and os.path.isdir(args[0]) else args
+    run = {n: SCENARIOS[n] for n in names} if names else SCENARIOS
+    spark = get_spark("check-streaming", shuffle_partitions=4)
+    work = tempfile.mkdtemp(prefix="check_streaming_")
+    replay_dir = os.path.join(work, "events_replay")
+    replay_events(spark, sf_dir, replay_dir, n_chunks=4)
+    failures = 0
+    try:
+        for name, fn in run.items():
+            t0 = time.time()
+            try:
+                n = fn(spark, sf_dir, replay_dir, work)
+                status, detail = "OK", ""
+            except Skip as e:
+                n, status, detail = 0, "SKIP", str(e)
+            except Exception as e:  # noqa: BLE001 — report, keep going
+                n, status, detail = 0, "FAIL", str(e)[:200]
+                failures += 1
+            print(
+                f"{name:<32} {status:<5} rows={n:<8} {time.time()-t0:.2f}s  {detail}"
+            )
+            sys.stdout.flush()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    print()
+    print("ALL OK" if failures == 0 else f"{failures} FAILED")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
