@@ -142,6 +142,40 @@ def test_matview_reader_with_stale_pointer_stays_exact(spark, tmp_path):
     assert sorted(map(tuple, read_matview(spark, state, KEYS).collect())) == truth
 
 
+def test_matview_migrates_legacy_unversioned_base(spark, tmp_path):
+    """State written by the pre-pointer layout (an unversioned ``base/``
+    dir holding the watermark, no ``_BASE`` file) must read correctly
+    and migrate on the next compaction: the new versioned snapshot takes
+    over via the pointer while the legacy dir survives one generation."""
+    import shutil as _sh
+
+    from multi_threaded_mapreduce_framework_spark.streaming.matview import (
+        _base_dir,
+    )
+
+    state = str(tmp_path / "state")
+    ev = load_table(spark, SF, "events")
+    _partials(ev.limit(400), KEYS).write.parquet(f"{state}/batch_id=0")
+    # hand-build the LEGACY layout: snapshot at base/ with _watermark=0
+    snap = _partials(ev.limit(400), KEYS)
+    snap.coalesce(1).write.parquet(f"{state}/base")
+    with open(f"{state}/base/{'_watermark'}", "w") as f:
+        f.write("0")
+    _sh.rmtree(f"{state}/batch_id=0")
+    assert _watermark(state) == 0 and _base_dir(state).endswith("/base")
+    truth = sorted(map(tuple, read_matview(spark, state, KEYS).collect()))
+    # new batch + compaction migrates to the versioned pointer layout
+    _partials(ev.limit(900).filter("event_id % 3 = 0"), KEYS).write.parquet(
+        f"{state}/batch_id=1"
+    )
+    full = sorted(map(tuple, read_matview(spark, state, KEYS).collect()))
+    wm = compact_matview(spark, state, KEYS)
+    assert wm == 1 and _base_dir(state).endswith("base-1")
+    assert os.path.isdir(f"{state}/base")  # legacy survives one generation
+    assert sorted(map(tuple, read_matview(spark, state, KEYS).collect())) == full
+    assert truth != full  # the new batch actually changed the view
+
+
 def test_matview_replayed_batch_is_idempotent(spark, tmp_path):
     """Writing the same batch_id twice (Spark's replay contract) must
     not double count — and a replay of an already-COMPACTED batch is
