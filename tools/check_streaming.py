@@ -317,6 +317,139 @@ def bitmap_matview_vs_batch_distinct(spark, sf_dir, replay_dir, work):
 
 
 # ------------------------------------------------------------------ joins
+def _own_replay(spark, sf_dir, work, name):
+    """Private replay dir for scenarios that append sentinel rows (the
+    shared replay_dir must stay pristine for later scenarios)."""
+    d = os.path.join(work, name)
+    replay_events(spark, sf_dir, d, n_chunks=4)
+    return d
+
+
+def _write_sentinels(spark, replay_dir, days_ahead):
+    """Far-future click+purchase pair: advances the watermark so outer
+    joins / append-mode windows flush their buffered tails — the same
+    drain step a production historical backfill performs."""
+    import datetime
+
+    base = datetime.datetime(2025, 1, 1) + datetime.timedelta(days=days_ahead)
+    rows = [
+        (-1, base, -1, "click", 0.0, "{}"),
+        (-2, base + datetime.timedelta(hours=6), -2, "purchase", 0.0, "{}"),
+    ]
+    schema = spark.read.parquet(replay_dir).schema
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(
+        replay_dir
+    )
+
+
+def _batch_range_join(spark, replay_dir, how, lag):
+    ev = spark.read.parquet(replay_dir).filter(F.col("user_id") >= 0)
+    l = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("l_user"),
+        F.col("ts").alias("l_ts"),
+        F.col("event_id").alias("l_event"),
+    )
+    r = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("r_user"),
+        F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_event"),
+    )
+    cond = (
+        (l.l_user == r.r_user)
+        & (r.r_ts >= l.l_ts)
+        & (r.r_ts <= l.l_ts + F.expr(f"interval {lag}"))
+    )
+    return {tuple(row) for row in l.join(r, cond, how).collect()}
+
+
+@scenario
+def ss_left_join_flushes_after_watermark(spark, sf_dir, replay_dir, work):
+    from multi_threaded_mapreduce_framework_spark.streaming import (
+        stream_stream_left_join,
+    )
+
+    lag, wm = "1 hour", "45 days"
+    d = _own_replay(spark, sf_dir, work, "lj_replay")
+    joined = stream_stream_left_join(
+        events_stream(spark, d).filter(F.col("event_type") == "click"),
+        events_stream(spark, d).filter(F.col("event_type") == "purchase"),
+        max_lag=lag,
+        watermark=wm,
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("cs_ssl")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write_sentinels(spark, d, days_ahead=0)
+        q.processAllAvailable()
+        _write_sentinels(spark, d, days_ahead=30)
+        q.processAllAvailable()
+        got = {
+            tuple(row)
+            for row in spark.table("cs_ssl").filter(F.col("l_user") >= 0).collect()
+        }
+    finally:
+        q.stop()
+    batch = _batch_range_join(spark, d, "left_outer", lag)
+    _check(got == batch, f"stream={len(got)} batch={len(batch)}")
+    _check(any(row[3] is None for row in got), "no outer rows flushed")
+    return len(got)
+
+
+@scenario
+def ss_funnel_chained_stateful_vs_batch(spark, sf_dir, replay_dir, work):
+    from multi_threaded_mapreduce_framework_spark.streaming import funnel_daily_counts
+
+    lag, wm = "1 hour", "45 days"
+    d = _own_replay(spark, sf_dir, work, "fn_replay")
+    agg = funnel_daily_counts(
+        events_stream(spark, d).filter(F.col("event_type") == "click"),
+        events_stream(spark, d).filter(F.col("event_type") == "purchase"),
+        max_lag=lag,
+        watermark=wm,
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("cs_funnel")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write_sentinels(spark, d, days_ahead=0)
+        q.processAllAvailable()
+        _write_sentinels(spark, d, days_ahead=30)
+        q.processAllAvailable()
+        got = {
+            tuple(row)
+            for row in spark.table("cs_funnel").collect()
+            if not row.day.startswith("2025")  # sentinel windows
+        }
+    finally:
+        q.stop()
+    ev = spark.read.parquet(d).filter(F.col("user_id") >= 0)
+    batch = {
+        (str(r.day), r.n)
+        for r in ev.filter(F.col("event_type") == "click")
+        .alias("c")
+        .join(
+            ev.filter(F.col("event_type") == "purchase").alias("p"),
+            (F.col("c.user_id") == F.col("p.user_id"))
+            & (F.col("p.ts") >= F.col("c.ts"))
+            & (F.col("p.ts") <= F.col("c.ts") + F.expr(f"interval {lag}")),
+        )
+        .groupBy(F.to_date("c.ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    _check(got == batch and len(got) > 0, f"stream={len(got)} batch={len(batch)}")
+    return len(got)
+
+
 @scenario
 def ss_inner_join_vs_batch(spark, sf_dir, replay_dir, work):
     lag, wm = "1 hour", "45 days"  # replay is hash-partitioned (see tests)
@@ -337,23 +470,7 @@ def ss_inner_join_vs_batch(spark, sf_dir, replay_dir, work):
         got = {tuple(r) for r in spark.table("cs_ssj").collect()}
     finally:
         q.stop()
-    ev = spark.read.parquet(replay_dir)
-    l = ev.filter(F.col("event_type") == "click").select(
-        F.col("user_id").alias("l_user"),
-        F.col("ts").alias("l_ts"),
-        F.col("event_id").alias("l_event"),
-    )
-    r = ev.filter(F.col("event_type") == "purchase").select(
-        F.col("user_id").alias("r_user"),
-        F.col("ts").alias("r_ts"),
-        F.col("event_id").alias("r_event"),
-    )
-    cond = (
-        (l.l_user == r.r_user)
-        & (r.r_ts >= l.l_ts)
-        & (r.r_ts <= l.l_ts + F.expr(f"interval {lag}"))
-    )
-    batch = {tuple(row) for row in l.join(r, cond, "inner").collect()}
+    batch = _batch_range_join(spark, replay_dir, "inner", lag)
     _check(got == batch and len(got) > 0, f"stream={len(got)} batch={len(batch)}")
     return len(got)
 
