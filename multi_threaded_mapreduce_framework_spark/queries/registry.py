@@ -122,7 +122,10 @@ _DRIVER_PRIORITY = (
     "q108_mixture_allocation",
     "q109_rolling_wau",
     "q110_unpivot",
-    # --- new in round 5: debut driver rows (window positions 46+) ---
+    # --- new in round 5: q172 (the VERDICT r04 item-3 image query)
+    #     takes the one sanctioned debut slot; later round-5 queries
+    #     (q173+) yield their slot to stale retirement and follow in
+    #     registration order after this list ---
     "q172_multimodal_image",
     # --- last driver row r01 (window tail; remainder queues for r6) ---
     "q25_exact_dedup",

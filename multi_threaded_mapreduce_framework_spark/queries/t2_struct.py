@@ -1361,3 +1361,99 @@ def q172_multimodal_image(spark, sf_dir):
             F.max("height").alias("max_h"),
         )
     )
+
+
+@register(
+    "q173_multimodal_video",
+    tier="T2",
+    oracle=None,  # rows-only by contract: binary decode is not SQL-expressible
+)
+def q173_multimodal_video(spark, sf_dir):
+    """Multimodal VIDEO pipeline as a DECLARED query — completing the
+    modality triple (audio q171, image q172) with REAL codec-free
+    bytes: each document gets a GENUINE raw-video payload synthesized
+    ON THE EXECUTORS (a concatenated-P6 stream — ffmpeg image2pipe's
+    ppm format — of ``2 + d%4`` frames on an ``(8 + d%5) x (6 + d%3)``
+    grid at 4 fps, frame f pixel byte k of doc d being
+    ``(d + 7*f + k) % 256``), and the real frame-sampling kernel
+    (``operators/multimodal.py::sample_frame_features``) walks the
+    frame headers, picks the frame covering each 500 ms grid instant,
+    and decodes ONLY those frames to raw-RGB mean intensities.  The
+    features roll up per language: media count, frames sampled, and
+    average sampled-frame intensity.
+
+    Driver contract: rows-only (binary decode has no SQL oracle);
+    value-level checks — exact per-doc sampled-frame means against an
+    independently computed numpy oracle — live in
+    tests/test_struct_queries.py.
+
+    Scale shape (q171/q172's discipline): synthesis and frame sampling
+    are two chained ``mapInPandas`` kernels in ONE scan stage — the
+    video bytes never cross a shuffle or reach the driver
+    (plan-asserted); the flatMap expansion (rows out > rows in, one row
+    per sampled frame) happens INSIDE the kernel, and only per-frame
+    feature scalars shuffle for the rollup.  Frame sampling decodes
+    only the frames the 500 ms grid touches — at 100 TB the difference
+    between decoding every frame and ~2 per second of footage."""
+    from multi_threaded_mapreduce_framework_spark.operators.multimodal import (
+        sample_frame_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        from multi_threaded_mapreduce_framework_spark.operators.multimodal import (
+            ppm_stream_bytes,
+        )
+
+        for pdf in batches:
+            payloads, metas = [], []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                w, h, n_frames = 8 + d % 5, 6 + d % 3, 2 + d % 4
+                frames = [
+                    ((np.arange(w * h * 3, dtype=np.int64) + d + 7 * f) % 256)
+                    .astype(np.uint8)
+                    .reshape(h, w, 3)
+                    for f in range(n_frames)
+                ]
+                payloads.append(ppm_stream_bytes(frames))
+                metas.append(
+                    {
+                        "width": w,
+                        "height": h,
+                        "format": "ppm-stream",
+                        "duration_ms": n_frames * 250,  # 4 fps
+                        "sample_rate": 0,
+                    }
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": ["video"] * len(pdf),
+                    "payload": payloads,
+                    "meta": metas,
+                }
+            )
+
+    media = docs.mapInPandas(
+        synth,
+        schema=(
+            "media_id bigint, kind string, payload binary,"
+            " meta struct<width:int, height:int, format:string,"
+            " duration_ms:int, sample_rate:int>"
+        ),
+    )
+    frames = sample_frame_features(media, every_ms=500)
+    return (
+        frames.join(docs.withColumnRenamed("doc_id", "media_id"), "media_id")
+        .groupBy("lang")
+        .agg(
+            F.count_distinct("media_id").alias("n_media"),
+            F.count(F.lit(1)).cast("bigint").alias("n_frames_sampled"),
+            F.round(F.avg("mean_intensity"), 2).alias("avg_intensity"),
+        )
+    )

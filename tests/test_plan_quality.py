@@ -618,3 +618,15 @@ def test_q172_payload_never_shuffles(spark, sf_dir):
     assert plan.count("MapInPandas") == 3, plan
     between = plan[plan.index("MapInPandas") : plan.rindex("MapInPandas")]
     assert "Exchange" not in between, plan
+
+
+def test_q173_payload_never_shuffles(spark, sf_dir):
+    """Video synth and frame sampling must chain in the scan stage (no
+    Exchange between the two MapInPandas): the stream bytes are born
+    and consumed on the same executor; the flatMap frame expansion is
+    in-kernel, and only per-frame scalars reach the rollup."""
+    df = QUERIES["q173_multimodal_video"].builder(spark, sf_dir)
+    plan = executed_plan(df)
+    assert plan.count("MapInPandas") == 2, plan
+    between = plan[plan.index("MapInPandas") : plan.rindex("MapInPandas")]
+    assert "Exchange" not in between, plan

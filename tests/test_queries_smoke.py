@@ -88,11 +88,15 @@ def test_driver_priority_names_all_registered():
     assert {num(n) for n in ordered[:45]} == r02_stale, sorted(
         num(n) for n in ordered[:45]
     )
-    # ...round-5 debut queries (q172+) still sit inside the 50-window...
-    debut = [n for n in ordered if num(n) >= 172]
-    assert debut and all(ordered.index(n) < 50 for n in debut), debut
+    # ...q172 (the VERDICT-requested image query) takes the single
+    # sanctioned debut slot inside the 50-window; later round-5 queries
+    # (q173+) deliberately yield their debut slot to stale retirement
+    # and queue for the next window...
+    assert ordered.index("q172_multimodal_image") == 45, ordered[40:50]
+    later = [n for n in ordered if num(n) >= 173]
+    assert all(ordered.index(n) >= 71 for n in later), later
     # ...and the window tail reaches into the r01-stale band (q25+)
-    assert all(25 <= num(n) <= 67 for n in ordered[45 + len(debut) : 50]), ordered[45:50]
+    assert all(25 <= num(n) <= 67 for n in ordered[46:50]), ordered[45:50]
 
 
 def test_every_query_has_a_survey_inventory_row():

@@ -425,3 +425,39 @@ def test_q172_matches_independent_raster_oracle(spark, sf_dir):
         key: (len(v), round(sum(v) / len(v), 2), 12, 10) for key, v in acc.items()
     }
     assert got == want
+
+
+def test_q173_matches_independent_frame_oracle(spark, sf_dir):
+    """The declared video pipeline's rollup must equal an oracle
+    computed HERE from first principles (the per-frame ramp law + the
+    500 ms sampling grid) with plain numpy — no engine code on the
+    oracle side."""
+    import numpy as np
+
+    got = {
+        r.lang: (r.n_media, r.n_frames_sampled, r.avg_intensity)
+        for r in QUERIES["q173_multimodal_video"].builder(spark, sf_dir).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang").collect()
+
+    def frame_means(d: int) -> list[float]:
+        w, h, n_frames = 8 + d % 5, 6 + d % 3, 2 + d % 4
+        duration = n_frames * 250
+        means = []
+        for ts in range(0, duration, 500):
+            f = min(ts * n_frames // duration, n_frames - 1)
+            px = ((np.arange(w * h * 3) + d + 7 * f) % 256).astype(np.uint8)
+            means.append(round(float(px.mean()), 2))
+        return means
+
+    acc: dict[str, list[float]] = {}
+    media: dict[str, set[int]] = {}
+    for r in docs:
+        ms = frame_means(int(r.doc_id))
+        acc.setdefault(r.lang, []).extend(ms)
+        media.setdefault(r.lang, set()).add(r.doc_id)
+    want = {
+        lang: (len(media[lang]), len(v), round(sum(v) / len(v), 2))
+        for lang, v in acc.items()
+    }
+    assert got == want
