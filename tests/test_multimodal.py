@@ -333,6 +333,63 @@ def test_png_roundtrip_property():
     inner()
 
 
+def test_png_zero_filter_fast_path_equals_general_path():
+    """The vectorized all-filter-0 encode/decode fast paths (added for
+    q172's 200k-doc scale) must agree byte-for-byte with the general
+    per-row path on the same raster."""
+    import numpy as np
+
+    from multi_threaded_mapreduce_framework_spark.operators.multimodal import (
+        _parse_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(7)
+    for w, h in [(1, 1), (5, 3), (16, 11)]:
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        fast = encode_png(px)  # all-zero filters -> vectorized body
+        # force the general path with an explicit non-zero somewhere,
+        # then compare DECODED pixels (bytes differ, pixels must not)
+        slow = encode_png(px, filters=[1] + [0] * (h - 1))
+        for raw in (fast, slow):
+            got_w, got_h, got = _parse_png(raw)
+            assert (got_w, got_h) == (w, h) and np.array_equal(got, px)
+
+
+def test_ppm_stream_roundtrip_and_sampling(spark):
+    """ppm_stream_bytes -> sample_frame_features recovers exactly the
+    frames the grid touches, with exact dims and means (the q173
+    video-kernel contract on hand-built frames)."""
+    import numpy as np
+    import pandas as pd
+
+    from multi_threaded_mapreduce_framework_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        ppm_stream_bytes,
+        sample_frame_features,
+    )
+
+    rng = np.random.default_rng(3)
+    frames = [rng.integers(0, 256, size=(4, 6, 3), dtype=np.uint8) for _ in range(5)]
+    payload = ppm_stream_bytes(frames)
+    duration = 5 * 250  # 4 fps
+    df = spark.createDataFrame(
+        [(1, "video", bytearray(payload), (6, 4, "ppm-stream", duration, 0))],
+        MEDIA_SCHEMA,
+    )
+    rows = sample_frame_features(df, every_ms=500).collect()
+    want = []
+    for ts in range(0, duration, 500):
+        f = min(ts * 5 // duration, 4)
+        want.append((1, f, ts, 6, 4, round(float(frames[f].mean()), 2)))
+    assert sorted(map(tuple, rows)) == sorted(want)
+    # non-video rows are filtered, audio kind never reaches the kernel
+    df2 = spark.createDataFrame(
+        [(2, "audio", bytearray(b"x"), (0, 0, "wav", 100, 8000))], MEDIA_SCHEMA
+    )
+    assert sample_frame_features(df2).count() == 0
+
+
 def test_binaryfile_source_to_decode(spark, tmp_path):
     """The documented media-lake ingestion path end to end on REAL
     bytes: PNG files on disk -> spark.read.format('binaryFile') ->
