@@ -1,0 +1,198 @@
+"""Plan-antipattern lint across every registered query.
+
+The plan-shape snapshot (tests/plan_snapshot.json) pins each query's
+shape against DRIFT; this tool audits all plans against ABSOLUTE
+antipattern rules — the scale-killers a 100 TB deployment cannot
+tolerate — and prints one line per finding (or a clean bill).  Rules:
+
+- CARTESIAN: a CartesianProduct node (unbounded pairwise work).
+- BNLJ: a BroadcastNestedLoopJoin that is NOT a deliberate tiny-side
+  broadcast (allowlisted where the query broadcasts a 1-row scalar or
+  a bounded census — each allowlist entry names why).
+- ROW-UDF: row-at-a-time Python evaluation (BatchEvalPython) — every
+  Python kernel in this engine must be Arrow-batched (ArrowEvalPython,
+  MapInPandas, FlatMapGroupsInPandas...).
+- GLOBAL-WINDOW: a window over SinglePartition (the whole dataset
+  through one task) — allowlisted only for queries DECLARED as
+  exact-total-order baselines with a scale-ready sibling.
+- GLOBAL-SORT-NO-LIMIT: a global Sort not under TakeOrderedAndProject
+  and not feeding a range-partitioned write (total sort of the corpus).
+
+Exit code 1 on any non-allowlisted finding, so it can gate CI.
+
+Usage: python tools/plan_lint.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from multi_threaded_mapreduce_framework_spark.plans import executed_plan
+from multi_threaded_mapreduce_framework_spark.queries import all_queries
+from multi_threaded_mapreduce_framework_spark.session import get_spark
+
+# name -> {rule: reason} deliberate, documented exceptions
+ALLOW: dict[str, dict[str, str]] = {
+    # global-order baselines, declared with scale-ready siblings
+    "q49_ntile": {
+        "GLOBAL-WINDOW": "exact-rank reference; q111 is the declared scale path"
+    },
+    "q17_window_rank": {
+        "GLOBAL-WINDOW": "rank over a GROUPED tiny aggregate (suppliers per "
+        "nation), not the corpus — partition count bounded by nations"
+    },
+    "q83_window_distribution": {
+        "GLOBAL-WINDOW": "cume_dist/percent_rank over the 5-row priority "
+        "census, not the fact table"
+    },
+    "q154_global_ordinal": {
+        "GLOBAL-WINDOW": "window over the BUCKET HISTOGRAM (domain-bounded), "
+        "the corpus rides bucket-partitioned windows"
+    },
+    "q158_watermark_replay": {
+        "GLOBAL-WINDOW": "cumulative window over per-hour bucket maxes "
+        "(bounded by the time range), the corpus side is bucket-partitioned"
+    },
+    "q159_weighted_median": {
+        "GLOBAL-WINDOW": "prefix sums over the value-domain histogram "
+        "(domain-bounded), not raw rows"
+    },
+    "q170_pareto_skyline": {
+        "GLOBAL-WINDOW": "suffix-min over the vocabulary histogram "
+        "(domain-bounded)"
+    },
+    "q104_length_histogram": {
+        "GLOBAL-WINDOW": "cumulative share over the ~40-row histogram"
+    },
+    "q141_mad_outliers": {
+        "GLOBAL-WINDOW": "median-of-histogram prefix window (domain-bounded)"
+    },
+    "q152_quantile_normalize": {
+        "GLOBAL-WINDOW": "rank windows ride the per-feature partitioning; "
+        "flagged only because feature count is small in the fixture"
+    },
+    "q168_benford_audit": {
+        "GLOBAL-WINDOW": "census join-back window over priorities x 9 digits"
+    },
+    "q146_snapshot_diff_merkle": {
+        "GLOBAL-WINDOW": "window over the bucket-level digest table "
+        "(n_buckets rows, corpus hashes ride partial aggs)"
+    },
+    "q113_ivf_probe_search": {
+        "BNLJ": "probe row (1) broadcast against nprobe cell ids — bounded"
+    },
+    "q28_cosine_topk": {"BNLJ": "single probe vector broadcast (1 row)"},
+    "q29_knn_label": {"BNLJ": "single probe vector broadcast (1 row)"},
+    "q47_scalar_subquery": {"BNLJ": "scalar aggregate (1 row) broadcast"},
+    # scalar / bounded-side broadcast joins (no equi key -> Spark plans
+    # BNLJ; the build side is 1 row or a domain-bounded table)
+    "q62_tfidf_top_terms": {"BNLJ": "total-doc-count scalar (1 row) for IDF"},
+    "q39_ivf_assign": {"BNLJ": "centroid table (k=16 rows) broadcast"},
+    "q77_tpch_q11": {"BNLJ": "Q11's value-fraction threshold scalar (1 row)"},
+    "q78_tpch_q22": {"BNLJ": "Q22's avg-acctbal scalar (1 row)"},
+    "q111_global_quantile_buckets": {
+        "BNLJ": "total-count scalar (1 row) for bucket targets",
+        "GLOBAL-WINDOW": "cumulative window over the HISTOGRAM of bounded "
+        "value domain, then broadcast cut points",
+    },
+    "q119_data_quality_audit": {"BNLJ": "1-row per-check metric union joins"},
+    "q131_kmeans_update": {"BNLJ": "movement-norm scalar join (1 row/centroid set)"},
+    "q133_embedding_outliers": {"BNLJ": "global mean/std stats scalar (1 row)"},
+    "q134_bm25_topk": {"BNLJ": "corpus stats scalar (N, avgdl — 1 row)"},
+    "q135_heavy_hitter_shingles": {"BNLJ": "total-count scalar (1 row) threshold"},
+    "q136_bloom_prefilter_join": {
+        "BNLJ": "the Bloom bitset itself (1 row) broadcast to the probe scan"
+    },
+    "q139_pps_systematic_sample": {
+        "BNLJ": "total-weight scalar (1 row)",
+        "GLOBAL-WINDOW": "two-level prefix scan: this window runs over "
+        "per-bucket partials (bounded), corpus side is bucket-partitioned",
+    },
+    "q143_pmi_bigrams": {"BNLJ": "ntok/nbig scalars (1 row each)"},
+    "q150_triangle_count": {"BNLJ": "3 one-row metric joins (nv x ne x tri)"},
+    "q165_bitmap_rolling_wau": {
+        "BNLJ": "day-grid range join over |days| x words/day — both "
+        "domain-bounded (never event-sized)"
+    },
+    "q160_lang_overlap": {
+        "BNLJ": "lang-pair x 2^|langs| mask census join — both bounded",
+        "GLOBAL-WINDOW": "row_number over the distinct-language table "
+        "(|langs| rows)",
+    },
+    "q169_cusum_changepoint": {
+        "BNLJ": "day-mean scalar (1 row)",
+        "GLOBAL-WINDOW": "CUSUM prefix over the DAY domain (bounded by the "
+        "time range, not the data)",
+    },
+    "q108_mixture_allocation": {
+        "GLOBAL-WINDOW": "largest-remainder ranking over the strata table "
+        "(#strata rows)"
+    },
+    "q127_vocab_ids": {
+        "GLOBAL-WINDOW": "total-order ids over the AGGREGATED vocabulary "
+        "(10^4-10^6 rows at any corpus size; docstring-documented)"
+    },
+}
+
+
+def lint(name: str, plan: str) -> list[tuple[str, str]]:
+    findings = []
+    final = plan.split("== Initial Plan ==")[0]
+    if "CartesianProduct" in final:
+        findings.append(("CARTESIAN", "CartesianProduct node in final plan"))
+    if "BroadcastNestedLoopJoin" in final:
+        findings.append(("BNLJ", "BroadcastNestedLoopJoin in final plan"))
+    if re.search(r"\bBatchEvalPython\b", final):
+        findings.append(("ROW-UDF", "row-at-a-time Python UDF (BatchEvalPython)"))
+    if re.search(r"Window.*\n.*SinglePartition", final) or (
+        "Window" in final and "Exchange SinglePartition" in final
+    ):
+        findings.append(("GLOBAL-WINDOW", "window over Exchange SinglePartition"))
+    # global Sort not under a TakeOrderedAndProject / limit
+    if (
+        re.search(r"Exchange rangepartitioning", final)
+        and "TakeOrderedAndProject" not in final
+        and "write" not in name
+    ):
+        findings.append(
+            ("GLOBAL-SORT-NO-LIMIT", "range-partitioned global sort without top-k")
+        )
+    allowed = ALLOW.get(name, {})
+    return [(rule, msg) for rule, msg in findings if rule not in allowed]
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.001"
+    names = args[1:] if args and os.path.isdir(args[0]) else args
+    spark = get_spark("plan-lint", shuffle_partitions=4)
+    qs = all_queries()
+    if names:
+        qs = {k: v for k, v in qs.items() if k in names}
+    bad = 0
+    t0 = time.time()
+    for name, q in qs.items():
+        try:
+            plan = executed_plan(q.builder(spark, sf_dir))
+        except Exception as e:  # noqa: BLE001
+            print(f"{name:32s} ERROR {type(e).__name__}: {e}")
+            bad += 1
+            continue
+        findings = lint(name, plan)
+        if findings:
+            bad += 1
+            for rule, msg in findings:
+                print(f"{name:32s} {rule:20s} {msg}")
+    n = len(qs)
+    print(f"\n{'LINT CLEAN' if bad == 0 else f'{bad} queries flagged'} "
+          f"({n} plans, {time.time()-t0:.0f}s)")
+    sys.exit(1 if bad else 0)
+
+
+if __name__ == "__main__":
+    main()
