@@ -675,3 +675,100 @@ def q152_quantile_normalize(spark, sf_dir):
     return docs.join(F.broadcast(ranked), ["lang", "n_chars"]).select(
         "doc_id", "lang", F.col("n_chars").cast("bigint").alias("n_chars"), "pct"
     )
+
+
+_GC_SHINGLE = """
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           generate_series(1, len(ws) - 2),
+           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS sh
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+  WHERE len(ws) >= 3
+"""
+
+
+@register(
+    "q174_greedy_coverage",
+    tier="T2",
+    oracle=f"""
+WITH ds AS ({_GC_SHINGLE}),
+g1 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS gain FROM ds GROUP BY doc_id),
+p1 AS (SELECT doc_id, gain FROM g1 ORDER BY gain DESC, doc_id LIMIT 1),
+c1 AS (SELECT DISTINCT sh FROM ds WHERE doc_id IN (SELECT doc_id FROM p1)),
+g2 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS gain FROM ds
+       WHERE sh NOT IN (SELECT sh FROM c1)
+         AND doc_id NOT IN (SELECT doc_id FROM p1)
+       GROUP BY doc_id),
+p2 AS (SELECT doc_id, gain FROM g2 ORDER BY gain DESC, doc_id LIMIT 1),
+c2 AS (SELECT sh FROM c1
+       UNION SELECT sh FROM ds WHERE doc_id IN (SELECT doc_id FROM p2)),
+g3 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS gain FROM ds
+       WHERE sh NOT IN (SELECT sh FROM c2)
+         AND doc_id NOT IN (SELECT doc_id FROM p1)
+         AND doc_id NOT IN (SELECT doc_id FROM p2)
+       GROUP BY doc_id),
+p3 AS (SELECT doc_id, gain FROM g3 ORDER BY gain DESC, doc_id LIMIT 1)
+SELECT * FROM (
+  SELECT CAST(1 AS BIGINT) AS round, doc_id, gain FROM p1
+  UNION ALL SELECT 2, doc_id, gain FROM p2
+  UNION ALL SELECT 3, doc_id, gain FROM p3
+)
+""",
+)
+def q174_greedy_coverage(spark, sf_dir):
+    """Greedy max-coverage exemplar selection (3 rounds): pick the
+    document covering the most distinct 3-gram shingles, remove its
+    shingles from the universe, repeat — the facility-location /
+    submodular-selection primitive behind coverage-maximizing
+    training-data subset selection ("which K docs teach the most
+    vocabulary").  Output: (round, doc_id, marginal gain).
+
+    Iterative-algorithm pattern with NO driver-side reads: the round
+    count is fixed, so all three rounds compose as ONE lazy plan —
+    each round is a partial-agg gain count, a 1-row argmax
+    (``TakeOrderedAndProject``, deterministic doc_id tiebreak), and
+    two anti joins (drop the winner's shingles from the remaining
+    universe + the winner from candidacy).  The 1-row winner
+    broadcasts into both anti joins; the universe never re-shuffles —
+    the shingle-key partitioning from the first round's exchange is
+    reused by every later round's aggregation.  At 100 TB each round
+    is one pass over the (shrinking) uncovered relation; K passes for
+    K selections is the textbook lazy-greedy cost, and the 1/(1-1/e)
+    approximation guarantee is what makes 3 greedy rounds a defensible
+    stand-in for the NP-hard exact cover."""
+    docs = spread_small_scan(load_table(spark, sf_dir, "documents"))
+    sh = F.expr(
+        "array_distinct(transform(slice(ws, 1, greatest(size(ws) - 2, 0)),"
+        " (w, i) -> concat_ws(' ', slice(ws, i + 1, 3))))"
+    )
+    ds = (
+        docs.select("doc_id", F.split("text", " ").alias("ws"))
+        .filter(F.size("ws") >= 3)
+        .select("doc_id", F.explode(sh).alias("sh"))
+        # materialize the coverage universe ONCE: every round's gain
+        # count, winner-shingle lookup, and anti join re-reads it, and
+        # lazy greedy always caches the element-set relation up front
+        .localCheckpoint()
+    )
+    remaining = ds
+    picks = []
+    for rnd in (1, 2, 3):
+        gains = remaining.groupBy("doc_id").agg(
+            F.count(F.lit(1)).cast("bigint").alias("gain")
+        )
+        top = (
+            gains.orderBy(F.desc("gain"), F.asc("doc_id"))
+            .limit(1)
+            .select(F.lit(rnd).cast("bigint").alias("round"), "doc_id", "gain")
+        )
+        picks.append(top)
+        if rnd < 3:
+            won_sh = ds.join(
+                F.broadcast(top.select("doc_id")), "doc_id"
+            ).select("sh").distinct()
+            remaining = remaining.join(
+                F.broadcast(top.select("doc_id")), "doc_id", "left_anti"
+            ).join(F.broadcast(won_sh), "sh", "left_anti")
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out
