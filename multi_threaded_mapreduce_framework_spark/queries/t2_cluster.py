@@ -396,3 +396,79 @@ def q118_pagerank(spark, sf_dir, iters: int = PAGERANK_ITERS):
         .orderBy(F.desc("pr"), F.asc("doc_id"))
         .limit(20)
     )
+
+
+# Deterministic synthetic forest over the customer table: parent(c) =
+# 1 + ((61*c + 17) mod (c - 1)) for c >= 2 — strictly decreasing, so
+# every chain terminates at root 1; identical int64 arithmetic in both
+# engines (no overflow anywhere near the key domain).
+_PJ_PARENT_SQL = "1 + ((61 * c_custkey + 17) % (c_custkey - 1))"
+
+
+@register(
+    "q175_tree_depth_pointer_jumping",
+    tier="T2",
+    oracle=f"""
+WITH RECURSIVE p AS (
+  SELECT c_custkey AS c, CAST({_PJ_PARENT_SQL} AS BIGINT) AS parent
+  FROM customer WHERE c_custkey >= 2
+),
+walk AS (
+  SELECT c, parent AS anc, CAST(1 AS BIGINT) AS d FROM p
+  UNION ALL
+  SELECT w.c, p.parent, w.d + 1
+  FROM walk w JOIN p ON w.anc = p.c
+)
+SELECT c AS custkey, d AS depth FROM walk WHERE anc = 1
+UNION ALL
+SELECT c_custkey, CAST(0 AS BIGINT) FROM customer WHERE c_custkey <= 1
+""",
+)
+def q175_tree_depth_pointer_jumping(spark, sf_dir, rounds: int = 6):
+    """Depth of every node in a (deterministic, synthetic) parent
+    forest over the customer table, by POINTER JUMPING: each round
+    every node's ancestor pointer jumps to its ancestor's ancestor and
+    accumulates the skipped distance, so a depth-D chain resolves in
+    ceil(log2 D) rounds — the classic iterative-doubling technique for
+    linked structures in MapReduce/Pregel, and the third distributed
+    graph-iteration shape in this engine next to q94's O(diameter)
+    label propagation and q102's star contraction.
+
+    Each round is ONE equi self-join of the (node, jump, dist) state
+    on jump = node (shuffle on the join key; state rows never grow),
+    ``localCheckpoint``-ed to truncate lineage.  The root carries the
+    identity state (jump=1, dist=0), so converged nodes pass through
+    the join unchanged — no special-casing, and convergence is proven
+    by ONE scalar aggregate (count of non-root pointers) which raises
+    loudly rather than returning wrong depths if ``rounds`` were ever
+    too few for the forest's depth (6 rounds cover depth 64; the
+    random-decreasing forest's depth is ~ln n).  The oracle walks the
+    same chains with a recursive CTE."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    # roots (c < 2 — parent(c) is in [1, c-1], so 0 is never anyone's
+    # ancestor and every chain terminates at 1) carry the identity
+    # state (jump = self, dist = 0)
+    state = cust.selectExpr(
+        "c_custkey AS c",
+        f"CASE WHEN c_custkey >= 2 THEN CAST({_PJ_PARENT_SQL} AS BIGINT)"
+        " ELSE c_custkey END AS jump",
+        "CAST(CASE WHEN c_custkey >= 2 THEN 1 ELSE 0 END AS BIGINT) AS dist",
+    ).localCheckpoint()
+    for _ in range(rounds):
+        a, b = state.alias("a"), state.alias("b")
+        state = (
+            a.join(b, F.col("a.jump") == F.col("b.c"))
+            .select(
+                F.col("a.c").alias("c"),
+                F.col("b.jump").alias("jump"),
+                (F.col("a.dist") + F.col("b.dist")).alias("dist"),
+            )
+            .localCheckpoint()
+        )
+    unresolved = state.filter(F.col("jump") >= 2).count()
+    if unresolved:
+        raise RuntimeError(
+            f"q175 pointer jumping left {unresolved} chains unresolved after "
+            f"{rounds} rounds; raise rounds (covers depth 2^rounds)"
+        )
+    return state.select(F.col("c").alias("custkey"), F.col("dist").alias("depth"))
