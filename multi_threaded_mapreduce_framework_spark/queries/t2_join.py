@@ -211,3 +211,90 @@ def q124_asof_pandas(spark, sf_dir):
         "user_id",
         F.round(F.col("gap_us") / F.lit(1000000.0), 1).alias("gap_s"),
     )
+
+
+@register(
+    "q176_interval_sweep_concurrency",
+    tier="T2",
+    oracle="""
+WITH iv AS (
+  SELECT CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS s,
+         CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+           + 60 + ((event_id % 900) * 61) % 900 AS e
+  FROM events
+),
+pts AS (
+  SELECT s AS t, CAST(1 AS BIGINT) AS delta FROM iv
+  UNION ALL
+  SELECT e, CAST(-1 AS BIGINT) FROM iv
+),
+run AS (
+  SELECT t, delta,
+         sum(delta) OVER (ORDER BY t, delta
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS conc
+  FROM pts
+),
+m AS (SELECT max(conc) AS mx FROM run)
+SELECT CAST(m.mx AS BIGINT) AS max_concurrent,
+       CAST(min(r.t) AS BIGINT) AS at_s,
+       (SELECT CAST(count(*) AS BIGINT) FROM iv) AS n_intervals
+FROM run r, m WHERE r.conc = m.mx GROUP BY m.mx
+""",
+)
+def q176_interval_sweep_concurrency(spark, sf_dir):
+    """Peak concurrency of activity intervals (each event opens an
+    interval of 60-1020 s — q158's overflow-safe per-event duration
+    law) by SWEEP LINE: +1 at each start, -1 at each end (half-open
+    [s, e): ends sort before coincident starts), running-sum the
+    ordered deltas, report the maximum and the earliest instant
+    attaining it — the "peak simultaneous sessions" statistic capacity
+    planning runs.
+
+    Scale shape: the running sum over (t, delta) is a TOTAL-ORDER
+    prefix scan — as one window it is a single-partition corpus pass.
+    Here it is the q158/q139 two-level decomposition: points bucket by
+    HOUR, each bucket prefix-sums internally (window partitioned by
+    bucket), per-bucket TOTALS (one row per hour — bounded by the time
+    range, not by events) take the tiny cumulative window, and
+    in-bucket + prior-bucket offsets recombine.  The peak + earliest
+    argmax is then one partial-agg pass (max, then conditional min) —
+    no sort of the corpus anywhere.  Integer-second arithmetic end to
+    end (FIXTURES.md discipline)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr("unix_seconds(date_trunc('second', ts))").alias("s"),
+        F.expr(
+            "unix_seconds(date_trunc('second', ts))"
+            " + 60 + ((event_id % 900) * 61) % 900"
+        ).alias("e"),
+    )
+    pts = ev.select(F.col("s").alias("t"), F.lit(1).cast("bigint").alias("delta")).union(
+        ev.select(F.col("e").alias("t"), F.lit(-1).cast("bigint").alias("delta"))
+    )
+    pts = pts.withColumn("bkt", F.expr("t div 3600"))
+    w_in = (
+        Window.partitionBy("bkt")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = pts.withColumn("run_in", F.sum("delta").over(w_in))
+    btot = pts.groupBy("bkt").agg(F.sum("delta").alias("bsum"))
+    w_b = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    prev = btot.select(
+        "bkt", F.coalesce(F.sum("bsum").over(w_b), F.lit(0)).alias("pre_b")
+    )
+    run = local.join(F.broadcast(prev), "bkt").withColumn(
+        "conc", F.col("run_in") + F.col("pre_b")
+    )
+    n_iv = ev.agg(F.count(F.lit(1)).cast("bigint").alias("n_intervals"))
+    mx = run.agg(F.max("conc").alias("mx"))
+    return (
+        run.join(F.broadcast(mx))
+        .filter(F.col("conc") == F.col("mx"))
+        .agg(
+            F.max("mx").cast("bigint").alias("max_concurrent"),
+            F.min("t").cast("bigint").alias("at_s"),
+        )
+        .join(F.broadcast(n_iv))
+        .select("max_concurrent", "at_s", "n_intervals")
+    )

@@ -137,6 +137,12 @@ ALLOW: dict[str, dict[str, str]] = {
         "GLOBAL-WINDOW": "total-order ids over the AGGREGATED vocabulary "
         "(10^4-10^6 rows at any corpus size; docstring-documented)"
     },
+    "q176_interval_sweep_concurrency": {
+        "BNLJ": "max-concurrency + interval-count scalars (1 row each)",
+        "GLOBAL-WINDOW": "cumulative window over per-hour bucket totals "
+        "(bounded by the time range); the point stream rides "
+        "bucket-partitioned windows",
+    },
 }
 
 
