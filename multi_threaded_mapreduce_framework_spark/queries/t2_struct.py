@@ -1457,3 +1457,111 @@ def q173_multimodal_video(spark, sf_dir):
             F.round(F.avg("mean_intensity"), 2).alias("avg_intensity"),
         )
     )
+
+
+# Portable HLL constants: 3-round LCG mix mod the Mersenne prime 2^61-1
+# (exact in DECIMAL(20,0)/HUGEINT in the two engines), m = 64 buckets,
+# alpha_64 * m^2 * 1000 * 2^56 as the exact integer numerator.
+_HLL_M = 2305843009213693951
+_HLL_A, _HLL_C = 1220703125, 12345
+_HLL_NUM = 2904064 * 2**56
+_HLL_EMPTY = 72057594037927936  # 2^56 = an empty register's scaled term
+
+
+@register(
+    "q177_portable_hll",
+    tier="T2",
+    oracle=f"""
+WITH h AS (
+  SELECT event_type,
+         CAST(({_HLL_A} * (({_HLL_A} * (({_HLL_A} * CAST(user_id AS HUGEINT)
+           + {_HLL_C}) % {_HLL_M}) + {_HLL_C}) % {_HLL_M}) + {_HLL_C})
+           % {_HLL_M} AS BIGINT) AS h,
+         user_id
+  FROM events),
+t AS (
+  SELECT event_type, user_id, h % 64 AS bucket,
+         CASE WHEN h // 64 = 0 THEN CAST(1 AS BIGINT)
+              ELSE CAST(1 AS BIGINT) << length(bin(h // 64)) END AS term
+  FROM h),
+reg AS (SELECT event_type, bucket, min(term) AS mt FROM t GROUP BY 1, 2),
+agg AS (SELECT event_type, sum(mt) AS s, count(*) AS nb FROM reg GROUP BY 1),
+ex AS (SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+       FROM events GROUP BY 1),
+pre AS (SELECT event_type,
+               CAST(s + (64 - nb) * {_HLL_EMPTY} AS BIGINT) AS sum_term,
+               CAST(64 - nb AS BIGINT) AS zero_buckets FROM agg)
+SELECT p.event_type,
+       CAST((CAST('{_HLL_NUM}' AS HUGEINT)
+             - CAST('{_HLL_NUM}' AS HUGEINT)
+               % (1000 * CAST(sum_term AS HUGEINT)))
+            // (1000 * CAST(sum_term AS HUGEINT)) AS BIGINT) AS hll_est,
+       e.n_exact, p.zero_buckets
+FROM pre p JOIN ex e ON e.event_type = p.event_type
+""",
+)
+def q177_portable_hll(spark, sf_dir):
+    """HyperLogLog distinct-user estimate per event type, from scratch,
+    with CROSS-ENGINE EXACT parity — the register values AND the final
+    estimate hash-match DuckDB, upgrading the sketch tier beyond q55's
+    rows-only contract.  Emitted next to the exact countDistinct so the
+    query is self-evaluating (m = 64 -> ~13% standard error).
+
+    Every step is integer-exact by construction: a 3-round LCG mix mod
+    the Mersenne prime 2^61-1 (computed in DECIMAL(20,0) here /
+    HUGEINT in the oracle — no int64 overflow anywhere, no engine
+    float), rho via the exact bit length (``length(bin(w))`` — both
+    engines' ``bin`` drops leading zeros identically), registers scaled
+    as ``2^(56 - rho)`` so the harmonic sum is a plain BIGINT sum, and
+    the alpha_m * m^2 / sum estimate via exact mod-subtract division in
+    DECIMAL(38,0) (``(N - N % d) / d`` has zero remainder, so decimal
+    division cannot round).
+
+    Scale shape: the register layer is ONE partial-agg shuffle over
+    (event_type, bucket <= 64) — min(term) combines map-side, so the
+    shuffle carries keys x 64 rows regardless of event volume; registers
+    OR-merge-style compose across stores/days exactly like the q153
+    bitmap layer but in 64 x 8 bytes per key total.  (The exact
+    countDistinct column is the self-evaluation baseline; a production
+    run at 100 TB drops it and keeps only the sketch pass.)"""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    x = "CAST(user_id AS DECIMAL(20,0))"
+    for _ in range(3):
+        x = (
+            f"CAST(({_HLL_A} * {x} + {_HLL_C}) % {_HLL_M}"
+            " AS DECIMAL(20,0))"
+        )
+    t = ev.selectExpr(
+        "event_type",
+        "user_id",
+        f"CAST({x} AS BIGINT) AS h",
+    ).selectExpr(
+        "event_type",
+        "user_id",
+        "pmod(h, 64) AS bucket",
+        "CASE WHEN h div 64 = 0 THEN CAST(1 AS BIGINT)"
+        " ELSE shiftleft(CAST(1 AS BIGINT), length(bin(h div 64))) END AS term",
+    )
+    reg = t.groupBy("event_type", "bucket").agg(F.min("term").alias("mt"))
+    agg = reg.groupBy("event_type").agg(
+        F.sum("mt").alias("s"), F.count(F.lit(1)).alias("nb")
+    )
+    pre = agg.selectExpr(
+        "event_type",
+        f"CAST(s + (64 - nb) * CAST({_HLL_EMPTY} AS BIGINT) AS BIGINT) AS sum_term",
+        "CAST(64 - nb AS BIGINT) AS zero_buckets",
+    )
+    den = "(CAST(1000 AS DECIMAL(38,0)) * CAST(sum_term AS DECIMAL(38,0)))"
+    est = pre.selectExpr(
+        "event_type",
+        f"CAST((CAST('{_HLL_NUM}' AS DECIMAL(38,0))"
+        f" - CAST('{_HLL_NUM}' AS DECIMAL(38,0)) % {den}) / {den}"
+        " AS BIGINT) AS hll_est",
+        "zero_buckets",
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_exact")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type", "hll_est", "n_exact", "zero_buckets"
+    )
