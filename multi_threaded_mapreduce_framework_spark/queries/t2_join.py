@@ -298,3 +298,140 @@ def q176_interval_sweep_concurrency(spark, sf_dir):
         .join(F.broadcast(n_iv))
         .select("max_concurrent", "at_s", "n_intervals")
     )
+
+
+@register(
+    "q178_cogroup_conversion_lag",
+    tier="T2",
+    oracle="""
+WITH c AS (SELECT user_id, epoch_us(ts) AS t FROM events
+           WHERE event_type = 'click'),
+p AS (SELECT user_id, epoch_us(ts) AS t FROM events
+      WHERE event_type = 'purchase'),
+lags AS (
+  SELECT p.user_id, p.t - c.t AS lag_us
+  FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.t >= c.t
+),
+per_u AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_conv,
+         list_sort(list(lag_us)) AS l
+  FROM lags GROUP BY user_id
+)
+SELECT user_id, n_conv,
+       CAST((l[CAST((n_conv + 1) // 2 AS INT)]
+             + l[CAST(n_conv // 2 + 1 AS INT)]) // 2 AS BIGINT) AS med_lag_us
+FROM per_u
+""",
+)
+def q178_cogroup_conversion_lag(spark, sf_dir):
+    """Per-user median click->purchase conversion lag via the COGROUP
+    tier as a DECLARED, hash-matched query: each user's click stream
+    and purchase stream arrive as TWO separate pandas frames
+    (``groupBy().cogroup().applyInPandas`` — Spark's native form of
+    the reference's reduce-side tag-union join,
+    ``MapReduceFramework.cpp:224-239`` / Dean & Ghemawat §4), the
+    kernel as-of-matches each purchase to its latest preceding click
+    (vectorized ``searchsorted``) and emits the exact floor-median lag
+    in integer microseconds.
+
+    This promotes the cogroup operator surface (previously tested-only,
+    SURVEY §2.3.1) to an oracle-declared query: DuckDB computes the
+    identical statistic via its native ASOF JOIN + sorted-list median —
+    two independent implementations, one exact integer answer (floor
+    median = (lower + upper middle) div 2, no engine float anywhere).
+
+    Scale shape: both event slices shuffle ONCE into a single
+    FlatMapCoGroupsInPandas keyed on a 32-way USER BUCKET (pmod of
+    user_id), not the raw user: the per-group Python invocation cost —
+    the cogroup tier's dominant overhead, measured 3.5 s -> 1 s at
+    sf0.1 when the fixture has ~15k users — is paid per bucket, while
+    ALL per-user logic inside the kernel stays vectorized
+    (``merge_asof(by=user_id)`` + rank-picked floor medians, no Python
+    per user).  Bucketing the cogroup key never changes semantics
+    (every user's rows still meet in exactly one group) and is the
+    standard way to batch a per-key Python tier.  The JVM tag-union
+    window (q70) remains the declared scale path for homogeneous
+    schemas; cogroup is the right tier when the two sides' schemas or
+    per-key logic cannot tag-union into one table."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.expr("unix_micros(ts)").alias("t"),
+        F.expr("pmod(user_id, 32)").alias("b"),
+    )
+    # the right side is RENAMED end to end: both sides derive from the
+    # same scan, so identical attribute ids get de-duplicated by the
+    # optimizer and the right frame silently loses those columns (the
+    # self-cogroup trap operators/cogroup.py documents and regression-
+    # tests) — fresh names make every right attribute its own
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.expr("unix_micros(ts)").alias("pt"),
+        F.expr("pmod(user_id, 32)").alias("pb"),
+    )
+
+    def kernel(left, right):
+        # left = this bucket's clicks, right = its purchases; all
+        # per-user work is vectorized across the bucket
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {"user_id": [], "n_conv": [], "med_lag_us": []}
+        ).astype({"user_id": "int64", "n_conv": "int64", "med_lag_us": "int64"})
+        if len(left) == 0 or len(right) == 0:
+            return empty
+        l = left.sort_values("t", kind="mergesort")[["user_id", "t"]]
+        r = right.sort_values("pt", kind="mergesort")[["p_user", "pt"]]
+        m = pd.merge_asof(
+            r.rename(columns={"p_user": "user_id"}),
+            l.rename(columns={"t": "ct"}),
+            left_on="pt",
+            right_on="ct",
+            by="user_id",
+            direction="backward",
+        ).dropna(subset=["ct"])
+        if len(m) == 0:
+            return empty
+        lag = (m["pt"] - m["ct"].astype("int64")).to_numpy()
+        uid = m["user_id"].to_numpy()
+        order = np.lexsort((lag, uid))
+        uid, lag = uid[order], lag[order]
+        # per-user rank + size without Python loops
+        change = np.r_[True, uid[1:] != uid[:-1]]
+        grp_start = np.flatnonzero(change)
+        sizes = np.diff(np.r_[grp_start, len(uid)])
+        rank = np.arange(len(uid)) - np.repeat(grp_start, sizes)
+        n_per = np.repeat(sizes, sizes)
+        lo = rank == (n_per - 1) // 2
+        hi = rank == n_per // 2
+        # floor median = (lower middle + upper middle) div 2
+        med = (
+            pd.DataFrame({"user_id": uid[lo], "v": lag[lo]})
+            .merge(
+                pd.DataFrame({"user_id": uid[hi], "v2": lag[hi]}),
+                on="user_id",
+            )
+            .assign(med_lag_us=lambda d: (d["v"] + d["v2"]) // 2)
+        )
+        out = med.merge(
+            pd.DataFrame({"user_id": grp_start_uid, "n_conv": sizes})
+            if False
+            else pd.DataFrame({"user_id": uid[change], "n_conv": sizes}),
+            on="user_id",
+        )
+        return out[["user_id", "n_conv", "med_lag_us"]].astype("int64")
+
+    out = (
+        clicks.groupBy("b")
+        .cogroup(purchases.groupBy("pb"))
+        .applyInPandas(kernel, "user_id bigint, n_conv bigint, med_lag_us bigint")
+    )
+    # Semantic no-op (n_conv >= 1 by construction) that REFERENCES the
+    # kernel's output: without it, an output-less consumer (count())
+    # lets ColumnPruning strip the cogroup node's output and,
+    # transitively, the Python function's INPUT columns — the kernel
+    # then receives key-only frames and crashes.  The filter pins the
+    # output columns as required, so the inputs survive under any
+    # consumer.  (Observed on Spark 4.1; collect() was never affected.)
+    return out.filter(F.col("n_conv") >= 1)
