@@ -159,3 +159,67 @@ def q34_fingerprint(spark, sf_dir):
             F.countDistinct("fingerprint").alias("distinct_fp"),
         )
     )
+
+
+_PRETOK_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+"
+
+
+@register(
+    "q179_regex_pretokenize",
+    tier="T2",
+    oracle=f"""
+WITH t AS (
+  SELECT lang, unnest(regexp_extract_all(text, '{_PRETOK_RE}')) AS tok
+  FROM documents),
+c AS (
+  SELECT lang,
+         CASE WHEN regexp_matches(tok, '^[A-Za-z]') THEN 'word'
+              WHEN regexp_matches(tok, '^[0-9]') THEN 'number'
+              ELSE 'punct' END AS cls,
+         tok
+  FROM t)
+SELECT lang, cls,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct,
+       CAST(sum(length(tok)) AS BIGINT) AS n_chars
+FROM c GROUP BY lang, cls
+""",
+)
+def q179_regex_pretokenize(spark, sf_dir):
+    """BPE-style regex PRE-tokenization census: split every document
+    with the GPT-2-family pre-tokenizer shape (letter runs | digit
+    runs | punctuation runs — the ASCII-class core of the published
+    pattern, identical semantics under Java regex and RE2 so both
+    engines extract byte-identical token streams), then census token
+    count / distinct tokens / character mass per (lang, class).  This
+    is the statistic a tokenizer-training run computes FIRST (how much
+    of the corpus is words vs numbers vs punctuation, and how large
+    the pre-token vocabulary is) and complements q32's whitespace
+    tokens and q138's in-word BPE pair counts.
+
+    Scale shape: extraction is an in-row codegen'd regex (one corpus
+    scan, no Python); the only shuffle is the (lang, class, token)
+    partial agg for the distinct count — map-side combine collapses to
+    per-partition vocabularies first, so the shuffle carries vocabulary
+    rows, not token occurrences."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "lang",
+        F.explode(F.expr(f"regexp_extract_all(text, '{_PRETOK_RE}', 0)")).alias(
+            "tok"
+        ),
+    )
+    cls = (
+        F.when(F.col("tok").rlike("^[A-Za-z]"), F.lit("word"))
+        .when(F.col("tok").rlike("^[0-9]"), F.lit("number"))
+        .otherwise(F.lit("punct"))
+    )
+    return (
+        t.select("lang", cls.alias("cls"), "tok")
+        .groupBy("lang", "cls")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.countDistinct("tok").cast("bigint").alias("n_distinct"),
+            F.sum(F.length("tok")).cast("bigint").alias("n_chars"),
+        )
+    )
