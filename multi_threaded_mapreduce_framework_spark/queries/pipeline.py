@@ -223,3 +223,63 @@ def q179_regex_pretokenize(spark, sf_dir):
             F.sum(F.length("tok")).cast("bigint").alias("n_chars"),
         )
     )
+
+
+@register(
+    "q180_arrow_doc_stats",
+    tier="T2",
+    oracle="""
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars,
+       CAST(max(len(string_split(text, ' '))) AS BIGINT) AS max_tokens
+FROM documents GROUP BY lang
+""",
+)
+def q180_arrow_doc_stats(spark, sf_dir):
+    """Per-language document statistics with the per-doc pass computed
+    by a ``mapInArrow`` kernel — promoting the Arrow-native custom-op
+    tier (SURVEY §2.3.1, previously tested-only via
+    ``operators/cogroup.py::arrow_token_stats``) to an oracle-declared
+    query, completing the declared coverage of all three Python kernel
+    tiers (mapInPandas: q171-q173, cogroup: q178, mapInArrow: here).
+
+    The kernel never materializes pandas: batches stay Arrow
+    RecordBatches end to end and the token/char counting runs in
+    pyarrow.compute's C++ kernels (``split_pattern`` +
+    ``list_value_length`` + ``utf8_length`` — codepoint semantics,
+    matching both engines' ``length``).  The rollup stays JVM-side.
+
+    Scale shape: one corpus scan through the Arrow kernel (zero-copy
+    columnar hand-off, no shuffle), then a partial-agg rollup on the
+    tiny lang domain.  mapInArrow is the tier to reach for when the
+    kernel is Arrow-expressible or hands off zero-copy to numpy/C —
+    it skips the Arrow->pandas->Arrow conversion tax the pandas tiers
+    pay."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+
+    def kernel(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            toks = pc.split_pattern(batch.column("text"), " ")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("lang"),
+                    pc.cast(pc.list_value_length(toks), pa.int64()),
+                    pc.cast(pc.utf8_length(batch.column("text")), pa.int64()),
+                ],
+                names=["lang", "n_tokens", "n_chars"],
+            )
+
+    per_doc = docs.mapInArrow(
+        kernel, schema="lang string, n_tokens bigint, n_chars bigint"
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.max("n_tokens").cast("bigint").alias("max_tokens"),
+    )
