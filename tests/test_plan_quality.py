@@ -630,3 +630,42 @@ def test_q173_payload_never_shuffles(spark, sf_dir):
     assert plan.count("MapInPandas") == 2, plan
     between = plan[plan.index("MapInPandas") : plan.rindex("MapInPandas")]
     assert "Exchange" not in between, plan
+
+
+def test_plan_lint_rules_on_synthetic_plans():
+    """Pin tools/plan_lint.py's rule detection on hand-built plan
+    strings, independent of any real query: each antipattern string
+    must be caught, allowlisted rules must be suppressed, and a clean
+    plan must produce no findings."""
+    import importlib
+    import sys
+
+    sys.path.insert(0, "tools") if "tools" not in sys.path else None
+    plan_lint = importlib.import_module("tools.plan_lint")
+
+    clean = "HashAggregate\n+- Exchange hashpartitioning(k, 4)\n+- Scan parquet"
+    assert plan_lint.lint("qX", clean) == []
+    cartesian = "Project\n+- CartesianProduct\n+- Scan parquet"
+    assert [r for r, _ in plan_lint.lint("qX", cartesian)] == ["CARTESIAN"]
+    bnlj = "Project\n+- BroadcastNestedLoopJoin BuildRight\n+- Scan"
+    assert [r for r, _ in plan_lint.lint("qX", bnlj)] == ["BNLJ"]
+    # allowlisted name suppresses exactly that rule
+    assert plan_lint.lint("q47_scalar_subquery", bnlj) == []
+    rowudf = "Project\n+- BatchEvalPython [f(x)]\n+- Scan"
+    assert [r for r, _ in plan_lint.lint("qX", rowudf)] == ["ROW-UDF"]
+    arrowudf = "Project\n+- ArrowEvalPython [f(x)]\n+- Scan"
+    assert plan_lint.lint("qX", arrowudf) == []
+    gwindow = "Window [rank()]\n+- Sort\n+- Exchange SinglePartition\n+- Scan"
+    assert [r for r, _ in plan_lint.lint("qX", gwindow)] == ["GLOBAL-WINDOW"]
+    assert plan_lint.lint("q49_ntile", gwindow) == []
+    # findings only count in the FINAL AQE plan, not the initial one
+    initial_only = clean + "\n== Initial Plan ==\nCartesianProduct"
+    assert plan_lint.lint("qX", initial_only) == []
+    # every allowlist entry names a registered query and a known rule
+    from multi_threaded_mapreduce_framework_spark.queries import all_queries
+
+    reg = set(all_queries())
+    rules = {"CARTESIAN", "BNLJ", "ROW-UDF", "GLOBAL-WINDOW", "GLOBAL-SORT-NO-LIMIT"}
+    for name, entry in plan_lint.ALLOW.items():
+        assert name in reg, f"allowlist entry for unregistered query {name}"
+        assert set(entry) <= rules, (name, entry)
