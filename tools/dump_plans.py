@@ -54,6 +54,12 @@ SHOWCASE = {
     "q156_topk_pushdown": "MapInPandas sits BELOW the single Exchange: the partial top-k folds each scan partition to groups x k candidate rows, and only those shuffle into the exact ranking window.",
     "q158_watermark_replay": "the prefix max is two windows — one hash-partitioned by arrival-hour bucket, one SinglePartition over the bucket table (rows = hours, not events) — recombined with greatest() above a BroadcastHashJoin.",
     "q160_lang_overlap": "the vocabulary shuffles exactly twice (distinct, then per-token mask bit_or); everything pairwise runs over the mask census and lang-bit table, both BroadcastNestedLoopJoin sides bounded by 2^|langs|.",
+    "q172_multimodal_image": "THREE chained MapInPandas (synth -> resize -> decode) with no Exchange between them — payload bytes live and die inside the scan stage; only feature scalars reach the rollup Exchange.",
+    "q174_greedy_coverage": "three greedy rounds as ONE lazy plan: per-round partial-agg gain counts, a 1-row TakeOrderedAndProject argmax, and broadcast anti joins shrinking the uncovered universe — no driver read anywhere.",
+    "q176_interval_sweep_concurrency": "the sweep's running sum is two windows — hash-partitioned by hour bucket + SinglePartition over the bucket-total table (rows = hours) — and the peak/argmax is a partial-agg pass over the recombined stream.",
+    "q177_portable_hll": "the register layer is one partial-agg Exchange carrying (event_type, bucket<=64) min-rows; the estimate math is pure decimal projection above a 64-row-per-key aggregate.",
+    "q178_cogroup_conversion_lag": "both event slices shuffle once into a single FlatMapCoGroupsInPandas keyed on the 32-way user bucket; no join node — the as-of matching happens inside the Arrow-batched kernel.",
+    "q180_arrow_doc_stats": "a PythonMapInArrow node directly over the scan (no pandas conversion, no Exchange below it); the lang rollup is the only shuffle.",
 }
 
 HEADER = """# PLANS — physical plans of representative queries
