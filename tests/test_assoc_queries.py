@@ -171,3 +171,36 @@ def test_q150_orientation_counts_each_triangle_once(spark, sf_dir):
     )
     assert row["n_triangles"] == naive
     assert row["n_edges"] == e.count()
+
+
+def test_shared_pair_caches_return_same_materialization(spark, sf_dir):
+    """The per-(SparkContext, sf_dir) materialized pair layers must be
+    built once and shared: repeated calls return the SAME checkpointed
+    DataFrame object, values equal the uncached builder, and distinct
+    sf_dirs get distinct entries."""
+    from multi_threaded_mapreduce_framework_spark.queries.t2_assoc import (
+        build_copurchase_pair_counts,
+        copurchase_pair_counts,
+    )
+    from multi_threaded_mapreduce_framework_spark.queries.t2_cluster import (
+        minhash_pairs,
+    )
+    from multi_threaded_mapreduce_framework_spark.queries.t2_dedup import (
+        q35_minhash_lsh,
+    )
+
+    a = copurchase_pair_counts(spark, sf_dir)
+    assert copurchase_pair_counts(spark, sf_dir) is a  # cache hit
+    want = {tuple(r) for r in build_copurchase_pair_counts(spark, sf_dir).collect()}
+    assert {tuple(r) for r in a.collect()} == want
+
+    p = minhash_pairs(spark, sf_dir)
+    assert minhash_pairs(spark, sf_dir) is p
+    want_pairs = {
+        (r.d1, r.d2) for r in q35_minhash_lsh(spark, sf_dir).collect()
+    }
+    assert {(r.d1, r.d2) for r in p.collect()} == want_pairs
+    # a different fixture dir is a different cache entry
+    other = "/root/testdata/sf0.01"
+    if other != sf_dir:
+        assert minhash_pairs(spark, other) is not p
