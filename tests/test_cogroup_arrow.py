@@ -72,3 +72,16 @@ def test_arrow_token_stats_matches_jvm_expression(spark, sf_dir):
 def test_arrow_token_stats_empty_input(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").filter(F.lit(False))
     assert arrow_token_stats(docs).count() == 0
+
+
+def test_q178_survives_output_less_consumers(spark):
+    """Regression for the cogroup input-pruning trap: q178 must return
+    the same row count under count() (output-less consumer — the shape
+    that made Catalyst prune the un-renamed right side's columns out of
+    the Python function's input) and collect()."""
+    from multi_threaded_mapreduce_framework_spark.queries import all_queries
+
+    df = all_queries()["q178_cogroup_conversion_lag"].builder(
+        spark, "/root/testdata/sf0.001"
+    )
+    assert df.count() == len(df.collect())
