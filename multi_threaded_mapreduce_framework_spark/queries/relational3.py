@@ -114,3 +114,66 @@ def q81_vector_minmax(spark, sf_dir):
             F.round(F.min("_mn"), 4).alias("min_dim"),
         )
     )
+
+
+@register(
+    "q181_grouped_agg_iqr",
+    tier="T2",
+    oracle="""
+WITH v AS (
+  SELECT event_type,
+         CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS vm
+  FROM events)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(floor(quantile_cont(vm, 0.75) - quantile_cont(vm, 0.25))
+            AS BIGINT) AS iqr_micro
+FROM v GROUP BY event_type
+""",
+)
+def q181_grouped_agg_iqr(spark, sf_dir):
+    """Interquartile range of event values per type via a GROUPED_AGG
+    pandas UDF — promoting the custom-aggregate tier
+    (``functions/grouped_agg.py``, previously tested-only) to an
+    oracle-declared, hash-matched query; with q178 (cogroup) and q180
+    (mapInArrow) this declares every Python kernel surface the engine
+    ships.
+
+    Exactness discipline: the UDF aggregates integer MICRO-UNITS, and
+    linear quantile interpolation on int64 micro-values is EXACT double
+    arithmetic (the interpolation fraction is a quarter — two binary
+    digits — and the values sit far below 2^53), so
+    ``floor(q75 - q25)`` is bit-identical between pandas' linear
+    interpolation and DuckDB's ``quantile_cont`` (verified on both
+    conventions' even/odd cases).  The count rides a separate JVM
+    aggregate joined back on the group key — Spark refuses to mix
+    GROUPED_AGG with JVM aggregates in one ``agg()``, and both sides
+    hash-partition identically so the join adds no exchange.
+
+    Scale note (from the module docstring): GROUPED_AGG has NO map-side
+    partial aggregation — the whole group's values shuffle to one task,
+    exactly the reference's reduce contract
+    (``MapReduceClient.h:62-64``).  That is the declared trade: use it
+    for aggregates Spark lacks, on bounded groups, and prefer JVM
+    decomposable aggregates everywhere else (q43's percentile family is
+    the JVM path for this same statistic)."""
+    # the UDF comes from functions/grouped_agg.py, which deliberately
+    # avoids `from __future__ import annotations` (stringified
+    # annotations break GROUPED_AGG signature inference — this module
+    # has that import, so defining the UDF here would fail)
+    from multi_threaded_mapreduce_framework_spark.functions.grouped_agg import (
+        make_iqr_udf,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)").alias("vm"),
+    )
+    iqr = make_iqr_udf()
+    stats = ev.groupBy("event_type").agg(iqr("vm").alias("iqr_d"))
+    counts = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    return counts.join(stats, "event_type").select(
+        "event_type", "n", F.floor("iqr_d").cast("bigint").alias("iqr_micro")
+    )
