@@ -581,3 +581,66 @@ def q123_scd2_cdc(spark, sf_dir):
         F.lit(1).cast("bigint").alias("is_current"),
     )
     return v1.unionAll(v2)
+
+
+@register(
+    "q182_udtf_chunk_census",
+    tier="T2",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+c AS (
+  SELECT doc_id, lang, toks,
+         unnest(generate_series(0, greatest(len(toks) - 1, 0), 24)) AS start
+  FROM t),
+ch AS (
+  SELECT lang,
+         CAST(least(start + 32, len(toks)) - start AS INT) AS n_tokens
+  FROM c)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(CASE WHEN n_tokens = 32 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_full_chunks
+FROM ch GROUP BY lang
+""",
+)
+def q182_udtf_chunk_census(spark, sf_dir):
+    """Chunk census per language with the chunking performed by the
+    registered SQL UDTF (``functions/chunking.py::ChunkText``, Arrow-
+    optimized form, LATERAL join) — promoting the user-defined TABLE
+    function tier to an oracle-declared query.  The UDTF is the engine's
+    typed ``emit2`` analog (one input row -> many typed output rows,
+    ``MapReduceClient.h:57-59``), and with q178 (cogroup), q180
+    (mapInArrow), and q181 (GROUPED_AGG) every custom-operator surface
+    the engine ships is now exercised by a declared, hash-matched query.
+
+    q85 remains the declared scale path for chunking itself (pure
+    column algebra, zero Python); this query's role is the UDTF
+    surface: identical chunk law (32/24, q85's oracle family), consumed
+    through ``LATERAL chunk_text(...)`` in SQL and rolled up per lang
+    so the output is bounded while every chunk row still flows through
+    the UDTF.
+
+    Scale shape: the UDTF fan-out happens inside the scan stage
+    (Arrow-batched rows in, generated rows out, no shuffle below it);
+    the only exchange is the lang-domain partial agg."""
+    from multi_threaded_mapreduce_framework_spark.functions.chunking import (
+        register_chunk_udtf,
+    )
+
+    name = "mtmrf_chunk_text_q182"
+    register_chunk_udtf(spark, name=name, use_arrow=True)
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("mtmrf_q182_docs")
+    return spark.sql(
+        f"""
+        SELECT d.lang,
+               CAST(count(*) AS BIGINT) AS n_chunks,
+               CAST(sum(c.n_tokens) AS BIGINT) AS total_tokens,
+               CAST(sum(CASE WHEN c.n_tokens = 32 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_full_chunks
+        FROM mtmrf_q182_docs d, LATERAL {name}(d.text, 32, 24) c
+        GROUP BY d.lang
+        """
+    )
