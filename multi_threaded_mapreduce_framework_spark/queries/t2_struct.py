@@ -1466,6 +1466,11 @@ _HLL_M = 2305843009213693951
 _HLL_A, _HLL_C = 1220703125, 12345
 _HLL_NUM = 2904064 * 2**56
 _HLL_EMPTY = 72057594037927936  # 2^56 = an empty register's scaled term
+# ln(64/V) for V = 1..64, emitted as shortest-roundtrip literals into
+# BOTH SQL strings: the small-range (linear counting) correction then
+# uses the SAME parsed double in each engine, so even its float math
+# is bit-identical (multiply + floor of identical doubles).
+_HLL_LN = "4.1588830833596715, 3.4657359027997265, 3.060270794691562, 2.772588722239781, 2.5494451709255714, 2.367123614131617, 2.2129729343043585, 2.0794415416798357, 1.9616585060234524, 1.8562979903656263, 1.7609878105613013, 1.6739764335716716, 1.5939337258981352, 1.519825753744413, 1.4508328822574619, 1.3862943611198906, 1.3256697393034558, 1.2685113254635072, 1.2144441041932312, 1.1631508098056809, 1.1143606456362487, 1.067840630001356, 1.023388867430522, 0.9808292530117262, 0.9400072584914712, 0.9007865453381899, 0.8630462173553427, 0.8266785731844679, 0.7915872533731978, 0.7576857016975165, 0.7248958788745256, 0.6931471805599453, 0.6623755218931916, 0.6325225587435105, 0.6035350218702581, 0.5753641449035618, 0.5479651707154475, 0.5212969236332861, 0.4953214372300254, 0.47000362924573563, 0.4453110166553641, 0.4212134650763035, 0.39768296766610944, 0.3746934494414107, 0.35222059358935215, 0.3302416868705768, 0.30873548164961323, 0.28768207245178085, 0.26706278524904514, 0.2468600779315258, 0.22705745063534608, 0.20763936477824455, 0.18859116980754997, 0.16989903679539742, 0.15154989812720088, 0.13353139262452257, 0.11583181552512165, 0.09844007281325251, 0.0813456394539524, 0.06453852113757116, 0.04800921918636066, 0.03174869831458027, 0.015748356968139112, 0.0"
 
 
 @register(
@@ -1490,14 +1495,21 @@ ex AS (SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
        FROM events GROUP BY 1),
 pre AS (SELECT event_type,
                CAST(s + (64 - nb) * {_HLL_EMPTY} AS BIGINT) AS sum_term,
-               CAST(64 - nb AS BIGINT) AS zero_buckets FROM agg)
-SELECT p.event_type,
-       CAST((CAST('{_HLL_NUM}' AS HUGEINT)
-             - CAST('{_HLL_NUM}' AS HUGEINT)
-               % (1000 * CAST(sum_term AS HUGEINT)))
-            // (1000 * CAST(sum_term AS HUGEINT)) AS BIGINT) AS hll_est,
-       e.n_exact, p.zero_buckets
-FROM pre p JOIN ex e ON e.event_type = p.event_type
+               CAST(64 - nb AS BIGINT) AS zero_buckets FROM agg),
+raw AS (
+  SELECT event_type, sum_term, zero_buckets,
+         CAST((CAST('{_HLL_NUM}' AS HUGEINT)
+               - CAST('{_HLL_NUM}' AS HUGEINT)
+                 % (1000 * CAST(sum_term AS HUGEINT)))
+              // (1000 * CAST(sum_term AS HUGEINT)) AS BIGINT) AS raw_est
+  FROM pre)
+SELECT r.event_type,
+       CASE WHEN r.zero_buckets > 0 AND r.raw_est <= 160
+            THEN CAST(floor(64.0 * ([{_HLL_LN}])[CAST(r.zero_buckets AS INT)])
+                      AS BIGINT)
+            ELSE r.raw_est END AS hll_est,
+       e.n_exact, r.zero_buckets
+FROM raw r JOIN ex e ON e.event_type = r.event_type
 """,
 )
 def q177_portable_hll(spark, sf_dir):
@@ -1556,7 +1568,19 @@ def q177_portable_hll(spark, sf_dir):
         "event_type",
         f"CAST((CAST('{_HLL_NUM}' AS DECIMAL(38,0))"
         f" - CAST('{_HLL_NUM}' AS DECIMAL(38,0)) % {den}) / {den}"
-        " AS BIGINT) AS hll_est",
+        " AS BIGINT) AS raw_est",
+        "zero_buckets",
+    ).selectExpr(
+        "event_type",
+        # small-range (linear counting) correction — the standard HLL
+        # regime switch: with empty registers and a small raw estimate,
+        # m * ln(m/V) is far less biased.  The ln values come from the
+        # shared 64-entry literal table, so the correction's float
+        # multiply+floor is bit-identical across engines too.
+        "CASE WHEN zero_buckets > 0 AND raw_est <= 160"
+        f" THEN CAST(floor(64.0 * element_at(array({_HLL_LN}),"
+        " CAST(zero_buckets AS INT))) AS BIGINT)"
+        " ELSE raw_est END AS hll_est",
         "zero_buckets",
     )
     exact = ev.groupBy("event_type").agg(
