@@ -318,3 +318,40 @@ def test_bitmap_matview_compaction_keeps_words_mergeable(
     }
     base = {r[0]: r[1] for r in before}
     assert merged["purchase"] == base["purchase"] + 2
+
+
+def test_bitmap_matview_reader_with_stale_pointer_stays_exact(spark, tmp_path):
+    """Mirror of the cnt/sum stale-reader race test for the BITMAP
+    compactor: a reader that resolved the pointer before a compaction
+    published must still OR-merge the exact view from the old snapshot
+    + retained batch dirs."""
+    from multi_threaded_mapreduce_framework_spark.functions.bitmap import (
+        bitmap_layer,
+        count_distinct_words,
+        merge_words,
+    )
+    from multi_threaded_mapreduce_framework_spark.streaming.matview import (
+        _base_dir,
+        compact_bitmap_matview,
+        read_bitmap_matview,
+    )
+
+    state = str(tmp_path / "bstate")
+    ev = load_table(spark, SF, "events")
+    bitmap_layer(ev.limit(300), KEYS, "user_id").write.parquet(f"{state}/batch_id=0")
+    compact_bitmap_matview(spark, state, KEYS)
+    bitmap_layer(ev.limit(900), KEYS, "user_id").write.parquet(f"{state}/batch_id=1")
+    stale_base, stale_wm = _base_dir(state), _watermark(state)
+    truth = sorted(map(tuple, read_bitmap_matview(spark, state, KEYS).collect()))
+    compact_bitmap_matview(spark, state, KEYS)
+    assert os.path.isdir(stale_base) and stale_wm == 0
+    stale_words = (
+        spark.read.parquet(stale_base)
+        .select(*KEYS, "wi", "w")
+        .unionByName(
+            spark.read.parquet(f"{state}/batch_id=1").select(*KEYS, "wi", "w")
+        )
+    )
+    stale_view = count_distinct_words(merge_words(stale_words, KEYS), KEYS)
+    assert sorted(map(tuple, stale_view.collect())) == truth
+    assert sorted(map(tuple, read_bitmap_matview(spark, state, KEYS).collect())) == truth
