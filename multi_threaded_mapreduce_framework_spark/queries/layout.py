@@ -324,3 +324,83 @@ def q149_skew_audit(spark, sf_dir):
             F.expr("cnt * 10000 div total").cast("bigint").alias("share_bp"),
         )
     )
+
+
+@register(
+    "q183_quarantine_rows",
+    tier="T1",
+    oracle="""
+WITH j AS (
+  SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, l.l_extendedprice,
+         l.l_discount, l.l_shipdate, o.o_orderkey AS ok, o.o_orderdate
+  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey),
+r AS (
+  SELECT l_orderkey, l_linenumber,
+         list_sort(list_filter([
+           CASE WHEN l_orderkey IS NULL THEN 'null_orderkey' END,
+           CASE WHEN l_quantity <= 0 THEN 'nonpositive_quantity' END,
+           CASE WHEN l_extendedprice < 0 THEN 'negative_price' END,
+           CASE WHEN l_discount < 0 OR l_discount > 1
+                THEN 'discount_out_of_range' END,
+           CASE WHEN l_shipdate < o_orderdate THEN 'ship_before_order' END,
+           CASE WHEN ok IS NULL THEN 'orphan_orderkey' END
+         ], x -> x IS NOT NULL)) AS rl
+  FROM j)
+SELECT l_orderkey, l_linenumber,
+       array_to_string(rl, ',') AS reasons,
+       CAST(len(rl) AS BIGINT) AS n_violations
+FROM r WHERE len(rl) > 0
+""",
+)
+def q183_quarantine_rows(spark, sf_dir):
+    """Row-level QUARANTINE split — the enforcement half of q119's
+    audit: every lineitem row violating any declared quality check,
+    with the sorted list of reasons it failed (the rows an ingest
+    pipeline diverts to the quarantine sink while the clean remainder
+    publishes).  Single-table checks are in-row CASE expressions; the
+    two referential checks (ship-before-order, orphan key) ride ONE
+    shared left join to orders.
+
+    Scale shape: one fact scan + one fact-dim... fact-fact join (the
+    same single orderkey join q119's counting form uses), reasons
+    assembled in-row with array algebra — no per-check passes, no
+    Python, and the quarantine output is proportional to the violation
+    rate, not the table.  Deterministic: (l_orderkey, l_linenumber) is
+    the table's unique key and reasons are sorted."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+        "l_discount", "l_shipdate",
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("ok"), "o_orderdate"
+    )
+    j = li.join(o, li.l_orderkey == F.col("ok"), "left")
+    reasons = F.array_sort(
+        F.filter(
+            F.array(
+                F.when(F.col("l_orderkey").isNull(), F.lit("null_orderkey")),
+                F.when(F.col("l_quantity") <= 0, F.lit("nonpositive_quantity")),
+                F.when(F.col("l_extendedprice") < 0, F.lit("negative_price")),
+                F.when(
+                    (F.col("l_discount") < 0) | (F.col("l_discount") > 1),
+                    F.lit("discount_out_of_range"),
+                ),
+                F.when(
+                    F.col("l_shipdate") < F.col("o_orderdate"),
+                    F.lit("ship_before_order"),
+                ),
+                F.when(F.col("ok").isNull(), F.lit("orphan_orderkey")),
+            ),
+            lambda x: x.isNotNull(),
+        )
+    )
+    return (
+        j.select("l_orderkey", "l_linenumber", reasons.alias("rl"))
+        .filter(F.size("rl") > 0)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.array_join("rl", ",").alias("reasons"),
+            F.size("rl").cast("bigint").alias("n_violations"),
+        )
+    )
