@@ -98,3 +98,98 @@ def q29_knn_label(spark, sf_dir):
         .orderBy(F.desc("votes"), F.asc("label"))
         .limit(1)
     )
+
+
+PQ_BLOCKS = 8       # 64-dim vectors -> 8 subspaces of 8 dims
+PQ_CODES = 16       # centroids per subspace (codes 0..15)
+
+
+@register(
+    "q184_pq_codebook_census",
+    tier="T2",
+    oracle=f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+blocks AS (
+  SELECT vec_id, b, v[b*8 + 1 : b*8 + 8] AS sub
+  FROM e, unnest(generate_series(0, {PQ_BLOCKS - 1})) AS t(b)),
+cent AS (SELECT b, vec_id AS code, sub AS cs
+         FROM blocks WHERE vec_id < {PQ_CODES}),
+scored AS (
+  SELECT bl.vec_id, bl.b, c.code,
+         list_reduce(list_transform(generate_series(1, 8),
+             i -> (bl.sub[i] - c.cs[i]) * (bl.sub[i] - c.cs[i])),
+             (x, y) -> x + y) AS d2
+  FROM blocks bl JOIN cent c ON c.b = bl.b),
+asg AS (
+  SELECT b, code, d2 FROM (
+    SELECT b, code, d2,
+           row_number() OVER (PARTITION BY vec_id, b
+                              ORDER BY d2, code) AS rn
+    FROM scored) WHERE rn = 1)
+SELECT CAST(b AS INT) AS block, CAST(code AS BIGINT) AS code,
+       CAST(count(*) AS BIGINT) AS n_assigned,
+       round(min(d2), 4) AS min_d2, round(max(d2), 4) AS max_d2
+FROM asg GROUP BY b, code
+""",
+)
+def q184_pq_codebook_census(spark, sf_dir):
+    """Product-quantization encoding census — the remaining ANN
+    infrastructure tier next to LSH (q38/q120) and IVF (q39/q113):
+    each 64-dim vector splits into {PQ_BLOCKS} 8-dim subvectors, each
+    subvector is assigned its nearest codebook entry (codes = the
+    first 16 vectors' corresponding slices — the deterministic
+    stand-in for per-subspace k-means, q39's convention), and the
+    query reports code popularity + quantization error spread per
+    (block, code).  This is the layout statistic a PQ index build
+    inspects for dead/overloaded codes before committing a codebook.
+
+    Exactness discipline: squared L2 per subspace via an EXPLICIT
+    left-to-right fold (``aggregate``/``list_reduce`` over zip
+    products) in BOTH engines — never the engines' built-in distance
+    functions, whose summation order (SIMD/pairwise) may differ by
+    ULPs and flip near-tied argmins; argmin itself is the exact
+    ``min(struct(d2, code))``, ties broken by code in both.
+
+    Scale shape: the codebook ({PQ_BLOCKS} x {PQ_CODES} tiny rows)
+    broadcasts; block expansion is in-row slicing; assignment is the
+    map-side min-struct aggregate on (vec_id, block) — one shuffle of
+    code-sized rows, never vector payloads; the census rollup is
+    domain-bounded (blocks x codes rows)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    blocks = emb.select(
+        "vec_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {PQ_BLOCKS - 1}),"
+                " b -> struct(b AS b, slice(v, b * 8 + 1, 8) AS sub))"
+            )
+        ).alias("bs"),
+    ).select("vec_id", F.col("bs.b").alias("b"), F.col("bs.sub").alias("sub"))
+    cent = (
+        blocks.filter(F.col("vec_id") < PQ_CODES)
+        .select(F.col("b").alias("cb"), F.col("vec_id").alias("code"),
+                F.col("sub").alias("cs"))
+    )
+    d2 = F.expr(
+        "aggregate(zip_with(sub, cs, (x, y) -> (x - y) * (x - y)),"
+        " CAST(0.0 AS DOUBLE), (acc, z) -> acc + z)"
+    )
+    scored = blocks.join(F.broadcast(cent), F.col("b") == F.col("cb")).select(
+        "vec_id", "b", "code", d2.alias("d2")
+    )
+    asg = (
+        scored.groupBy("vec_id", "b")
+        .agg(F.min(F.struct("d2", "code")).alias("m"))
+        .select("b", F.col("m.code").alias("code"), F.col("m.d2").alias("d2"))
+    )
+    return asg.groupBy("b", "code").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_assigned"),
+        F.round(F.min("d2"), 4).alias("min_d2"),
+        F.round(F.max("d2"), 4).alias("max_d2"),
+    ).select(
+        F.col("b").cast("int").alias("block"),
+        F.col("code").cast("bigint").alias("code"),
+        "n_assigned", "min_d2", "max_d2",
+    )
