@@ -266,3 +266,81 @@ def q69_regr_slope(spark, sf_dir):
         F.round(F.regr_avgy(F.col("value"), x), 3).alias("avg_value"),
         F.regr_count(F.col("value"), x).alias("n"),
     )
+
+
+@register(
+    "q185_three_step_funnel",
+    tier="T2",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_id, event_type, ts,
+         epoch_us(ts) AS us
+  FROM events),
+clicks AS (SELECT * FROM e WHERE event_type = 'click'),
+matched AS (
+  SELECT c.user_id, c.event_id, CAST(c.ts AS DATE) AS day
+  FROM clicks c
+  WHERE EXISTS (
+    SELECT 1 FROM e v
+    WHERE v.user_id = c.user_id AND v.event_type = 'view'
+      AND (v.us > c.us OR (v.us = c.us AND v.event_id > c.event_id))
+      AND EXISTS (
+        SELECT 1 FROM e p
+        WHERE p.user_id = v.user_id AND p.event_type = 'purchase'
+          AND (p.us > v.us OR (p.us = v.us AND p.event_id > v.event_id)))))
+SELECT CAST(day AS VARCHAR) AS day,
+       CAST(count(*) AS BIGINT) AS n_matched_clicks,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM matched GROUP BY day
+""",
+)
+def q185_three_step_funnel(spark, sf_dir):
+    """Three-step ORDERED sequence match — click, then a later view,
+    then a later purchase, per user (the MATCH_RECOGNIZE /
+    sequential-pattern shape Spark has no built-in for), reported as
+    matched clicks + converting users per click-day.
+
+    The doubly-nested EXISTS of the oracle becomes TWO chained
+    reverse-running-min windows over ONE per-user pass: for every row,
+    ``np`` = the earliest later purchase time; then ``mv`` = the
+    earliest later VIEW that itself has a later purchase (min over
+    following views of their np-tagged position) — a click matches iff
+    that second minimum exists.  Order is the total (ts, event_id)
+    order, so ties are deterministic and both engines agree exactly.
+
+    Scale shape: both windows and the final day rollup ride ONE
+    user_id shuffle (windows share the partition ordering; q105's
+    funnel discipline) — the oracle's correlated double-EXISTS would
+    be two self-joins of the event table; here no join node exists at
+    all.  Generalizes to K steps as K-1 chained windows over the same
+    single shuffle."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts",
+        F.expr("unix_micros(ts)").alias("us"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    # earliest later purchase position (us, event_id) per row
+    np_ = F.min(
+        F.when(F.col("event_type") == "purchase", F.struct("us", "event_id"))
+    ).over(w)
+    step2 = ev.withColumn("np", np_)
+    # earliest later view THAT CONVERTS (its own np is non-null)
+    mv = F.min(
+        F.when(
+            (F.col("event_type") == "view") & F.col("np").isNotNull(),
+            F.struct("us", "event_id"),
+        )
+    ).over(w)
+    matched = (
+        step2.withColumn("mv", mv)
+        .filter((F.col("event_type") == "click") & F.col("mv").isNotNull())
+        .select("user_id", F.expr("CAST(CAST(ts AS DATE) AS STRING)").alias("day"))
+    )
+    return matched.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_matched_clicks"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+    )
