@@ -124,15 +124,15 @@ _DRIVER_PRIORITY = (
     "q110_unpivot",
     # --- new in round 5: q172 (the VERDICT r04 item-3 image query)
     #     takes the one sanctioned debut slot; later round-5 queries
-    #     (q173-q182) yield their slot to stale retirement and follow
+    #     (q173-q185) yield their slot to stale retirement and follow
     #     in registration order after this list.  End-of-round-5 state:
-    #     all 182 registered queries re-proven green against their
+    #     all 185 registered queries re-proven green against their
     #     oracles at BOTH sf0.01 and sf0.1 via tools/check_oracle.py
     #     (ALL OK; the multimodal trio rows-only by contract),
     #     streaming surface 12 OK + 1 env-skip via
-    #     tools/check_streaming.py, plan lint clean, pytest 598 passed
-    #     + 1 env-skip.  Round-6 window plan: lead with the q173-q182
-    #     debuts (10), then the rest of the r01 band (q29-q49 + q67,
+    #     tools/check_streaming.py, plan lint clean, pytest 604 passed
+    #     + 1 env-skip.  Round-6 window plan: lead with the q173-q185
+    #     debuts (13), then the rest of the r01 band (q29-q49 + q67,
     #     ~22 — the r5 window tail reached q25-q28), then the r03 band
     #     (q76-q85, q88, q56, q111-q126, q01-q22) in staleness
     #     order. ---
