@@ -667,6 +667,11 @@ def sample_frame_features(df: DataFrame, every_ms: int = 500) -> DataFrame:
                     offsets.append(pos)
                     pos = nxt
                 n_frames = len(offsets)
+                if n_frames == 0:
+                    # Empty payload: no frames to sample.  Skip the row
+                    # instead of letting offsets[-1] raise an opaque
+                    # IndexError inside the executor.
+                    continue
                 for k, ts in enumerate(range(0, duration, every_ms)):
                     f = min(ts * n_frames // max(duration, 1), n_frames - 1)
                     w, h, px, _ = _parse_ppm_at(raw, offsets[f])

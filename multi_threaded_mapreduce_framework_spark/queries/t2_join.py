@@ -415,9 +415,7 @@ def q178_cogroup_conversion_lag(spark, sf_dir):
             .assign(med_lag_us=lambda d: (d["v"] + d["v2"]) // 2)
         )
         out = med.merge(
-            pd.DataFrame({"user_id": grp_start_uid, "n_conv": sizes})
-            if False
-            else pd.DataFrame({"user_id": uid[change], "n_conv": sizes}),
+            pd.DataFrame({"user_id": uid[change], "n_conv": sizes}),
             on="user_id",
         )
         return out[["user_id", "n_conv", "med_lag_us"]].astype("int64")

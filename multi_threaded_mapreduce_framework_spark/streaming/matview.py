@@ -100,14 +100,24 @@ def _base_dir(state_dir: str) -> str | None:
     return legacy if os.path.isdir(legacy) else None
 
 
-def _watermark(state_dir: str) -> int:
-    base = _base_dir(state_dir)
+def _watermark_of(base: str | None) -> int:
+    """Watermark recorded INSIDE an already-resolved base snapshot.
+
+    Readers must resolve the ``_BASE`` pointer exactly once and derive
+    the watermark from that same snapshot: calling ``_base_dir`` twice
+    around a concurrent compaction could pair the OLD watermark with the
+    NEW base, letting the deferred-GC-retained batch dirs in
+    ``(wm_old, wm_new]`` pass the ``> wm`` filter and double count."""
     if base is not None:
         path = os.path.join(base, _WM)
         if os.path.exists(path):
             with open(path) as f:
                 return int(f.read().strip())
     return -1
+
+
+def _watermark(state_dir: str) -> int:
+    return _watermark_of(_base_dir(state_dir))
 
 
 def _publish_base(state_dir: str, tmp: str, wm_old: int, wm_new: int) -> None:
@@ -138,6 +148,7 @@ def _publish_base(state_dir: str, tmp: str, wm_old: int, wm_new: int) -> None:
     with open(ptr_tmp, "w") as f:
         f.write(f"base-{wm_new}")
     os.replace(ptr_tmp, os.path.join(state_dir, _PTR))
+    tmp_name = os.path.basename(tmp)
     for d in os.listdir(state_dir):
         path = os.path.join(state_dir, d)
         is_base = d == "base" or d.startswith("base-")
@@ -145,14 +156,25 @@ def _publish_base(state_dir: str, tmp: str, wm_old: int, wm_new: int) -> None:
             shutil.rmtree(path, ignore_errors=True)
         elif d.startswith("batch_id=") and int(d.split("=", 1)[1]) <= wm_old:
             shutil.rmtree(path, ignore_errors=True)
+        elif d.startswith("._base-") and d != tmp_name:
+            # Orphaned snapshot tmp from a compaction that crashed
+            # between write and publish: without this sweep it leaks
+            # forever (nothing else matches the ._base- prefix).
+            shutil.rmtree(path, ignore_errors=True)
+        elif d.startswith("._ptr-"):
+            # Orphaned pointer tmp (crash between write and replace).
+            try:
+                os.remove(path)
+            except OSError:
+                pass
 
 
 def read_matview(spark, state_dir: str, keys: list[str]) -> DataFrame:
     """Current view = base snapshot + partials from batch dirs ABOVE
     the compaction watermark, re-aggregated.  Exact at any moment."""
-    wm = _watermark(state_dir)
+    base = _base_dir(state_dir)  # resolved ONCE; wm comes from this snapshot
+    wm = _watermark_of(base)
     parts = []
-    base = _base_dir(state_dir)
     if base is not None:
         parts.append(spark.read.parquet(base).select(*keys, "cnt", "sum_micro"))
     batch_dirs = [
@@ -244,9 +266,9 @@ def start_bitmap_matview(
 
 def _bitmap_state(spark, state_dir: str, keys: list[str]) -> DataFrame:
     """Union of base + above-watermark batch word partials."""
-    wm = _watermark(state_dir)
+    base = _base_dir(state_dir)  # resolved ONCE; wm comes from this snapshot
+    wm = _watermark_of(base)
     parts = []
-    base = _base_dir(state_dir)
     if base is not None:
         parts.append(spark.read.parquet(base).select(*keys, "wi", "w"))
     batch_dirs = [

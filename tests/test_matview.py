@@ -142,6 +142,66 @@ def test_matview_reader_with_stale_pointer_stays_exact(spark, tmp_path):
     assert sorted(map(tuple, read_matview(spark, state, KEYS).collect())) == truth
 
 
+def test_matview_reader_resolves_base_once(spark, tmp_path):
+    """The r5 advisor's second race, pinned structurally: pairing an
+    OLD watermark with a NEW base double counts the deferred-GC-retained
+    batch dirs in (wm_old, wm_new].  The fix is to resolve the pointer
+    exactly once and read the watermark from that snapshot — so a view
+    computed against ANY (base, watermark-of-that-base) pair is exact.
+    Simulate the torn read directly: old wm + new base must overcount,
+    proving the hazard is real; the reader's own pairing must not."""
+    from multi_threaded_mapreduce_framework_spark.streaming.matview import (
+        _base_dir,
+        _watermark_of,
+    )
+
+    state = str(tmp_path / "state")
+    ev = load_table(spark, SF, "events")
+    _partials(ev.limit(300), KEYS).write.parquet(f"{state}/batch_id=0")
+    compact_matview(spark, state, KEYS)  # base-0, wm 0
+    old_wm = _watermark(state)
+    _partials(ev.limit(700), KEYS).write.parquet(f"{state}/batch_id=1")
+    truth = sorted(map(tuple, read_matview(spark, state, KEYS).collect()))
+    compact_matview(spark, state, KEYS)  # base-1 folds batch 1; dir retained
+    new_base = _base_dir(state)
+    assert _watermark_of(new_base) == 1 and old_wm == 0
+    assert os.path.isdir(f"{state}/batch_id=1")  # deferred GC retains it
+    # the torn pairing (new base + old wm) WOULD double count batch 1:
+    torn = (
+        spark.read.parquet(new_base)
+        .unionByName(spark.read.parquet(f"{state}/batch_id=1"))
+        .groupBy(*KEYS)
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+    assert sum(r.cnt for r in torn.collect()) > sum(
+        r.cnt for r in read_matview(spark, state, KEYS).select("cnt").collect()
+    )
+    # the reader itself stays exact because it never makes that pairing
+    assert sorted(map(tuple, read_matview(spark, state, KEYS).collect())) == truth
+
+
+def test_matview_compaction_gcs_orphaned_tmp_dirs(spark, tmp_path):
+    """A compaction that crashes after writing its ._base-*/._ptr-* tmp
+    must not leak it forever: the next successful publish sweeps stale
+    tmp entries (they match no reader path, so removal is safe)."""
+    state = str(tmp_path / "state")
+    ev = load_table(spark, SF, "events")
+    _partials(ev.limit(300), KEYS).write.parquet(f"{state}/batch_id=0")
+    # simulate a crashed compaction: orphan tmp snapshot + pointer tmp
+    os.makedirs(f"{state}/._base-deadbeef")
+    with open(f"{state}/._base-deadbeef/junk", "w") as f:
+        f.write("x")
+    with open(f"{state}/._ptr-deadbeef", "w") as f:
+        f.write("base-999")
+    truth = sorted(map(tuple, read_matview(spark, state, KEYS).collect()))
+    compact_matview(spark, state, KEYS)
+    leftovers = [
+        d for d in os.listdir(state) if d.startswith(("._base-", "._ptr-"))
+    ]
+    assert leftovers == []
+    assert sorted(map(tuple, read_matview(spark, state, KEYS).collect())) == truth
+
+
 def test_matview_migrates_legacy_unversioned_base(spark, tmp_path):
     """State written by the pre-pointer layout (an unversioned ``base/``
     dir holding the watermark, no ``_BASE`` file) must read correctly

@@ -388,6 +388,17 @@ def test_ppm_stream_roundtrip_and_sampling(spark):
         [(2, "audio", bytearray(b"x"), (0, 0, "wav", 100, 8000))], MEDIA_SCHEMA
     )
     assert sample_frame_features(df2).count() == 0
+    # an EMPTY video payload has zero frames: the kernel must skip the
+    # row (not IndexError on offsets[-1] inside the executor)
+    df3 = spark.createDataFrame(
+        [
+            (3, "video", bytearray(b""), (0, 0, "ppm-stream", 1000, 0)),
+            (1, "video", bytearray(payload), (6, 4, "ppm-stream", duration, 0)),
+        ],
+        MEDIA_SCHEMA,
+    )
+    rows3 = sample_frame_features(df3, every_ms=500).collect()
+    assert sorted(map(tuple, rows3)) == sorted(want)  # id 3 silently skipped
 
 
 def test_binaryfile_source_to_decode(spark, tmp_path):
