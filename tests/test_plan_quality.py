@@ -311,6 +311,25 @@ def test_q117_probe_join_is_bucketed(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_q117_band_join_is_narrow(spark, sf_dir):
+    """The r5 verdict's one `weak` plan, fixed and pinned: the band
+    join must carry only (band, key, doc_id) rows — the shingle arrays
+    (`hs`) may NOT cross it (q35's docstring records the measured 64%
+    regression when they did; shuffle width/doc ~ bands x |hs|).
+    Verification joins back on doc_id AFTER candidate dedup."""
+    from multi_threaded_mapreduce_framework_spark.plans.inspect import formatted_plan
+
+    df = QUERIES["q117_incremental_dedup"].builder(spark, sf_dir)
+    band_joins = [
+        b
+        for b in formatted_plan(df).split("\n\n")
+        if "Join" in b.split("\n")[0] and "band" in b
+    ]
+    assert band_joins, "band join node not found in formatted plan"
+    for b in band_joins:
+        assert "hs" not in b, f"shingle column crosses the band join:\n{b}"
+
+
 def test_q116_model_join_no_cartesian(spark, sf_dir):
     """The LM-score join (doc trigrams x model counts) is an equi-join
     on (ctx, nxt) with partial aggregation below the doc_id shuffle."""
