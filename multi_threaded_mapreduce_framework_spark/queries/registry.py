@@ -47,6 +47,7 @@ _QUERY_MODULES = (
     "multi_threaded_mapreduce_framework_spark.queries.t2_assoc",
     "multi_threaded_mapreduce_framework_spark.queries.t2_recon",
     "multi_threaded_mapreduce_framework_spark.queries.t2_struct",
+    "multi_threaded_mapreduce_framework_spark.queries.t2_streamq",
 )
 
 
@@ -76,72 +77,25 @@ _REGISTRY: dict[str, Query] = {}
 # (4) the r03 band, (5) the r04 band.  The full set is re-proven
 # locally each session via tools/check_oracle.py at sf0.01 + sf0.1.
 _DRIVER_PRIORITY = (
-    # --- last driver row r02: retire first (45 names) ---
-    "q50_mapreduce_wordcount",
-    "q51_tpch_q1",
-    "q52_tpch_q3",
-    "q53_tpch_q5",
-    "q54_tpch_q10",
-    "q55_approx_count_distinct",
-    "q57_date_arith",
-    "q58_string_funcs2",
-    "q59_window_range_frame",
-    "q60_min_max_by",
-    "q61_deterministic_split",
-    "q62_tfidf_top_terms",
-    "q63_event_transitions",
-    "q64_tpch_q7",
-    "q65_tpch_q16",
-    "q66_tpch_q2",
-    "q68_longest_streak",
-    "q69_regr_slope",
-    "q70_asof_join",
-    "q71_interval_join",
-    "q72_tpch_q6",
-    "q73_tpch_q4",
-    "q74_tpch_q14",
-    "q75_tpch_q18",
-    "q86_tpch_q8",
-    "q87_tpch_q9",
-    "q89_tpch_q13",
-    "q90_tpch_q15",
-    "q91_tpch_q17",
-    "q92_tpch_q20",
-    "q93_tpch_q21",
-    "q95_corpus_select",
-    "q96_repetition_stats",
-    "q97_trigram_lm",
-    "q99_stratified_sample",
-    "q100_pii_redact",
-    "q101_repeated_passages",
-    "q103_stratum_topk_sample",
-    "q104_length_histogram",
-    "q105_funnel_conversion",
-    "q106_variant_json",
-    "q107_retention_cohorts",
-    "q108_mixture_allocation",
-    "q109_rolling_wau",
-    "q110_unpivot",
-    # --- new in round 5: q172 (the VERDICT r04 item-3 image query)
-    #     takes the one sanctioned debut slot; later round-5 queries
-    #     (q173-q185) yield their slot to stale retirement and follow
-    #     in registration order after this list.  End-of-round-5 state:
-    #     all 185 registered queries re-proven green against their
-    #     oracles at BOTH sf0.01 and sf0.1 via tools/check_oracle.py
-    #     (ALL OK; the multimodal trio rows-only by contract),
-    #     streaming surface 12 OK + 1 env-skip via
-    #     tools/check_streaming.py, plan lint clean, pytest 604 passed
-    #     + 1 env-skip.  Round-6 window plan: lead with the q173-q185
-    #     debuts (13), then the rest of the r01 band (q29-q49 + q67,
-    #     ~22 — the r5 window tail reached q25-q28), then the r03 band
-    #     (q76-q85, q88, q56, q111-q126, q01-q22) in staleness
-    #     order. ---
-    "q172_multimodal_image",
-    # --- last driver row r01 (window tail; remainder queues for r6) ---
-    "q25_exact_dedup",
-    "q26_ngram_bigrams",
-    "q27_jaccard_neardup",
-    "q28_cosine_topk",
+    # --- never driven: the 13 round-5 debuts (r5 verdict item 1 says
+    #     these lead the r6 window), then any round-6 debuts ---
+    "q173_multimodal_video",
+    "q174_greedy_coverage",
+    "q175_tree_depth_pointer_jumping",
+    "q176_interval_sweep_concurrency",
+    "q177_portable_hll",
+    "q178_cogroup_conversion_lag",
+    "q179_regex_pretokenize",
+    "q180_arrow_doc_stats",
+    "q181_grouped_agg_iqr",
+    "q182_udtf_chunk_census",
+    "q183_quarantine_rows",
+    "q184_pq_codebook_census",
+    "q185_three_step_funnel",
+    "q186_bitmap_matview_readback",
+    "q187_value_histogram_percentile",
+    # --- last driver row r01: 22 stale rows (q25-q28 got their r05
+    #     rows in the r5 window tail; these are the remainder) ---
     "q29_knn_label",
     "q30_text_stats",
     "q31_quality_score",
@@ -164,7 +118,8 @@ _DRIVER_PRIORITY = (
     "q48_array_collect",
     "q49_ntile",
     "q67_simhash_hamming_pairs",
-    # --- last driver row r03: queue after the r01 band (r06 window) ---
+    # --- last driver row r03: head of the band fills the remaining
+    #     window slots; the rest queues for r7 in this order ---
     "q76_tpch_q19",
     "q77_tpch_q11",
     "q78_tpch_q22",
@@ -193,8 +148,56 @@ _DRIVER_PRIORITY = (
     "q124_asof_pandas",
     "q125_window_sliding",
     "q126_prefix_filter_join",
-    # (r04-driven names — q01-q22 via r03, q23/q24/q94/q98/q102 and
-    #  q127-q171 via r04 — follow in registration order via _ordered.)
+    "q01_wordcount",
+    "q02_charcount",
+    "q03_grouped_sum",
+    "q04_user_event_stats",
+    "q05_filter_project",
+    "q06_join_agg",
+    "q07_join_chain",
+    "q08_left_join",
+    "q09_semi_join",
+    "q10_anti_join",
+    "q11_topk",
+    "q12_distinct",
+    "q13_count_distinct",
+    "q14_union",
+    "q15_intersect",
+    "q16_except",
+    "q17_window_rank",
+    "q18_window_running",
+    "q19_rollup",
+    "q20_string_funcs",
+    "q21_date_funcs",
+    "q22_json_extract",
+    # --- last driver row r05 (the r5 window: q50-q75 band + q86-q110
+    #     band + q25-q28 + q172): freshest bulk, queues after r03 ---
+    "q50_mapreduce_wordcount",
+    "q51_tpch_q1",
+    "q52_tpch_q3",
+    "q53_tpch_q5",
+    "q54_tpch_q10",
+    "q55_approx_count_distinct",
+    "q57_date_arith",
+    "q58_string_funcs2",
+    "q59_window_range_frame",
+    "q60_min_max_by",
+    "q61_deterministic_split",
+    "q62_tfidf_top_terms",
+    "q63_event_transitions",
+    "q64_tpch_q7",
+    "q65_tpch_q16",
+    "q66_tpch_q2",
+    "q68_longest_streak",
+    "q69_regr_slope",
+    "q70_asof_join",
+    "q71_interval_join",
+    "q72_tpch_q6",
+    "q73_tpch_q4",
+    "q74_tpch_q14",
+    "q75_tpch_q18",
+    # (r04-driven names — q23/q24/q94/q98/q102 and q127-q171 — and the
+    #  remaining r05 rows follow in registration order via _ordered.)
 )
 
 

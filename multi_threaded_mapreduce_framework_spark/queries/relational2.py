@@ -403,3 +403,97 @@ def q60_min_max_by(spark, sf_dir):
         F.expr("min_by(o_orderkey, o_totalprice)").alias("bottom_order"),
         F.round(F.max("o_totalprice"), 2).alias("top_price"),
     )
+
+
+HIST_DEPTH = 256  # fixed histogram depth: error bound = (hi-lo)/256 per group
+
+
+@register(
+    "q187_value_histogram_percentile",
+    tier="T2",
+    oracle=f"""
+WITH v AS (
+  SELECT l_returnflag AS flag,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+  FROM lineitem),
+mm AS (
+  SELECT flag, min(vc) AS lo, max(vc) AS hi, count(*) AS n,
+         (max(vc) - min(vc)) // {HIST_DEPTH} + 1 AS w
+  FROM v GROUP BY flag),
+h AS (
+  SELECT v.flag, (vc - lo) // w AS bucket, count(*) AS cnt
+  FROM v JOIN mm ON v.flag = mm.flag GROUP BY v.flag, (vc - lo) // w),
+c AS (
+  SELECT h.flag, bucket, lo, w, n,
+         sum(cnt) OVER (PARTITION BY h.flag ORDER BY bucket) AS cum
+  FROM h JOIN mm ON h.flag = mm.flag)
+SELECT flag AS l_returnflag,
+       CAST(min(CASE WHEN cum >= (50*n + 99) // 100 THEN lo + bucket*w END)
+            AS BIGINT) AS p50_cents,
+       CAST(min(CASE WHEN cum >= (90*n + 99) // 100 THEN lo + bucket*w END)
+            AS BIGINT) AS p90_cents,
+       CAST(min(CASE WHEN cum >= (99*n + 99) // 100 THEN lo + bucket*w END)
+            AS BIGINT) AS p99_cents
+FROM c GROUP BY flag
+""",
+)
+def q187_value_histogram_percentile(spark, sf_dir):
+    """PORTABLE percentile sketch with cross-engine EXACT parity — the
+    scale answer to rows-only q56 (r5 verdict item 5), the percentile
+    analogue of what q177 did for HLL: a fixed-depth integer value
+    histogram whose every step is deterministic integer arithmetic, so
+    Spark and DuckDB produce bit-identical estimates and the driver
+    hash gate applies to a SKETCH.
+
+    Algorithm (identical SQL on both sides): prices in exact integer
+    cents; per group take (lo, hi, n) and a fixed depth D=256 giving
+    integer bin width w = (hi-lo) div D + 1 (so buckets lie in [0, D));
+    count per bin; running count over the per-group bins; estimate of
+    percentile p = LOWER EDGE of the first bin whose running count
+    reaches ceil(p*n) (integer ceil: (p*100*n + 99) div 100).  Error is
+    bounded by one bin width, (hi-lo)/256 per group — asserted against
+    the exact order statistic in tests/test_approx.py.
+
+    Scale shape (why this is the 100 TB percentile path): the bin-count
+    layer is an ALGEBRAIC partial aggregate — daily histograms MERGE
+    into monthly ones by adding counts (same law as q153's bitmap words
+    and q144's partial aggs), one streaming pass, no per-group sort —
+    and the only window runs over a DOMAIN-BOUNDED <=256 rows per
+    group, never over the data.  Spark's own percentile_approx (q56)
+    answers faster per-query but its sketch bytes are engine-private;
+    this layer is the portable, re-aggregatable form you'd persist.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.expr("cast(cast(l_extendedprice as decimal(18,2)) * 100 as bigint)").alias(
+            "vc"
+        ),
+    )
+    mm = li.groupBy("flag").agg(
+        F.min("vc").alias("lo"),
+        F.max("vc").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+        F.expr(f"(max(vc) - min(vc)) div {HIST_DEPTH} + 1").alias("w"),
+    )
+    h = (
+        li.join(F.broadcast(mm), "flag")
+        .groupBy("flag", F.expr("(vc - lo) div w").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    c = h.join(F.broadcast(mm), "flag").withColumn(
+        "cum",
+        F.sum("cnt").over(
+            Window.partitionBy("flag").orderBy("bucket")
+        ),
+    )
+    def _pick(p: int, name: str):
+        return F.min(
+            F.when(
+                F.col("cum") >= F.expr(f"({p}*n + 99) div 100"),
+                F.expr("lo + bucket*w"),
+            )
+        ).cast("bigint").alias(name)
+
+    return c.groupBy(F.col("flag").alias("l_returnflag")).agg(
+        _pick(50, "p50_cents"), _pick(90, "p90_cents"), _pick(99, "p99_cents")
+    )

@@ -313,8 +313,30 @@ def q185_three_step_funnel(spark, sf_dir):
     funnel discipline) — the oracle's correlated double-EXISTS would
     be two self-joins of the event table; here no join node exists at
     all.  Generalizes to K steps as K-1 chained windows over the same
-    single shuffle."""
-    ev = load_table(spark, sf_dir, "events").select(
+    single shuffle: :func:`k_step_funnel_matches` IS that general form
+    (this query = K=3; the K=4 variant is proven against a
+    triple-nested-EXISTS oracle in tests/test_round5_queries.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    matched = k_step_funnel_matches(ev, ["click", "view", "purchase"]).select(
+        "user_id", F.expr("CAST(CAST(ts AS DATE) AS STRING)").alias("day")
+    )
+    return matched.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_matched_clicks"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+    )
+
+
+def k_step_funnel_matches(ev, steps: list[str]):
+    """Rows of ``ev`` that BEGIN a full ordered K-step funnel: an
+    event of type ``steps[0]`` followed (strictly later in the total
+    (ts, event_id) order, same user) by ``steps[1]``, ... then
+    ``steps[-1]`` — K-1 chained reverse-running-min windows over ONE
+    ``user_id`` shuffle, no self-joins (the q185 construction for any
+    K).  Working back from the last step: ``_m[i]`` = the earliest
+    later event of type ``steps[i]`` whose own remaining chain
+    completes; a row matches iff it has type ``steps[0]`` and
+    ``_m[1]`` exists."""
+    ev = ev.select(
         "user_id", "event_id", "event_type", "ts",
         F.expr("unix_micros(ts)").alias("us"),
     )
@@ -323,24 +345,16 @@ def q185_three_step_funnel(spark, sf_dir):
         .orderBy("us", "event_id")
         .rowsBetween(1, Window.unboundedFollowing)
     )
-    # earliest later purchase position (us, event_id) per row
-    np_ = F.min(
-        F.when(F.col("event_type") == "purchase", F.struct("us", "event_id"))
-    ).over(w)
-    step2 = ev.withColumn("np", np_)
-    # earliest later view THAT CONVERTS (its own np is non-null)
-    mv = F.min(
-        F.when(
-            (F.col("event_type") == "view") & F.col("np").isNotNull(),
-            F.struct("us", "event_id"),
+    prev = None  # name of the chain column for steps[i+1:]
+    for i in range(len(steps) - 1, 0, -1):
+        cond = F.col("event_type") == steps[i]
+        if prev is not None:
+            cond = cond & F.col(prev).isNotNull()
+        cur = f"_m{i}"
+        ev = ev.withColumn(
+            cur, F.min(F.when(cond, F.struct("us", "event_id"))).over(w)
         )
-    ).over(w)
-    matched = (
-        step2.withColumn("mv", mv)
-        .filter((F.col("event_type") == "click") & F.col("mv").isNotNull())
-        .select("user_id", F.expr("CAST(CAST(ts AS DATE) AS STRING)").alias("day"))
-    )
-    return matched.groupBy("day").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_matched_clicks"),
-        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        prev = cur
+    return ev.filter(
+        (F.col("event_type") == steps[0]) & F.col(prev).isNotNull()
     )

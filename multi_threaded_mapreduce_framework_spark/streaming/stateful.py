@@ -74,12 +74,15 @@ def running_user_totals_tws(stream: DataFrame) -> DataFrame:
     operators. Convergence to the q04 batch answer is asserted in
     tests/test_streaming.py alongside the v1 operator.
 
-    Environment gate: the transformWithState driver worker speaks
-    protobuf to the JVM state server, so running a query over this
-    DataFrame requires the ``protobuf`` package on the driver (and the
-    RocksDB state store provider conf). This container ships neither
-    protobuf nor pip access, so the convergence test skips itself
-    in-container; the operator is the real production shape.
+    Transport: the transformWithState worker speaks protobuf to the JVM
+    state server, and querying it needs the RocksDB state store provider
+    conf (per-state-variable column families). This container ships no
+    protobuf wheel, so ``streaming/protoshim.py`` installs the vendored
+    clean-room wire-format runtime (``vendor/google/protobuf``) before
+    the JVM launches; the convergence test in tests/test_streaming.py
+    runs END TO END against the real state server — every message on
+    that socket cross-validates the vendored runtime against
+    protobuf-java.
     """
     return stream.groupBy("user_id").transformWithStateInPandas(
         statefulProcessor=_make_running_totals_processor()(),

@@ -10,6 +10,12 @@ import pytest
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from multi_threaded_mapreduce_framework_spark.session import get_spark
+from multi_threaded_mapreduce_framework_spark.streaming.protoshim import ensure_protobuf
+
+# Must run BEFORE the first SparkSession: the vendored protobuf runtime
+# (transformWithStateInPandas transport) reaches Spark's Python workers
+# via PYTHONPATH, which the JVM snapshots at launch.
+ensure_protobuf()
 
 SF_SMOKE = "/root/testdata/sf0.001"
 

@@ -80,23 +80,18 @@ def test_driver_priority_names_all_registered():
     assert len(set(_DRIVER_PRIORITY)) == len(_DRIVER_PRIORITY)  # no dupes
     ordered = list(all_queries())
     num = lambda n: int(n[1:].split("_", 1)[0])  # noqa: E731
-    # round-5 rotation (VERDICT r04 item 1): the 45 names last driven
-    # in r02 lead the window...
-    r02_stale = ({50, 51, 52, 53, 54, 55} | set(range(57, 67)) | set(range(68, 76))
-                 | {86, 87} | set(range(89, 94))
-                 | {95, 96, 97} | set(range(99, 111)) - {102}) - {94, 98}
-    assert {num(n) for n in ordered[:45]} == r02_stale, sorted(
-        num(n) for n in ordered[:45]
+    # round-6 rotation (VERDICT r05 item 1): the 13 never-driven
+    # round-5 debuts lead the window, followed by the round-6 debuts...
+    assert [num(n) for n in ordered[:15]] == list(range(173, 188)), ordered[:15]
+    # ...then the 22 names last driven in r01 (q29-q49 + q67)...
+    assert {num(n) for n in ordered[15:37]} == set(range(29, 50)) | {67}, sorted(
+        num(n) for n in ordered[15:37]
     )
-    # ...q172 (the VERDICT-requested image query) takes the single
-    # sanctioned debut slot inside the 50-window; later round-5 queries
-    # (q173+) deliberately yield their debut slot to stale retirement
-    # and queue for the next window...
-    assert ordered.index("q172_multimodal_image") == 45, ordered[40:50]
-    later = [n for n in ordered if num(n) >= 173]
-    assert all(ordered.index(n) >= 71 for n in later), later
-    # ...and the window tail reaches into the r01-stale band (q25+)
-    assert all(25 <= num(n) <= 67 for n in ordered[46:50]), ordered[45:50]
+    # ...and the 50-row window tail reaches the head of the r03 band
+    r03_head = {76, 77, 78, 79, 80, 81, 82, 83, 84, 85, 88, 56, 111}
+    assert {num(n) for n in ordered[37:50]} == r03_head, sorted(
+        num(n) for n in ordered[37:50]
+    )
 
 
 def test_every_query_has_a_survey_inventory_row():

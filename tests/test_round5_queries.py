@@ -123,3 +123,49 @@ def test_q182_udtf_matches_q85_chunk_law(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_k4_funnel_generalization_vs_nested_exists_oracle(spark, sf_dir):
+    """q185 claims 'generalizes to K steps as K-1 chained windows';
+    this PROVES it at K=4: signup -> click -> view -> purchase, the
+    generic k_step_funnel_matches against a triple-nested-EXISTS
+    DuckDB oracle under the same (ts, event_id) total order."""
+    import duckdb
+
+    from multi_threaded_mapreduce_framework_spark.queries.t2_corpus import (
+        k_step_funnel_matches,
+    )
+    from multi_threaded_mapreduce_framework_spark.sources import load_table, table_path
+
+    steps = ["signup", "click", "view", "purchase"]
+    ev = load_table(spark, sf_dir, "events")
+    got = sorted(
+        (r.user_id, r.event_id)
+        for r in k_step_funnel_matches(ev, steps).select("user_id", "event_id").collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{table_path(sf_dir, 'events')}')"
+    )
+    want = sorted(
+        map(
+            tuple,
+            con.execute(
+                """
+WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events)
+SELECT s.user_id, s.event_id
+FROM e s WHERE s.event_type = 'signup' AND EXISTS (
+  SELECT 1 FROM e c WHERE c.user_id = s.user_id AND c.event_type = 'click'
+    AND (c.us > s.us OR (c.us = s.us AND c.event_id > s.event_id))
+    AND EXISTS (
+      SELECT 1 FROM e v WHERE v.user_id = c.user_id AND v.event_type = 'view'
+        AND (v.us > c.us OR (v.us = c.us AND v.event_id > c.event_id))
+        AND EXISTS (
+          SELECT 1 FROM e p WHERE p.user_id = v.user_id
+            AND p.event_type = 'purchase'
+            AND (p.us > v.us OR (p.us = v.us AND p.event_id > v.event_id)))))
+"""
+            ).fetchall(),
+        )
+    )
+    assert got == want and len(got) > 0

@@ -158,13 +158,12 @@ def test_tws_running_totals_converges_to_batch_q04(spark, replay_dir):
     """transformWithStateInPandas (state-v2) operator converges to the
     same batch answer as the applyInPandasWithState form.
 
-    Skips where protobuf is unavailable: the TWS driver worker requires
-    it (STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE otherwise), and
-    this container has no protobuf and no pip."""
-    import importlib.util
-
-    if importlib.util.find_spec("google") is None:
-        pytest.skip("protobuf not installed; transformWithState needs it")
+    The TWS driver worker requires protobuf
+    (STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE otherwise); this
+    container has no protobuf wheel, so the vendored wire-format
+    runtime (vendor/google/protobuf, installed by conftest's
+    ensure_protobuf) carries the transport — every request/response on
+    this path cross-validates it against the JVM's protobuf-java."""
     from multi_threaded_mapreduce_framework_spark.streaming.stateful import (
         running_user_totals_tws,
     )

@@ -26,6 +26,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import pyspark.sql.functions as F
 
 from multi_threaded_mapreduce_framework_spark.session import get_spark
+from multi_threaded_mapreduce_framework_spark.streaming.protoshim import ensure_protobuf
+
+# Before the first SparkSession: the vendored protobuf runtime reaches
+# Spark's Python workers via PYTHONPATH, snapshotted at JVM launch.
+ensure_protobuf()
 from multi_threaded_mapreduce_framework_spark.queries import all_queries
 from multi_threaded_mapreduce_framework_spark.streaming import (
     events_stream,
@@ -143,14 +148,15 @@ def stateful_totals_vs_batch_q04(spark, sf_dir, replay_dir, work):
 
 @scenario
 def tws_totals_vs_batch_q04(spark, sf_dir, replay_dir, work):
-    try:
-        import google.protobuf  # noqa: F401
-    except ImportError:
-        raise Skip("protobuf not installed; transformWithState needs it")
     from multi_threaded_mapreduce_framework_spark.streaming.stateful import (
         running_user_totals_tws,
     )
 
+    # state-v2 needs per-variable column families -> RocksDB provider
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
     agg = running_user_totals_tws(events_stream(spark, replay_dir))
     q = run_to_convergence(agg, "cs_q04_tws", output_mode="update")
     try:
