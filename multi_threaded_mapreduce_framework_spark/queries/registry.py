@@ -95,6 +95,8 @@ _DRIVER_PRIORITY = (
     "q185_three_step_funnel",
     "q186_bitmap_matview_readback",
     "q187_value_histogram_percentile",
+    "q188_incremental_matview_readback",
+    "q189_tws_state_readback",
     # --- last driver row r01: 22 stale rows (q25-q28 got their r05
     #     rows in the r5 window tail; these are the remainder) ---
     "q29_knn_label",

@@ -104,3 +104,163 @@ def q186_bitmap_matview_readback(spark, sf_dir):
     return read_bitmap_matview(spark, state_dir, ["event_type"]).withColumnRenamed(
         "distinct_ids", "distinct_users"
     )
+
+
+_MICRO_SQL = "CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)"
+
+
+@register(
+    "q188_incremental_matview_readback",
+    tier="T2",
+    oracle=f"""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS cnt,
+       CAST(sum({_MICRO_SQL}) AS BIGINT) AS sum_micro,
+       CAST(sum({_MICRO_SQL}) // count(*) AS BIGINT) AS avg_micro
+FROM events GROUP BY event_type
+""",
+)
+def q188_incremental_matview_readback(spark, sf_dir):
+    """Per-event-type (count, exact integer micro-unit sum, derived
+    avg) maintained by the STATELESS cnt/sum matview stream and
+    returned as the UNCOMPACTED readback — the multi-batch-dir merge
+    path, complementing q186 which reads the compacted-snapshot path.
+
+    The stream writes only its own micro-batch's algebraic partials
+    (count + integer sum per key) to ``batch_id=N`` dirs; the readback
+    re-aggregates base + partials at read time.  Integer micro-units
+    make merged-partial == one-pass bit-exact, so the driver hash gate
+    applies to state a real stream produced across multiple
+    micro-batches (3 file-per-trigger chunks here), under Spark's
+    replay contract (a replayed batch overwrites its own dir).
+
+    Scale shape: no state store, no watermark — the streaming
+    aggregate's per-key state bill (the memory wall at billions of
+    keys) is replaced by partials on disk that re-aggregate exactly;
+    reads cost one merge over #batches x #keys-per-batch rows, bounded
+    by periodic compaction (q186's path).
+    """
+    from multi_threaded_mapreduce_framework_spark.streaming import (
+        kafka_wire_stream,
+        parse_events,
+        write_kafka_replay,
+    )
+    from multi_threaded_mapreduce_framework_spark.streaming.matview import (
+        read_matview,
+        start_incremental_matview,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir, "cnt_sum")
+    state_dir = _MATVIEW_STATE_CACHE.get(key)
+    if state_dir is None:
+        base = os.path.join(
+            tempfile.gettempdir(),
+            "mtmrf_layout",
+            layout_tag(spark, sf_dir),
+            "cntsum_matview",
+        )
+        wire = os.path.join(base, "wire")
+        state_dir = os.path.join(base, "state")
+        ckpt = os.path.join(base, "ckpt")
+        write_kafka_replay(spark, sf_dir, wire, n_chunks=3)
+        q = start_incremental_matview(
+            parse_events(kafka_wire_stream(spark, wire)),
+            ["event_type"],
+            state_dir,
+            ckpt,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        _MATVIEW_STATE_CACHE[key] = state_dir
+    return read_matview(spark, state_dir, ["event_type"])
+
+
+@register(
+    "q189_tws_state_readback",
+    tier="T2",
+    oracle=f"""
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS cnt,
+       CAST(sum({_MICRO_SQL}) AS BIGINT) AS sum_micro
+FROM events GROUP BY user_id
+""",
+)
+def q189_tws_state_readback(spark, sf_dir):
+    """Per-user running totals computed by a REAL
+    ``transformWithStateInPandas`` (state-v2) streaming run — named
+    ``ValueState`` in the RocksDB state store, Arrow-batched Python
+    update logic, protobuf state-server transport — hash-gated against
+    the batch aggregate.  The first declared query in this repo whose
+    answer passes through the state-v2 stack end to end (possible
+    since round 6's vendored protobuf runtime; before that the whole
+    surface was environment-gated).
+
+    Integer micro-unit state makes the converged answer bit-identical
+    to batch regardless of micro-batch boundaries or accumulation
+    order, so the oracle is an exact hash match, not a tolerance
+    check.  The readback takes each user's LAST update row
+    (``max_by(sum_micro, cnt)`` — cnt strictly increases per emitted
+    update).
+
+    Scale shape: state is (16 bytes + key) per USER in a store
+    partitioned by grouping key (RocksDB at production scale),
+    update logic sees Arrow batches per key-group, and the update-mode
+    stream emits one row per active user per micro-batch — the
+    canonical custom-stateful-operator shape Spark is converging on
+    (per-variable TTL, first-class timers) for operators that windowed
+    aggregation cannot express.
+    """
+    import pyspark.sql.functions as F
+
+    from multi_threaded_mapreduce_framework_spark.streaming import events_stream
+    from multi_threaded_mapreduce_framework_spark.streaming.protoshim import (
+        ensure_protobuf_on_workers,
+    )
+    from multi_threaded_mapreduce_framework_spark.streaming.stateful import (
+        running_user_totals_tws_micro,
+    )
+    from multi_threaded_mapreduce_framework_spark.streaming.windowed import (
+        replay_events,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir, "tws")
+    cached = _MATVIEW_STATE_CACHE.get(key)
+    if cached is None:
+        ensure_protobuf_on_workers(spark)  # vanilla-session safe
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        base = os.path.join(
+            tempfile.gettempdir(),
+            "mtmrf_layout",
+            layout_tag(spark, sf_dir),
+            "tws_readback",
+        )
+        replay = os.path.join(base, "replay")
+        replay_events(spark, sf_dir, replay, n_chunks=3)
+        stream = events_stream(spark, replay).select(
+            "user_id", F.expr(_MICRO_SQL.replace("value", "value")).alias("vm")
+        )
+        table = f"q189_tws_{abs(hash(key)) % 10**9}"
+        q = (
+            running_user_totals_tws_micro(stream)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName(table)
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        cached = spark.table(table).localCheckpoint()
+        _MATVIEW_STATE_CACHE[key] = cached
+    return cached.groupBy("user_id").agg(
+        F.max("cnt").cast("bigint").alias("cnt"),
+        F.expr("max_by(sum_micro, cnt)").cast("bigint").alias("sum_micro"),
+    )

@@ -53,3 +53,50 @@ def ensure_protobuf() -> bool:
     if _find_protobuf() is None:
         raise ImportError(f"vendored protobuf not importable from {VENDOR_DIR}")
     return True
+
+
+_SHIPPED_APPS: set[str] = set()
+
+
+def ensure_protobuf_on_workers(spark) -> None:
+    """Make ``google.protobuf`` importable in every Python process an
+    ALREADY-RUNNING session spawns (one whose JVM launched before
+    :func:`ensure_protobuf` could seed the environment — e.g. the
+    verify driver's vanilla session).  Two complementary channels:
+
+    - ``sc.environment['PYTHONPATH']`` — travels in each Python
+      function's envVars, which is what the TWS *driver worker*
+      (``StreamingPythonRunner``) builds its interpreter env from;
+      verified live: patching it post-launch fixes a session whose JVM
+      env lacks the vendor path;
+    - ``addPyFile`` of the vendored package zip — lands on ordinary
+      task workers' sys.path.
+
+    No-op when a real protobuf wheel exists."""
+    if not ensure_protobuf():  # real runtime present everywhere
+        return
+    sc = spark.sparkContext
+    env = sc.environment
+    current = env.get("PYTHONPATH", "")
+    if VENDOR_DIR not in current.split(os.pathsep):
+        env["PYTHONPATH"] = (
+            f"{VENDOR_DIR}{os.pathsep}{current}" if current else VENDOR_DIR
+        )
+    app = sc.applicationId
+    if app in _SHIPPED_APPS:
+        return
+    import tempfile
+    import zipfile
+
+    zip_path = os.path.join(tempfile.gettempdir(), "mtmrf_protoshim.zip")
+    if not os.path.exists(zip_path):
+        tmp = zip_path + ".tmp"
+        with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
+            for root, _dirs, files in os.walk(os.path.join(VENDOR_DIR, "google")):
+                for fname in files:
+                    if fname.endswith(".py"):
+                        full = os.path.join(root, fname)
+                        zf.write(full, os.path.relpath(full, VENDOR_DIR))
+        os.replace(tmp, zip_path)
+    sc.addPyFile(zip_path)
+    _SHIPPED_APPS.add(app)

@@ -92,6 +92,54 @@ def running_user_totals_tws(stream: DataFrame) -> DataFrame:
     )
 
 
+def running_user_totals_tws_micro(stream: DataFrame) -> DataFrame:
+    """Integer-exact state-v2 running totals: per-user (event count,
+    value sum in INTEGER MICRO-UNITS) via transformWithStateInPandas.
+    The micro-unit state makes the converged answer bit-identical to
+    the batch aggregate regardless of accumulation order — which is
+    what lets q189 put a TWS run behind the driver's HASH gate, not a
+    tolerance check.  Input needs columns (user_id, vm: bigint)."""
+    return stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_make_micro_totals_processor()(),
+        outputStructType="user_id bigint, cnt bigint, sum_micro bigint",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+def _make_micro_totals_processor():
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class MicroTotalsProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState(
+                "totals", "cnt bigint, sum_micro bigint"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            cnt, total = self._totals.get() if self._totals.exists() else (0, 0)
+            for pdf in rows:
+                cnt += len(pdf)
+                # null vm -> 0 (oracle's sum() skips nulls, count(*)
+                # doesn't); sum in int64 so exactness never rests on
+                # float partial sums
+                total += int(pdf["vm"].fillna(0).astype("int64").sum())
+            self._totals.update((cnt, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "cnt": [cnt], "sum_micro": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return MicroTotalsProcessor
+
+
 def _make_running_totals_processor():
     """Build the state-v2 processor class. Module-level so the update
     logic is unit-testable against a fake handle in-container (where the
