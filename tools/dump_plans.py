@@ -60,6 +60,9 @@ SHOWCASE = {
     "q177_portable_hll": "the register layer is one partial-agg Exchange carrying (event_type, bucket<=64) min-rows; the estimate math is pure decimal projection above a 64-row-per-key aggregate.",
     "q178_cogroup_conversion_lag": "both event slices shuffle once into a single FlatMapCoGroupsInPandas keyed on the 32-way user bucket; no join node — the as-of matching happens inside the Arrow-batched kernel.",
     "q180_arrow_doc_stats": "a PythonMapInArrow node directly over the scan (no pandas conversion, no Exchange below it); the lang rollup is the only shuffle.",
+    "q117_incremental_dedup": "the r6 ingest shape: the band join is a narrow BroadcastHashJoin on (band, key) whose inputs carry only doc_id besides the keys (no shingle array crosses it); the corpus side reads from its session-persisted band-index layout, and verification joins back to the doc_id-keyed shingle tables ABOVE the deduplicating aggregate's candidates.",
+    "q187_value_histogram_percentile": "two partial-agg Exchanges ((flag) min/max/count, then (flag, bucket) bin counts), per-group stats re-entering via BroadcastHashJoin, and the cumulative window runs over the <=256-bins-per-group histogram — integer arithmetic end to end, no sort of raw rows.",
+    "q186_bitmap_matview_readback": "the readback is ONE partial-agg merge over the stream-written word snapshot (scan -> OR-merge Exchange -> bit_count sum); no raw event ever appears in the plan — the stream already collapsed them to 8-byte words.",
 }
 
 HEADER = """# PLANS — physical plans of representative queries
