@@ -107,6 +107,140 @@ def running_user_totals_tws_micro(stream: DataFrame) -> DataFrame:
     )
 
 
+def event_type_census_tws(stream: DataFrame) -> DataFrame:
+    """Per-user per-event-type running counts via state-v2 MAP STATE:
+    ``MapState[event_type -> cnt]`` keyed by user — the state shape for
+    per-entity categorical censuses where a fixed-width ValueState
+    cannot hold the open-ended category domain.  Emits the FULL census
+    per user per micro-batch (update-mode snapshot rows), so the last
+    emission per (user, event_type) equals the batch
+    ``groupBy(user_id, event_type).count()`` — asserted in
+    tests/test_streaming.py and tools/check_streaming.py.
+
+    Transport note: every MapState operation here (GetValue,
+    ContainsKey, UpdateValue, Iterator paging) is a distinct
+    state-server message family, so this operator end-to-end exercises
+    the map-state protobuf paths the running-totals ValueState operator
+    never touches.  Input needs columns (user_id, event_type)."""
+    return stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_make_census_processor()(),
+        outputStructType="user_id bigint, event_type string, cnt bigint",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+def _make_census_processor():
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class EventTypeCensusProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._census = handle.getMapState(
+                "census", "event_type string", "cnt bigint"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            for pdf in rows:
+                for et, n in pdf["event_type"].value_counts().items():
+                    prev = (
+                        self._census.getValue((et,))
+                        if self._census.containsKey((et,))
+                        else (0,)
+                    )
+                    self._census.updateValue((et,), (int(prev[0]) + int(n),))
+            ets, cnts = [], []
+            for (et,), (cnt,) in self._census.iterator():
+                ets.append(et)
+                cnts.append(int(cnt))
+            yield pd.DataFrame(
+                {"user_id": [key[0]] * len(ets), "event_type": ets, "cnt": cnts}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return EventTypeCensusProcessor
+
+
+def recent_values_tws(stream: DataFrame, k: int = 3) -> DataFrame:
+    """Per-user LAST-K event values via state-v2 LIST STATE — the
+    bounded-recency feature buffer (e.g. "last 3 transaction amounts")
+    a feature store maintains per entity.  Emits each user's current
+    buffer as (user_id, pos, vm) rows, pos 0 = most recent; events
+    arrive ordered by (ts, event_id) within each micro-batch so the
+    buffer is deterministic under the replay's chunking.
+
+    Recency is the GLOBAL (us, event_id) total order, not arrival
+    order: the buffer keeps each event's position key in state and
+    re-sorts on merge, so the converged buffer is identical however
+    the replay chunks the stream (chunks are hash-partitioned, NOT
+    time-ordered) — late data simply displaces its juniors.
+
+    Transport note: ListStateGet iteration and ListStatePut are the
+    list-state protobuf message family — exercised end to end here.
+    Input needs columns (user_id, us, event_id, vm); vm integer
+    micro-units keeps emissions hash-comparable."""
+
+    def make():
+        from pyspark.sql.streaming.stateful_processor import (
+            StatefulProcessor,
+            StatefulProcessorHandle,
+        )
+
+        class RecentValuesProcessor(StatefulProcessor):
+            def init(self, handle: StatefulProcessorHandle) -> None:
+                self._recent = handle.getListState(
+                    "recent", "us bigint, event_id bigint, vm bigint"
+                )
+                # second, independent state variable: monotone per-user
+                # event counter — lets a reader pick each user's LATEST
+                # emission (update-mode sinks append all of them)
+                self._seen = handle.getValueState("seen", "n bigint")
+
+            def handleInputRows(self, key, rows, timerValues):
+                import pandas as pd
+
+                buf = (
+                    [(int(u), int(e), int(v)) for u, e, v in self._recent.get()]
+                    if self._recent.exists()
+                    else []
+                )
+                seen = int(self._seen.get()[0]) if self._seen.exists() else 0
+                for pdf in rows:
+                    seen += len(pdf)
+                    vals = pdf[["us", "event_id", "vm"]].fillna(0).astype("int64")
+                    buf.extend(map(tuple, vals.itertuples(index=False)))
+                buf.sort(key=lambda t: (-t[0], -t[1]))  # newest first
+                buf = buf[:k]
+                self._recent.put(buf)
+                self._seen.update((seen,))
+                yield pd.DataFrame(
+                    {
+                        "user_id": [key[0]] * len(buf),
+                        "pos": list(range(len(buf))),
+                        "vm": [v for _, _, v in buf],
+                        "seen": [seen] * len(buf),
+                    }
+                )
+
+            def close(self) -> None:
+                pass
+
+        return RecentValuesProcessor
+
+    return stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=make()(),
+        outputStructType="user_id bigint, pos int, vm bigint, seen bigint",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def _make_micro_totals_processor():
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,

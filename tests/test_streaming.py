@@ -364,3 +364,99 @@ def test_watermark_drops_late_event_from_finalized_window(spark, tmp_path_factor
     # arrival was dropped AND did not re-open the window (a resurrected
     # window would show as a second append row for the same start)
     assert rows == [("10:00", 2)], rows
+
+
+def test_tws_mapstate_census_converges_to_batch(spark, replay_dir):
+    """MapState (state-v2) per-user event-type census: the last
+    emission per (user, event_type) — counts are monotone, so max() —
+    must equal the batch groupBy count.  End-to-end this drives the
+    GetValue/ContainsKey/UpdateValue/Iterator map-state message
+    families through the vendored protobuf transport."""
+    from multi_threaded_mapreduce_framework_spark.streaming.stateful import (
+        event_type_census_tws,
+    )
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    agg = event_type_census_tws(
+        events_stream(spark, replay_dir).select("user_id", "event_type")
+    )
+    q = run_to_convergence(agg, "stream_census_tws", output_mode="update")
+    try:
+        got = {
+            (r.user_id, r.event_type): r.cnt
+            for r in spark.table("stream_census_tws")
+            .groupBy("user_id", "event_type")
+            .agg(F.max("cnt").alias("cnt"))
+            .collect()
+        }
+        batch = {
+            (r.user_id, r.event_type): r.cnt
+            for r in spark.read.parquet(replay_dir)
+            .groupBy("user_id", "event_type")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+        assert got == batch
+    finally:
+        q.stop()
+
+
+def test_tws_liststate_recent_values_converges(spark, replay_dir):
+    """ListState (state-v2) last-K buffer: the converged buffer per
+    user must be the global top-3 events by (us, event_id) descending
+    — identical however the replay chunked the stream.  Drives the
+    ListStateGet/ListStatePut message families; also exercises TWO
+    state variables (list + value) in one processor."""
+    from multi_threaded_mapreduce_framework_spark.streaming.stateful import (
+        recent_values_tws,
+    )
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    micro = "CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)"
+    stream = events_stream(spark, replay_dir).selectExpr(
+        "user_id", "unix_micros(ts) AS us", "event_id", f"{micro} AS vm"
+    )
+    q = run_to_convergence(
+        recent_values_tws(stream, k=3), "stream_recent_tws", output_mode="update"
+    )
+    try:
+        rows = spark.table("stream_recent_tws").collect()
+        latest_seen = {}
+        for r in rows:
+            latest_seen[r.user_id] = max(latest_seen.get(r.user_id, 0), r.seen)
+        got = {}
+        for r in rows:
+            if r.seen == latest_seen[r.user_id]:
+                got.setdefault(r.user_id, {})[r.pos] = r.vm
+        ev = (
+            spark.read.parquet(replay_dir)
+            .selectExpr("user_id", "unix_micros(ts) AS us", "event_id", f"{micro} AS vm")
+            .collect()
+        )
+        want: dict = {}
+        for r in ev:
+            want.setdefault(r.user_id, []).append(
+                (r.us, r.event_id, r.vm if r.vm is not None else 0)
+            )
+        for uid, evs in want.items():
+            evs.sort(key=lambda t: (-t[0], -t[1]))
+            expect = {i: v for i, (_, _, v) in enumerate(evs[:3])}
+            assert got[uid] == expect, (uid, got[uid], expect)
+        assert set(got) == set(want)
+        # per-user event totals carried in the second state variable
+        batch_n = {
+            r.user_id: r.n
+            for r in spark.read.parquet(replay_dir)
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert latest_seen == batch_n
+    finally:
+        q.stop()

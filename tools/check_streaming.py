@@ -178,6 +178,93 @@ def tws_totals_vs_batch_q04(spark, sf_dir, replay_dir, work):
 
 
 @scenario
+def tws_mapstate_census_vs_batch(spark, sf_dir, replay_dir, work):
+    """state-v2 MapState census: last emission per (user, event_type)
+    == batch count — drives the GetValue/ContainsKey/UpdateValue/
+    Iterator map-state message families end to end."""
+    from multi_threaded_mapreduce_framework_spark.streaming.stateful import (
+        event_type_census_tws,
+    )
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    agg = event_type_census_tws(
+        events_stream(spark, replay_dir).select("user_id", "event_type")
+    )
+    q = run_to_convergence(agg, "cs_census_tws", output_mode="update")
+    try:
+        got = {
+            (r.user_id, r.event_type): r.cnt
+            for r in spark.table("cs_census_tws")
+            .groupBy("user_id", "event_type")
+            .agg(F.max("cnt").alias("cnt"))
+            .collect()
+        }
+    finally:
+        q.stop()
+    batch = {
+        (r.user_id, r.event_type): r.cnt
+        for r in spark.read.parquet(replay_dir)
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    _check(got == batch, "census mismatch")
+    return len(got)
+
+
+@scenario
+def tws_liststate_recent_vs_batch(spark, sf_dir, replay_dir, work):
+    """state-v2 ListState last-3 buffer: converged buffer == global
+    top-3 by (us, event_id) per user — drives the ListStateGet/
+    ListStatePut message families; two state variables per processor."""
+    from multi_threaded_mapreduce_framework_spark.streaming.stateful import (
+        recent_values_tws,
+    )
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    micro = "CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)"
+    stream = events_stream(spark, replay_dir).selectExpr(
+        "user_id", "unix_micros(ts) AS us", "event_id", f"{micro} AS vm"
+    )
+    q = run_to_convergence(
+        recent_values_tws(stream, k=3), "cs_recent_tws", output_mode="update"
+    )
+    try:
+        rows = spark.table("cs_recent_tws").collect()
+    finally:
+        q.stop()
+    latest_seen = {}
+    for r in rows:
+        latest_seen[r.user_id] = max(latest_seen.get(r.user_id, 0), r.seen)
+    got = {}
+    for r in rows:
+        if r.seen == latest_seen[r.user_id]:
+            got.setdefault(r.user_id, {})[r.pos] = r.vm
+    ev = (
+        spark.read.parquet(replay_dir)
+        .selectExpr("user_id", "unix_micros(ts) AS us", "event_id", f"{micro} AS vm")
+        .collect()
+    )
+    want = {}
+    for r in ev:
+        want.setdefault(r.user_id, []).append(
+            (r.us, r.event_id, r.vm if r.vm is not None else 0)
+        )
+    _check(set(got) == set(want), "user sets differ")
+    for uid, evs in want.items():
+        evs.sort(key=lambda t: (-t[0], -t[1]))
+        expect = {i: v for i, (_, _, v) in enumerate(evs[:3])}
+        _check(got[uid] == expect, f"buffer mismatch for user {uid}")
+    return len(got)
+
+
+@scenario
 def dedup_first_wins(spark, sf_dir, replay_dir, work):
     s = stream_dedup(events_stream(spark, replay_dir), ["user_id", "event_type"])
     q = run_to_convergence(s, "cs_dedup", output_mode="append")
