@@ -241,6 +241,119 @@ def recent_values_tws(stream: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
+def session_finalizer_tws(stream: DataFrame, gap_s: int = 1800) -> DataFrame:
+    """Event-time-TIMER sessionization (state-v2): per user, an open
+    session extends while events arrive within ``gap_s``; an event-time
+    timer registered at ``last_event + gap`` finalizes the session when
+    the WATERMARK passes it — emitting (user_id, start_us, end_us, n)
+    exactly once per closed session, in append mode.  This is the idle
+    finalization pattern windowed aggregation cannot express (emission
+    on QUIET, not on data) and the operator that completes this repo's
+    state-v2 surface: RegisterTimer/DeleteTimer/ListTimers and the
+    handleExpiredTimer callback all run end to end through the
+    state-server transport.
+
+    Semantics: gaps detected WITHIN arriving data close sessions
+    immediately (handleInputRows emits them, no timer involved); only
+    the trailing open session per user waits on its timer.  Input
+    needs (user_id, ts, event_id) with a watermark on ``ts``; feed a
+    TIME-ORDERED replay (``replay_events_time_ordered``) — with a
+    0-second watermark delay, a hash-partitioned replay would race the
+    watermark past later chunks and drop them as late."""
+
+    def make():
+        from pyspark.sql.streaming.stateful_processor import (
+            StatefulProcessor,
+            StatefulProcessorHandle,
+        )
+
+        gap_us = gap_s * 1_000_000
+
+        class SessionFinalizer(StatefulProcessor):
+            def init(self, handle: StatefulProcessorHandle) -> None:
+                self._handle = handle
+                self._open = handle.getValueState(
+                    "open", "start_us bigint, last_us bigint, n bigint"
+                )
+
+            def handleInputRows(self, key, rows, timerValues):
+                import pandas as pd
+
+                evs = []
+                for pdf in rows:
+                    vals = pdf[["us", "event_id"]].astype("int64")
+                    evs.extend(map(tuple, vals.itertuples(index=False)))
+                evs.sort()
+                cur = (
+                    tuple(map(int, self._open.get()))
+                    if self._open.exists()
+                    else None
+                )
+                closed = []
+                for us, _eid in evs:
+                    if cur is None:
+                        cur = (us, us, 1)
+                    elif us - cur[1] <= gap_us:
+                        cur = (cur[0], max(cur[1], us), cur[2] + 1)
+                    else:
+                        closed.append(cur)
+                        cur = (us, us, 1)
+                # retire any previously-registered timer, then arm the
+                # trailing session's idle timer (ms, timer clock unit)
+                for t in list(self._handle.listTimers()):
+                    self._handle.deleteTimer(t)
+                self._open.update(cur)
+                self._handle.registerTimer((cur[1] + gap_us) // 1000)
+                if closed:
+                    yield pd.DataFrame(
+                        {
+                            "user_id": [key[0]] * len(closed),
+                            "start_us": [c[0] for c in closed],
+                            "end_us": [c[1] for c in closed],
+                            "n": [c[2] for c in closed],
+                        }
+                    )
+
+            def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+                import pandas as pd
+
+                if self._open.exists():
+                    start, last, n = map(int, self._open.get())
+                    # the timer that fired is the trailing session's
+                    # idle deadline; the watermark has passed it, so no
+                    # earlier event can still arrive — finalize
+                    if expiredTimerInfo.getExpiryTimeInMs() >= (
+                        (last + gap_us) // 1000
+                    ):
+                        self._open.clear()
+                        yield pd.DataFrame(
+                            {
+                                "user_id": [key[0]],
+                                "start_us": [start],
+                                "end_us": [last],
+                                "n": [n],
+                            }
+                        )
+
+            def close(self) -> None:
+                pass
+
+        return SessionFinalizer
+
+    return (
+        stream.withWatermark("ts", "0 seconds")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=make()(),
+            outputStructType=(
+                "user_id bigint, start_us bigint, end_us bigint, n bigint"
+            ),
+            outputMode="Append",
+            timeMode="EventTime",
+        )
+    )
+
+
 def _make_micro_totals_processor():
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,

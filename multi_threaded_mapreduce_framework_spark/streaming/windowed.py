@@ -34,6 +34,32 @@ def replay_events(
     ev.repartition(n_chunks).write.mode("overwrite").parquet(out_dir)
 
 
+def replay_events_time_ordered(
+    spark: SparkSession, sf_dir: str, out_dir: str, n_chunks: int = 4
+) -> None:
+    """Write the ``events`` table as ``n_chunks`` TIME-RANGE chunks,
+    written sequentially so the file stream (which orders files by
+    modification time) replays them in event-time order — the shape an
+    event-time-timer pipeline needs (a hash-partitioned replay would
+    race the watermark past data still in later chunks).  Chunk
+    boundaries are ntile ranges of ``ts``; within a chunk rows stay
+    unordered (micro-batch internal disorder is the operator's job)."""
+    import time as _time
+
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.selectExpr(
+        f"ntile({n_chunks}) OVER (ORDER BY ts, event_id) AS tile",
+        "ts",
+        "event_id",
+    )
+    tiled = ev.join(bounds, ["ts", "event_id"])
+    for i in range(1, n_chunks + 1):
+        tiled.filter(F.col("tile") == i).drop("tile").coalesce(1).write.mode(
+            "append"
+        ).parquet(out_dir)
+        _time.sleep(0.05)  # strictly increasing file mtimes
+
+
 def events_stream(spark: SparkSession, src_dir: str) -> DataFrame:
     """File-source stream over a replayed events directory, one file per
     trigger — simulates incremental arrival with out-of-order timestamps

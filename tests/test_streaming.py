@@ -460,3 +460,90 @@ def test_tws_liststate_recent_values_converges(spark, replay_dir):
         assert latest_seen == batch_n
     finally:
         q.stop()
+
+
+def test_tws_event_time_timer_sessionization(spark, tmp_path_factory):
+    """Event-time TIMERS (state-v2): idle sessions finalize when the
+    WATERMARK passes last_event + gap — emission on QUIET, which no
+    windowed aggregate can express.  A time-ordered replay plus one
+    far-future sentinel event (advancing the watermark past every real
+    timer) must yield EXACTLY the batch sessionization, each session
+    emitted once.  Drives RegisterTimer/DeleteTimer/ListTimers and the
+    handleExpiredTimer callback through the vendored transport."""
+    from multi_threaded_mapreduce_framework_spark.streaming.stateful import (
+        session_finalizer_tws,
+    )
+    from multi_threaded_mapreduce_framework_spark.streaming.windowed import (
+        replay_events_time_ordered,
+    )
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    base = tmp_path_factory.mktemp("tws_timer")
+    replay = str(base / "replay")
+    replay_events_time_ordered(spark, SF, replay, n_chunks=4)
+    import time as _t
+
+    ev = spark.read.parquet(replay)
+    sent = (
+        ev.orderBy(F.desc("ts"))
+        .limit(1)
+        .selectExpr(
+            "CAST(999999 AS BIGINT) AS event_id",
+            "CAST(999999 AS BIGINT) AS user_id",
+            "'click' AS event_type",
+            "ts + INTERVAL 30 DAYS AS ts",
+            "CAST(0.0 AS DOUBLE) AS value",
+            "'{}' AS props",
+        )
+        .select(*ev.columns)
+    )
+    _t.sleep(0.1)
+    sent.coalesce(1).write.mode("append").parquet(replay)
+
+    GAP = 1800
+    stream = events_stream(spark, replay).selectExpr(
+        "user_id", "ts", "unix_micros(ts) AS us", "event_id"
+    )
+    q = (
+        session_finalizer_tws(stream, gap_s=GAP)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stream_sess_timer")
+        .option("checkpointLocation", str(base / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(
+        (r.user_id, r.start_us, r.end_us, r.n)
+        for r in spark.table("stream_sess_timer").collect()
+        if r.user_id != 999999
+    )
+    evs = (
+        spark.read.parquet(replay)
+        .filter("user_id != 999999")
+        .selectExpr("user_id", "unix_micros(ts) AS us")
+        .collect()
+    )
+    per: dict = {}
+    for r in evs:
+        per.setdefault(r.user_id, []).append(r.us)
+    want = []
+    for uid, uss in per.items():
+        uss.sort()
+        cur = [uss[0], uss[0], 1]
+        for u in uss[1:]:
+            if u - cur[1] <= GAP * 1_000_000:
+                cur[1] = u
+                cur[2] += 1
+            else:
+                want.append((uid, cur[0], cur[1], cur[2]))
+                cur = [u, u, 1]
+        want.append((uid, cur[0], cur[1], cur[2]))
+    assert got == sorted(want)
+    assert len(got) > len(per)  # multiple sessions per user exist

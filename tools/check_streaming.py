@@ -265,6 +265,90 @@ def tws_liststate_recent_vs_batch(spark, sf_dir, replay_dir, work):
 
 
 @scenario
+def tws_timer_sessionization_vs_batch(spark, sf_dir, replay_dir, work):
+    """state-v2 event-time TIMERS: idle-session finalization when the
+    watermark passes last_event + gap; a time-ordered replay + one
+    far-future sentinel event makes every real session finalize — the
+    emitted set must equal batch sessionization exactly.  Drives
+    RegisterTimer/DeleteTimer/ListTimers + handleExpiredTimer."""
+    import time as _t
+
+    from multi_threaded_mapreduce_framework_spark.streaming.stateful import (
+        session_finalizer_tws,
+    )
+    from multi_threaded_mapreduce_framework_spark.streaming.windowed import (
+        replay_events_time_ordered,
+    )
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    replay = os.path.join(work, "timer_replay")
+    replay_events_time_ordered(spark, sf_dir, replay, n_chunks=4)
+    ev = spark.read.parquet(replay)
+    sent = (
+        ev.orderBy(F.desc("ts"))
+        .limit(1)
+        .selectExpr(
+            "CAST(999999 AS BIGINT) AS event_id",
+            "CAST(999999 AS BIGINT) AS user_id",
+            "'click' AS event_type",
+            "ts + INTERVAL 30 DAYS AS ts",
+            "CAST(0.0 AS DOUBLE) AS value",
+            "'{}' AS props",
+        )
+        .select(*ev.columns)
+    )
+    _t.sleep(0.1)
+    sent.coalesce(1).write.mode("append").parquet(replay)
+    GAP = 1800
+    stream = events_stream(spark, replay).selectExpr(
+        "user_id", "ts", "unix_micros(ts) AS us", "event_id"
+    )
+    q = (
+        session_finalizer_tws(stream, gap_s=GAP)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("cs_sess_timer")
+        .option("checkpointLocation", os.path.join(work, "timer_ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(
+        (r.user_id, r.start_us, r.end_us, r.n)
+        for r in spark.table("cs_sess_timer").collect()
+        if r.user_id != 999999
+    )
+    evs = (
+        spark.read.parquet(replay)
+        .filter("user_id != 999999")
+        .selectExpr("user_id", "unix_micros(ts) AS us")
+        .collect()
+    )
+    per = {}
+    for r in evs:
+        per.setdefault(r.user_id, []).append(r.us)
+    want = []
+    for uid, uss in per.items():
+        uss.sort()
+        cur = [uss[0], uss[0], 1]
+        for u in uss[1:]:
+            if u - cur[1] <= GAP * 1_000_000:
+                cur[1] = u
+                cur[2] += 1
+            else:
+                want.append((uid, cur[0], cur[1], cur[2]))
+                cur = [u, u, 1]
+        want.append((uid, cur[0], cur[1], cur[2]))
+    _check(got == sorted(want), f"sessions {len(got)} vs {len(want)}")
+    return len(got)
+
+
+@scenario
 def dedup_first_wins(spark, sf_dir, replay_dir, work):
     s = stream_dedup(events_stream(spark, replay_dir), ["user_id", "event_type"])
     q = run_to_convergence(s, "cs_dedup", output_mode="append")
