@@ -264,3 +264,118 @@ def q189_tws_state_readback(spark, sf_dir):
         F.max("cnt").cast("bigint").alias("cnt"),
         F.expr("max_by(sum_micro, cnt)").cast("bigint").alias("sum_micro"),
     )
+
+
+@register(
+    "q190_tws_timer_sessions",
+    tier="T2",
+    oracle="""
+WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+o AS (
+  SELECT user_id, us,
+         CASE WHEN lag(us) OVER w IS NULL
+                OR us - lag(us) OVER w > 1800 * 1000000 THEN 1 ELSE 0 END AS brk
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+s AS (
+  SELECT user_id, us,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY us
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o)
+SELECT user_id, min(us) AS start_us, max(us) AS end_us,
+       CAST(count(*) AS BIGINT) AS n
+FROM s GROUP BY user_id, sid
+""",
+)
+def q190_tws_timer_sessions(spark, sf_dir):
+    """Per-user sessions (30-min gap) computed by EVENT-TIME TIMERS in
+    a real transformWithStateInPandas run — sessions close when the
+    stream's WATERMARK passes last_event + gap and ``handleExpiredTimer``
+    fires, not when a batch window says so — hash-gated against the
+    batch gaps-and-islands oracle.
+
+    Pipeline: time-ordered replay of the events fixture (chunk
+    boundaries = ts ntiles; the file stream orders by mtime) + one
+    far-future sentinel event whose arrival advances the watermark past
+    every real timer, so each real session is finalized and emitted
+    EXACTLY once (append mode).  Gaps visible within arrived data close
+    sessions inline; only each user's trailing session waits on its
+    registered timer — RegisterTimer/DeleteTimer/ListTimers and the
+    expiry callback all cross the state-server transport in this run.
+
+    Scale shape: state per user is one (start, last, n) triple plus
+    one registered timer in the key-partitioned store; emission is
+    driven by watermark progress, so quiet keys cost nothing per
+    micro-batch and state never outlives its session — the idle-
+    finalization pattern (abandoned carts, dead sessions, SLA timeouts)
+    that windowed aggregation cannot express.
+    """
+    import pyspark.sql.functions as F
+
+    from multi_threaded_mapreduce_framework_spark.streaming import events_stream
+    from multi_threaded_mapreduce_framework_spark.streaming.protoshim import (
+        ensure_protobuf_on_workers,
+    )
+    from multi_threaded_mapreduce_framework_spark.streaming.stateful import (
+        session_finalizer_tws,
+    )
+    from multi_threaded_mapreduce_framework_spark.streaming.windowed import (
+        replay_events_time_ordered,
+    )
+
+    SENTINEL = 999_999_999
+    key = (spark.sparkContext.applicationId, sf_dir, "tws_timer")
+    cached = _MATVIEW_STATE_CACHE.get(key)
+    if cached is None:
+        import time as _t
+
+        ensure_protobuf_on_workers(spark)  # vanilla-session safe
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        base = os.path.join(
+            tempfile.gettempdir(),
+            "mtmrf_layout",
+            layout_tag(spark, sf_dir),
+            "tws_timer",
+        )
+        replay = os.path.join(base, "replay")
+        replay_events_time_ordered(spark, sf_dir, replay, n_chunks=4)
+        ev = spark.read.parquet(replay)
+        sent = (
+            ev.orderBy(F.desc("ts"))
+            .limit(1)
+            .selectExpr(
+                f"CAST({SENTINEL} AS BIGINT) AS event_id",
+                f"CAST({SENTINEL} AS BIGINT) AS user_id",
+                "'click' AS event_type",
+                "ts + INTERVAL 30 DAYS AS ts",
+                "CAST(0.0 AS DOUBLE) AS value",
+                "'{}' AS props",
+            )
+            .select(*ev.columns)
+        )
+        _t.sleep(0.1)
+        sent.coalesce(1).write.mode("append").parquet(replay)
+        stream = events_stream(spark, replay).selectExpr(
+            "user_id", "ts", "unix_micros(ts) AS us", "event_id"
+        )
+        table = f"q190_tws_{abs(hash(key)) % 10**9}"
+        q = (
+            session_finalizer_tws(stream, gap_s=1800)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(table)
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        cached = spark.table(table).localCheckpoint()
+        _MATVIEW_STATE_CACHE[key] = cached
+    return cached.filter(F.col("user_id") != SENTINEL).select(
+        "user_id", "start_us", "end_us", "n"
+    )
