@@ -21,6 +21,14 @@ stateless (append mode, no watermark, no state store), which means:
   pathological replay of an already-compacted batch cannot double
   count).
 
+Reader-vs-ingest atomicity: readers (and the compactor) include only
+COMMITTED batch dirs — ones carrying Spark's ``_SUCCESS`` marker — so
+a batch being written concurrently (or re-written by a replay) is
+never torn-read; it enters the view atomically at commit.  The
+compactor additionally PINS its fold set before reading, so a batch
+committing mid-compaction stays out of both the snapshot and the
+watermark and is counted exactly once afterward.
+
 Reader-vs-compactor atomicity: the current snapshot is named by a
 ``_BASE`` pointer file swapped with ``os.replace`` (atomic on POSIX).
 A reader therefore always resolves to a COMPLETE snapshot — never a
@@ -120,6 +128,25 @@ def _watermark(state_dir: str) -> int:
     return _watermark_of(_base_dir(state_dir))
 
 
+def _committed_batch_ids(state_dir: str) -> list[int]:
+    """Batch ids whose directory carries Spark's ``_SUCCESS`` commit
+    marker.  Readers and the compactor must see only COMMITTED batches:
+    a batch dir being written concurrently (foreachBatch ingest, or a
+    replay overwrite) lists with partial part-files — including it
+    would be a torn read (undercount or AnalysisException), exactly the
+    class of bug the pointer-swap discipline exists to prevent on the
+    snapshot side.  A replayed batch briefly loses its marker during
+    its overwrite; skipping it until re-commit keeps every read a view
+    over complete batches only."""
+    out = []
+    for d in os.listdir(state_dir):
+        if d.startswith("batch_id=") and os.path.exists(
+            os.path.join(state_dir, d, "_SUCCESS")
+        ):
+            out.append(int(d.split("=", 1)[1]))
+    return out
+
+
 def _publish_base(state_dir: str, tmp: str, wm_old: int, wm_new: int) -> None:
     """Atomically publish ``tmp`` (a complete snapshot dir already
     carrying its ``_watermark``) as the current base, then GC state
@@ -169,30 +196,37 @@ def _publish_base(state_dir: str, tmp: str, wm_old: int, wm_new: int) -> None:
                 pass
 
 
-def read_matview(spark, state_dir: str, keys: list[str]) -> DataFrame:
-    """Current view = base snapshot + partials from batch dirs ABOVE
-    the compaction watermark, re-aggregated.  Exact at any moment."""
-    base = _base_dir(state_dir)  # resolved ONCE; wm comes from this snapshot
-    wm = _watermark_of(base)
+def _merged_partials(spark, state_dir, keys, base, ids, cols):
+    """Union of base snapshot + the EXPLICIT batch ids — the id set is
+    pinned by the caller so a batch committing mid-operation cannot
+    slip into the data but out of the recorded watermark (that tear
+    would double count it after the compaction)."""
     parts = []
     if base is not None:
-        parts.append(spark.read.parquet(base).select(*keys, "cnt", "sum_micro"))
-    batch_dirs = [
-        os.path.join(state_dir, d)
-        for d in os.listdir(state_dir)
-        if d.startswith("batch_id=") and int(d.split("=", 1)[1]) > wm
-    ]
-    if batch_dirs:
+        parts.append(spark.read.parquet(base).select(*keys, *cols))
+    if ids:
+        dirs = [os.path.join(state_dir, f"batch_id={i}") for i in ids]
         parts.append(
             spark.read.option("basePath", state_dir)
-            .parquet(*batch_dirs)
-            .select(*keys, "cnt", "sum_micro")
+            .parquet(*dirs)
+            .select(*keys, *cols)
         )
     if not parts:
         raise FileNotFoundError(f"no matview state under {state_dir}")
     u = parts[0]
     for p in parts[1:]:
         u = u.unionByName(p)
+    return u
+
+
+def read_matview(spark, state_dir: str, keys: list[str]) -> DataFrame:
+    """Current view = base snapshot + partials from COMMITTED batch
+    dirs above the compaction watermark, re-aggregated.  Exact over
+    committed batches at any moment."""
+    base = _base_dir(state_dir)  # resolved ONCE; wm comes from this snapshot
+    wm = _watermark_of(base)
+    ids = [i for i in _committed_batch_ids(state_dir) if i > wm]
+    u = _merged_partials(spark, state_dir, keys, base, ids, ["cnt", "sum_micro"])
     return (
         u.groupBy(*keys)
         .agg(
@@ -208,18 +242,25 @@ def compact_matview(spark, state_dir: str, keys: list[str]) -> int:
     snapshot whose ``_watermark`` records the highest folded batch id,
     published with the atomic pointer swap + one-generation-deferred
     GC of :func:`_publish_base`.  Returns the new watermark (-1 if
-    there was nothing to fold)."""
-    ids = [
-        int(d.split("=", 1)[1])
-        for d in os.listdir(state_dir)
-        if d.startswith("batch_id=")
-    ]
-    wm_old = _watermark(state_dir)
-    fold = [i for i in ids if i > wm_old]
+    there was nothing to fold).
+
+    The fold set is PINNED before reading: a batch that commits after
+    the listing stays out of both the snapshot and the watermark, so
+    it is counted exactly once by later reads."""
+    base = _base_dir(state_dir)
+    wm_old = _watermark_of(base)
+    fold = [i for i in _committed_batch_ids(state_dir) if i > wm_old]
     if not fold:
         return wm_old
     wm_new = max(fold)
-    snap = read_matview(spark, state_dir, keys).select(*keys, "cnt", "sum_micro")
+    snap = (
+        _merged_partials(spark, state_dir, keys, base, fold, ["cnt", "sum_micro"])
+        .groupBy(*keys)
+        .agg(
+            F.sum("cnt").cast("bigint").alias("cnt"),
+            F.sum("sum_micro").cast("bigint").alias("sum_micro"),
+        )
+    )
     tmp = os.path.join(state_dir, f"._base-{uuid.uuid4().hex[:8]}")
     snap.coalesce(1).write.mode("overwrite").parquet(tmp)
     with open(os.path.join(tmp, _WM), "w") as f:
@@ -265,29 +306,11 @@ def start_bitmap_matview(
 
 
 def _bitmap_state(spark, state_dir: str, keys: list[str]) -> DataFrame:
-    """Union of base + above-watermark batch word partials."""
+    """Union of base + above-watermark COMMITTED batch word partials."""
     base = _base_dir(state_dir)  # resolved ONCE; wm comes from this snapshot
     wm = _watermark_of(base)
-    parts = []
-    if base is not None:
-        parts.append(spark.read.parquet(base).select(*keys, "wi", "w"))
-    batch_dirs = [
-        os.path.join(state_dir, d)
-        for d in os.listdir(state_dir)
-        if d.startswith("batch_id=") and int(d.split("=", 1)[1]) > wm
-    ]
-    if batch_dirs:
-        parts.append(
-            spark.read.option("basePath", state_dir)
-            .parquet(*batch_dirs)
-            .select(*keys, "wi", "w")
-        )
-    if not parts:
-        raise FileNotFoundError(f"no bitmap matview state under {state_dir}")
-    u = parts[0]
-    for p in parts[1:]:
-        u = u.unionByName(p)
-    return u
+    ids = [i for i in _committed_batch_ids(state_dir) if i > wm]
+    return _merged_partials(spark, state_dir, keys, base, ids, ["wi", "w"])
 
 
 def read_bitmap_matview(spark, state_dir: str, keys: list[str]) -> DataFrame:
@@ -307,20 +330,19 @@ def compact_bitmap_matview(spark, state_dir: str, keys: list[str]) -> int:
     base snapshot (same atomic pointer swap + deferred-GC discipline as
     :func:`compact_matview`, via :func:`_publish_base`).  The snapshot
     keeps WORDS, not counts, so it stays mergeable with future batches
-    forever."""
-    ids = [
-        int(d.split("=", 1)[1])
-        for d in os.listdir(state_dir)
-        if d.startswith("batch_id=")
-    ]
-    wm_old = _watermark(state_dir)
-    fold = [i for i in ids if i > wm_old]
+    forever.  The fold set is pinned before reading (see
+    :func:`compact_matview`)."""
+    base = _base_dir(state_dir)
+    wm_old = _watermark_of(base)
+    fold = [i for i in _committed_batch_ids(state_dir) if i > wm_old]
     if not fold:
         return wm_old
     wm_new = max(fold)
     from multi_threaded_mapreduce_framework_spark.functions.bitmap import merge_words
 
-    snap = merge_words(_bitmap_state(spark, state_dir, keys), keys)
+    snap = merge_words(
+        _merged_partials(spark, state_dir, keys, base, fold, ["wi", "w"]), keys
+    )
     tmp = os.path.join(state_dir, f"._base-{uuid.uuid4().hex[:8]}")
     snap.coalesce(1).write.mode("overwrite").parquet(tmp)
     with open(os.path.join(tmp, _WM), "w") as f:

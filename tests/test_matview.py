@@ -415,3 +415,68 @@ def test_bitmap_matview_reader_with_stale_pointer_stays_exact(spark, tmp_path):
     stale_view = count_distinct_words(merge_words(stale_words, KEYS), KEYS)
     assert sorted(map(tuple, stale_view.collect())) == truth
     assert sorted(map(tuple, read_bitmap_matview(spark, state, KEYS).collect())) == truth
+
+
+def test_matview_reads_stay_exact_under_concurrent_compaction(spark, tmp_path):
+    """The module's atomicity claim, stress-tested: a reader loop and a
+    compactor loop race over live state — EVERY read must be exact (no
+    double count from a torn wm/base pairing, no undercount from a
+    mid-swap resolve).  Batches keep arriving between compactions, so
+    readers constantly cross pointer swaps and deferred GCs."""
+    import threading
+
+    state = str(tmp_path / "state")
+    ev = load_table(spark, SF, "events")
+    # micro-batches: 6 disjoint slices with known totals
+    slices = [ev.filter(f"event_id % 6 = {i}") for i in range(6)]
+    truth_after = []  # cumulative expected (key -> (cnt, sum)) per batch
+    running: dict = {}
+    for i, sl in enumerate(slices):
+        for r in _partials(sl, KEYS).collect():
+            c, s = running.get(r.event_type, (0, 0))
+            running[r.event_type] = (c + r.cnt, s + r.sum_micro)
+        truth_after.append(dict(running))
+
+    errors: list = []
+    stop = threading.Event()
+
+    def compactor():
+        while not stop.is_set():
+            try:
+                compact_matview(spark, state, KEYS)
+            except Exception as e:  # noqa: BLE001
+                errors.append(("compact", repr(e)))
+                return
+
+    written = 0
+    t = threading.Thread(target=compactor, daemon=True)
+    _partials(slices[0], KEYS).write.parquet(f"{state}/batch_id=0")
+    written = 1
+    t.start()
+    try:
+        for i in range(1, 6):
+            _partials(slices[i], KEYS).write.parquet(f"{state}/batch_id={i}")
+            written = i + 1
+            # several reads racing this write window's compactions
+            for _ in range(3):
+                got = {
+                    r.event_type: (r.cnt, r.sum_micro)
+                    for r in read_matview(spark, state, KEYS).collect()
+                }
+                # the read must equal the cumulative truth at SOME
+                # prefix >= the last fully-written batch before the
+                # read started; since writes happen in this thread,
+                # the only valid answer is the current cumulative state
+                want = truth_after[written - 1]
+                if got != want:
+                    errors.append(("read", written, got, want))
+    finally:
+        stop.set()
+        t.join(timeout=30)
+    assert not errors, errors[:3]
+    # converged view == one-pass batch aggregate over everything
+    final = {
+        r.event_type: (r.cnt, r.sum_micro)
+        for r in read_matview(spark, state, KEYS).collect()
+    }
+    assert final == truth_after[-1]

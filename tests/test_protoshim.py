@@ -197,3 +197,81 @@ def test_real_protobuf_wins_when_available():
 
     if ensure_protobuf():
         assert VENDOR_DIR in os.environ.get("PYTHONPATH", "")
+
+
+# ---------------------------------------------------------- fuzzing
+def test_fuzz_roundtrip_random_messages():
+    """Property fuzz: random field assignments over the real generated
+    message types must round-trip bit-exactly through the vendored wire
+    format (serialize -> parse -> serialize is a fixpoint, values
+    preserved)."""
+    from hypothesis import given, settings, strategies as st
+
+    scalar_msgs = {
+        "StateResponse": {
+            "statusCode": st.integers(-(2**31), 2**31 - 1),
+            "errorMessage": st.text(max_size=40),
+            "value": st.binary(max_size=64),
+        },
+        "StateResponseWithLongTypeVal": {
+            "statusCode": st.integers(-(2**31), 2**31 - 1),
+            "errorMessage": st.text(max_size=40),
+            "value": st.integers(-(2**63), 2**63 - 1),
+        },
+        "ExpiryTimerRequest": {
+            "iteratorId": st.text(max_size=40),
+            "expiryTimestampMs": st.integers(-(2**63), 2**63 - 1),
+        },
+        "StateCallCommand": {
+            "stateName": st.text(max_size=40),
+            "schema": st.text(max_size=40),
+            "mapStateValueSchema": st.text(max_size=40),
+        },
+    }
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.data())
+    def run(data):
+        name = data.draw(st.sampled_from(sorted(scalar_msgs)))
+        cls = getattr(sm, name)
+        kwargs = {
+            f: data.draw(strat, label=f) for f, strat in scalar_msgs[name].items()
+        }
+        msg = cls(**kwargs)
+        wire = msg.SerializeToString()
+        back = cls()
+        back.ParseFromString(wire)
+        for f, v in kwargs.items():
+            assert getattr(back, f) == v, (name, f)
+        assert back.SerializeToString() == wire  # serialize is a fixpoint
+
+    run()
+
+
+def test_fuzz_repeated_bytes_roundtrip():
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=100, deadline=None)
+    @given(st.lists(st.binary(max_size=32), max_size=16), st.booleans())
+    def run(values, fetch):
+        src = sm.StateResponseWithListGet(value=values, requireNextFetch=fetch)
+        back = sm.StateResponseWithListGet()
+        back.ParseFromString(src.SerializeToString())
+        assert list(back.value) == values
+        assert back.requireNextFetch == fetch
+
+    run()
+
+
+def test_fuzz_varint_roundtrip_u64():
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.integers(-(2**63), 2**64 - 1))
+    def run(v):
+        buf = pshim.encode_varint(v)
+        got, pos = pshim.decode_varint(buf, 0)
+        assert pos == len(buf)
+        assert got == v & (2**64 - 1)
+
+    run()
