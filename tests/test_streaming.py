@@ -547,3 +547,72 @@ def test_tws_event_time_timer_sessionization(spark, tmp_path_factory):
         want.append((uid, cur[0], cur[1], cur[2]))
     assert got == sorted(want)
     assert len(got) > len(per)  # multiple sessions per user exist
+
+
+def test_tws_checkpoint_recovery_resumes_state(spark, tmp_path_factory):
+    """state-v2 exactly-once across a RESTART: run a TWS query over the
+    first half of the data, stop it, append the second half, restart
+    from the same checkpoint — the converged per-user totals must equal
+    the batch aggregate over everything (state reloaded from RocksDB,
+    no double counting, no loss).  The restart also re-initializes the
+    whole protobuf transport in a fresh run of the same query."""
+    from multi_threaded_mapreduce_framework_spark.sources import load_table
+    from multi_threaded_mapreduce_framework_spark.streaming.stateful import (
+        running_user_totals_tws_micro,
+    )
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    base = tmp_path_factory.mktemp("tws_ckpt")
+    src = str(base / "events")
+    ckpt = str(base / "ck")
+    full = load_table(spark, SF, "events")
+    first = full.filter("event_id % 2 = 0")
+    second = full.filter("event_id % 2 = 1")
+    first.repartition(2).write.mode("overwrite").parquet(src)
+
+    micro = "CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)"
+    out = str(base / "out")
+
+    def run_once():
+        stream = events_stream(spark, src).selectExpr(
+            "user_id", f"{micro} AS vm"
+        )
+
+        # memory sink cannot recover an update-mode query from a
+        # checkpoint; a foreachBatch parquet append can, and the
+        # max-cnt-per-user analysis below is replay-tolerant
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(out)
+
+        q = (
+            running_user_totals_tws_micro(stream)
+            .writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run_once()  # first half
+    second.repartition(2).write.mode("append").parquet(src)
+    run_once()  # restart from checkpoint: picks up only the new files
+    rows = spark.read.parquet(out).collect()
+    latest = {}
+    for r in rows:
+        if r.user_id not in latest or r.cnt > latest[r.user_id][0]:
+            latest[r.user_id] = (r.cnt, r.sum_micro)
+    batch = {
+        r.user_id: (r.cnt, r.sum_micro)
+        for r in full.selectExpr("user_id", f"{micro} AS vm")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("vm").alias("sum_micro"),
+        )
+        .collect()
+    }
+    assert latest == batch
