@@ -98,6 +98,7 @@ _DRIVER_PRIORITY = (
     "q188_incremental_matview_readback",
     "q189_tws_state_readback",
     "q190_tws_timer_sessions",
+    "q191_training_corpus_pipeline",
     # --- last driver row r01: 22 stale rows (q25-q28 got their r05
     #     rows in the r5 window tail; these are the remainder) ---
     "q29_knn_label",

@@ -472,3 +472,88 @@ def q175_tree_depth_pointer_jumping(spark, sf_dir, rounds: int = 6):
             f"{rounds} rounds; raise rounds (covers depth 2^rounds)"
         )
     return state.select(F.col("c").alias("custkey"), F.col("dist").alias("depth"))
+
+
+@register(
+    "q191_training_corpus_pipeline",
+    tier="T2",
+    oracle=f"""
+WITH gated AS (
+  SELECT doc_id, lang, text, len(string_split(text, ' ')) AS nt
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= 5 AND len(text) <= 1000),
+surv AS (
+  SELECT min(doc_id) AS doc_id
+  FROM gated GROUP BY lower(trim(text))),
+sdocs AS (
+  SELECT g.doc_id, g.lang, g.nt
+  FROM gated g JOIN surv s ON g.doc_id = s.doc_id),
+pairs AS (SELECT d1, d2 FROM ({_PAIR_SQL})),
+dropped AS (
+  SELECT DISTINCT p.d2 FROM pairs p JOIN sdocs a ON p.d1 = a.doc_id),
+kept AS (
+  SELECT * FROM sdocs WHERE doc_id NOT IN (SELECT d2 FROM dropped))
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(nt) AS BIGINT) AS n_tokens,
+       CAST(sum(greatest(nt - 1, 0) // 24 + 1) AS BIGINT) AS n_chunks
+FROM kept GROUP BY lang
+""",
+)
+def q191_training_corpus_pipeline(spark, sf_dir):
+    """The training-data-prep flow END TO END as one declared query —
+    quality gates -> exact dedup -> near-dup removal -> chunk census —
+    each stage the law its standalone query already proved (q132-style
+    gates, q25's keep-min-doc exact dedup, q35's verified LSH pairs,
+    q85's stride-24/width-32 chunk count), composed the way a corpus
+    build actually runs them.  Output: per lang, documents kept, total
+    tokens, and chunk count of the final corpus.
+
+    Stage semantics (all deterministic, oracle-mirrored):
+    1. GATE: >= 5 words and <= 1000 chars.
+    2. EXACT DEDUP on lower(trim(text)), survivor = min doc_id; the
+       survivor's own (lang, token-count) ride the min-struct, so no
+       join-back (q25's one-shuffle shape).
+    3. NEAR-DUP REMOVAL: drop any doc appearing as the LARGER side of
+       a verified q35 pair whose smaller side survived stages 1-2
+       (pair-cover removal; restricting the full-corpus pair set to
+       surviving endpoints equals re-running LSH on the survivors,
+       because band keys are per-document).  Reuses the session's
+       cached verified pair set (``minhash_pairs``) — the pipeline
+       does not recompute the sketch.
+    4. CHUNK CENSUS: q85's law, n_chunks = (nt-1) div 24 + 1.
+
+    Scale shape: stages 1-2 are one partial-agg shuffle over the
+    corpus; stage 3 is one broadcast-sized join against the (tiny)
+    near-dup pair set; stage 4 is arithmetic inside the final rollup.
+    Nothing materializes per-chunk rows — the census is computed from
+    token counts, which is exactly how you'd size a corpus before
+    paying for the chunk write."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    gated = docs.filter(
+        (F.size(words) >= 5) & (F.length("text") <= 1000)
+    ).select("doc_id", "lang", "text", F.size(words).alias("nt"))
+    sdocs = (
+        gated.groupBy(F.lower(F.trim(F.col("text"))).alias("norm"))
+        .agg(F.min(F.struct("doc_id", "lang", "nt")).alias("s"))
+        .select("s.doc_id", "s.lang", "s.nt")
+    )
+    pairs = minhash_pairs(spark, sf_dir)
+    dropped = (
+        pairs.join(
+            sdocs.select(F.col("doc_id").alias("d1")), "d1"
+        )
+        .select("d2")
+        .distinct()
+    )
+    kept = sdocs.join(
+        F.broadcast(dropped), sdocs.doc_id == dropped.d2, "left_anti"
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("nt").cast("bigint").alias("n_tokens"),
+        F.sum(F.expr("greatest(nt - 1, 0) div 24 + 1"))
+        .cast("bigint")
+        .alias("n_chunks"),
+    )
