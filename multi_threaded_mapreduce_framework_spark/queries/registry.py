@@ -50,6 +50,7 @@ _QUERY_MODULES = (
     "multi_threaded_mapreduce_framework_spark.queries.t2_audit",
     "multi_threaded_mapreduce_framework_spark.queries.t2_multimodal",
     "multi_threaded_mapreduce_framework_spark.queries.t2_streamq",
+    "multi_threaded_mapreduce_framework_spark.queries.t2_curate",
 )
 
 

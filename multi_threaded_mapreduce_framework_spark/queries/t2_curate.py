@@ -1,0 +1,209 @@
+"""Tier T2 — round-6 corpus-curation extensions.
+
+Five operator families a production training-data pipeline runs that
+were not yet oracle-declared: a Python-DataSource-backed census (the
+custom-source surface promoted to the hash gate), SemDeDup-style
+cluster-scoped semantic dedup, a time-hierarchy rollup whose coarse
+tier is provably re-aggregated from fine partials, MOSS winnowing
+fingerprints, and CCNet-style per-language quality terciles.
+
+Reference note: all of these are beyond-reference capabilities (the
+reference engine, MapReduceFramework.cpp:1-377, is a single-shape
+map/sort/shuffle/reduce library); they are declared per the builder
+brief's training-data-pipeline rubric and follow the same oracle
+conventions as the rest of the registry (FIXTURES.md).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql.window import Window
+
+from multi_threaded_mapreduce_framework_spark.queries.registry import register
+from multi_threaded_mapreduce_framework_spark.queries.t2_dedup import (
+    COSINE_NEARDUP_THRESHOLD,
+    IVF_CENTROIDS,
+)
+from multi_threaded_mapreduce_framework_spark.sources import load_table
+
+# ------------------------------------------------------------------ q192
+# The docgen law (sources/pydatasource.py:_doc_row) re-stated in SQL.
+# Constants MUST stay in lockstep with pydatasource._lcg/_VOCAB/_LANGS —
+# tests/test_pydatasource.py pins the Python side, the oracle below pins
+# the SQL side, and the hash gate proves they are the same law.
+_LCG_SQL = (
+    "CAST(((CAST({x} AS HUGEINT) * 6364136223846793005"
+    " + 1442695040888963407) % 9223372036854775808) AS BIGINT)"
+)
+_DOCGEN_VOCAB = (
+    "the a spark table row scan hash join sort merge batch value key part "
+    "window line fast slow agg data"
+).split()
+_DOCGEN_ROWS = 5000
+_DOCGEN_LO, _DOCGEN_HI = 100, 4100
+
+
+@register(
+    "q192_docgen_census",
+    tier="T2",
+    oracle=f"""
+WITH RECURSIVE base AS (
+  SELECT i AS doc_id, {_LCG_SQL.format(x='i')} AS h
+  FROM generate_series({_DOCGEN_LO}, {_DOCGEN_HI - 1}) t(i)),
+chain AS (
+  SELECT doc_id, h, CAST(10 + h % 40 AS BIGINT) AS n_words,
+         0 AS k, h AS w, CAST(0 AS BIGINT) AS acc
+  FROM base
+  UNION ALL
+  SELECT doc_id, h, n_words, k + 1,
+         {_LCG_SQL.format(x='w')},
+         acc + len(
+           [{','.join(f"'{w}'" for w in _DOCGEN_VOCAB)}]
+           [CAST({_LCG_SQL.format(x='w')} % 20 AS INT) + 1])
+  FROM chain WHERE k < n_words),
+per_doc AS (
+  SELECT doc_id, h, n_words, acc + n_words - 1 AS n_chars
+  FROM chain WHERE k = n_words)
+SELECT ['en','de','fr'][CAST(h % 3 AS INT) + 1] AS lang,
+       'gen' || CAST(h % 7 AS VARCHAR) AS source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_words) AS BIGINT) AS sum_words,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(min(doc_id) AS BIGINT) AS min_doc,
+       CAST(max(doc_id) AS BIGINT) AS max_doc
+FROM per_doc GROUP BY 1, 2
+""",
+)
+def q192_docgen_census(spark, sf_dir):
+    """Per-(lang, source) census of a range-filtered scan of the
+    ``docgen`` Python DataSource — the custom-source surface
+    (sources/pydatasource.py) promoted to a hash-gated declared query.
+
+    The Spark side reads REAL generated rows (word counts re-derived
+    from the actual text, not trusted from metadata) through the
+    DataSource's ``pushFilters`` path: the ``doc_id`` range predicate
+    prunes generator partitions driver-side before any row exists. The
+    oracle re-derives the entire generator law — LCG stream, lang/source
+    mapping, per-word vocabulary chain, text length — from first
+    principles in SQL (recursive CTE over the word chain), so a
+    hash-match proves the source generates exactly its declared law AND
+    that pruned reads lose no in-range rows.
+
+    Scale shape: the source is the pattern for wrapping any shardable
+    upstream (cursor-ranged API, keyspace scan) as a parallel source —
+    partitions() carves splits, pushed ranges drop whole splits, and no
+    row ever materializes on the driver.  sf-invariant by design (the
+    generator is the workload; the fixtures are not involved).
+    """
+    from multi_threaded_mapreduce_framework_spark.sources import (
+        register_python_sources,
+    )
+
+    register_python_sources(spark)
+    docs = (
+        spark.read.format("docgen")
+        .option("rows", _DOCGEN_ROWS)
+        .option("partitions", 8)
+        .load()
+        .filter(
+            (F.col("doc_id") >= _DOCGEN_LO) & (F.col("doc_id") < _DOCGEN_HI)
+        )
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            "source",
+            F.size(F.split("text", " ")).cast("bigint").alias("n_words"),
+            F.length("text").cast("bigint").alias("n_chars"),
+        )
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("sum_words"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            F.min("doc_id").cast("bigint").alias("min_doc"),
+            F.max("doc_id").cast("bigint").alias("max_doc"),
+        )
+    )
+
+
+# ------------------------------------------------------------------ q193
+@register(
+    "q193_semantic_dedup",
+    tier="T2",
+    oracle=f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < {IVF_CENTROIDS}),
+asg AS (
+  SELECT vec_id, v, centroid_id FROM (
+    SELECT e.vec_id, e.v, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.v, c.cv) DESC,
+                      c.centroid_id) AS rn
+    FROM e CROSS JOIN c) WHERE rn = 1),
+rm AS (
+  SELECT DISTINCT b.vec_id
+  FROM asg a JOIN asg b
+    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.v, b.v) >= {COSINE_NEARDUP_THRESHOLD})
+SELECT asg.centroid_id,
+       CAST(count(*) AS BIGINT) AS n_total,
+       CAST(sum(CASE WHEN rm.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_removed,
+       CAST(sum(CASE WHEN rm.vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept
+FROM asg LEFT JOIN rm ON asg.vec_id = rm.vec_id
+GROUP BY asg.centroid_id
+""",
+)
+def q193_semantic_dedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): semantic near-duplicate removal
+    scoped to embedding-space clusters.  Vectors are assigned to their
+    nearest centroid (q39's IVF law), then WITHIN each cell any vector
+    whose cosine to a lower-``vec_id`` cellmate reaches the q37
+    threshold is marked removed (keep-min representative, one pass).
+    Output: per-cell total/removed/kept census.
+
+    Plan shape: centroids broadcast for assignment (map-side), then ONE
+    shuffle co-locates each cell and a grouped Arrow kernel runs a
+    single numpy matmul per cell — pair similarities never materialize
+    as rows and vectors cross the wire exactly once.  This is the whole
+    point of SemDeDup: the quadratic term is bounded per-cell, and at
+    100 TB you grow K (k-means centroids) with the corpus so cell size
+    stays executor-bounded; the global brute-force q37 is the declared
+    baseline this replaces.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from multi_threaded_mapreduce_framework_spark.queries.t2_dedup import (
+        ivf_assignments,
+    )
+
+    thr = COSINE_NEARDUP_THRESHOLD
+
+    def kernel(key, pdf):
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        mat = np.array(list(pdf["v"]), dtype=np.float64)[order]
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        sims = (mat @ mat.T) / np.outer(norms, norms)
+        # removed[j]: some earlier (smaller vec_id) row i<j has sim>=thr
+        iu = np.triu(sims >= thr, k=1)
+        removed = iu.any(axis=0)
+        return pd.DataFrame(
+            {
+                "centroid_id": [int(key[0])],
+                "n_total": [len(ids)],
+                "n_removed": [int(removed.sum())],
+                "n_kept": [int(len(ids) - removed.sum())],
+            }
+        )
+
+    asg = ivf_assignments(spark, sf_dir).select("vec_id", "v", "centroid_id")
+    return asg.groupBy("centroid_id").applyInPandas(
+        kernel,
+        schema="centroid_id bigint, n_total bigint, n_removed bigint, n_kept bigint",
+    )
