@@ -207,3 +207,126 @@ def q193_semantic_dedup(spark, sf_dir):
         kernel,
         schema="centroid_id bigint, n_total bigint, n_removed bigint, n_kept bigint",
     )
+
+
+# ------------------------------------------------------------------ q194
+_MICRO = "CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)"
+
+
+@register(
+    "q194_rollup_hierarchy",
+    tier="T2",
+    oracle=f"""
+WITH h AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr,
+         CAST(count(*) AS BIGINT) AS cnt,
+         CAST(sum({_MICRO}) AS BIGINT) AS sum_micro
+  FROM events GROUP BY 1, 2)
+SELECT strftime(date_trunc('day', hr), '%Y-%m-%d') AS day, event_type,
+       CAST(sum(cnt) AS BIGINT) AS cnt,
+       CAST(sum(sum_micro) AS BIGINT) AS sum_micro,
+       CAST(sum(sum_micro) // sum(cnt) AS BIGINT) AS avg_micro,
+       CAST(count(*) AS BIGINT) AS n_active_hours
+FROM h GROUP BY 1, 2
+""",
+)
+def q194_rollup_hierarchy(spark, sf_dir):
+    """Time-hierarchy rollup: the daily tier computed FROM hourly
+    partials, not from raw events — the hypertable/matview rollup law.
+    ``n_active_hours`` (count of non-empty hour cells per day) only
+    exists on the hierarchy path, so the hash gate proves the coarse
+    tier really was re-aggregated from the fine tier, and the integer
+    micro-unit sums prove the re-aggregation is exact (no float drift
+    between tiers).
+
+    Scale shape: this is how 100 TB of raw events stays queryable —
+    hour partials are ~|keys|x24 rows/day regardless of raw volume,
+    daily/monthly tiers fold from them without re-reading raw data
+    (same law the streaming matview uses, streaming/matview.py), and
+    both aggregations partial-agg map-side.  The extra shuffle vs a
+    direct daily group-by is the declared price of materializable
+    intermediate state.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("hr"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            F.sum(F.expr(_MICRO)).cast("bigint").alias("sum_micro"),
+        )
+    )
+    return (
+        hourly.groupBy(
+            F.date_format(F.date_trunc("day", "hr"), "yyyy-MM-dd").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.sum("cnt").cast("bigint").alias("cnt"),
+            F.sum("sum_micro").cast("bigint").alias("sum_micro"),
+            F.expr("sum(sum_micro) div sum(cnt)").cast("bigint").alias("avg_micro"),
+            F.count(F.lit(1)).cast("bigint").alias("n_active_hours"),
+        )
+    )
+
+
+# ------------------------------------------------------------------ q197
+_Q_SCORE_DUCK = """
+least(1.0, len(string_split(text, ' ')) / 40.0) * 0.6
++ least(1.0, (length(replace(text, ' ', ''))
+              / CAST(len(string_split(text, ' ')) AS DOUBLE)) / 8.0) * 0.4
+"""
+
+
+@register(
+    "q197_quality_terciles",
+    tier="T2",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id, lang, n_chars, {_Q_SCORE_DUCK} AS q
+  FROM documents),
+b AS (
+  SELECT lang, q, n_chars,
+         ntile(3) OVER (PARTITION BY lang ORDER BY q DESC, doc_id) AS tercile
+  FROM scored)
+SELECT lang, CAST(tercile AS BIGINT) AS tercile,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(q), 2) AS avg_quality,
+       round(min(q), 4) AS min_quality,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM b GROUP BY lang, tercile
+""",
+)
+def q197_quality_terciles(spark, sf_dir):
+    """CCNet-style head/middle/tail split: rank every document within
+    its language by the q31 quality score (deterministic tiebreak on
+    doc_id) and cut each language into terciles — the standard shape
+    for keeping the head, LM-filtering the middle, and dropping the
+    tail of a crawl.  Census per (lang, tercile).
+
+    Scale shape: the window partitions by ``lang`` — a domain-bounded
+    key set — never by the corpus, so each language ranks independently
+    (and a language too large for one task moves to the q111
+    distributed-quantile-cut law, the documented scale sibling for
+    unbounded partitions).  Score math is pure column arithmetic in the
+    scan stage.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    n_tok = F.size(ws)
+    awl = F.length(F.regexp_replace("text", " ", "")) / n_tok.cast("double")
+    q = (
+        F.least(F.lit(1.0), n_tok / F.lit(40.0)) * 0.6
+        + F.least(F.lit(1.0), awl / F.lit(8.0)) * 0.4
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("q"), F.asc("doc_id"))
+    return (
+        docs.select("doc_id", "lang", "n_chars", q.alias("q"))
+        .withColumn("tercile", F.ntile(3).over(w).cast("bigint"))
+        .groupBy("lang", "tercile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(F.avg("q"), 2).alias("avg_quality"),
+            F.round(F.min("q"), 4).alias("min_quality"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+    )
