@@ -100,6 +100,12 @@ _DRIVER_PRIORITY = (
     "q189_tws_state_readback",
     "q190_tws_timer_sessions",
     "q191_training_corpus_pipeline",
+    "q192_docgen_census",
+    "q193_semantic_dedup",
+    "q194_rollup_hierarchy",
+    "q195_winnowing_fingerprints",
+    "q196_stream_stream_join_readback",
+    "q197_quality_terciles",
     # --- last driver row r01: 22 stale rows (q25-q28 got their r05
     #     rows in the r5 window tail; these are the remainder) ---
     "q29_knn_label",

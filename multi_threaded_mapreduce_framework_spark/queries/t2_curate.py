@@ -1,11 +1,12 @@
 """Tier T2 — round-6 corpus-curation extensions.
 
-Five operator families a production training-data pipeline runs that
-were not yet oracle-declared: a Python-DataSource-backed census (the
+Operator families a production training-data pipeline runs that were
+not yet oracle-declared: a Python-DataSource-backed census (the
 custom-source surface promoted to the hash gate), SemDeDup-style
 cluster-scoped semantic dedup, a time-hierarchy rollup whose coarse
 tier is provably re-aggregated from fine partials, MOSS winnowing
-fingerprints, and CCNet-style per-language quality terciles.
+fingerprints, a stream-stream-join-backed attribution readback, and
+CCNet-style per-language quality terciles.
 
 Reference note: all of these are beyond-reference capabilities (the
 reference engine, MapReduceFramework.cpp:1-377, is a single-shape
@@ -16,10 +17,17 @@ conventions as the rest of the registry (FIXTURES.md).
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 import pyspark.sql.functions as F
 from pyspark.sql.window import Window
 
 from multi_threaded_mapreduce_framework_spark.queries.registry import register
+from multi_threaded_mapreduce_framework_spark.queries.t2_streamq import (
+    _MATVIEW_STATE_CACHE,
+)
+from multi_threaded_mapreduce_framework_spark.sources import layout_tag
 from multi_threaded_mapreduce_framework_spark.queries.t2_dedup import (
     COSINE_NEARDUP_THRESHOLD,
     IVF_CENTROIDS,
@@ -265,6 +273,255 @@ def q194_rollup_hierarchy(spark, sf_dir):
             F.sum("sum_micro").cast("bigint").alias("sum_micro"),
             F.expr("sum(sum_micro) div sum(cnt)").cast("bigint").alias("avg_micro"),
             F.count(F.lit(1)).cast("bigint").alias("n_active_hours"),
+        )
+    )
+
+
+# ------------------------------------------------------------------ q195
+# Winnowing parameters (Schleimer, Wilkerson, Aiken — SIGMOD 2003).
+# K-char grams hashed with the q34 polynomial law; windows of W
+# consecutive gram hashes; guarantee: any shared substring of length
+# >= K + W - 1 produces at least one shared fingerprint, and expected
+# density is 2 / (W + 1).
+_WIN_K = 5
+_WIN_W = 4
+_WIN_MOD = 1 << 20  # gram-hash modulus (q34's char-fold law)
+# Position encoder: sel = h * _WIN_C + (_WIN_C - 1 - pos) makes ONE
+# bigint whose min over a window is (min hash, rightmost position) —
+# the MOSS tiebreak — and stays < 2^61 for any document shorter than
+# _WIN_C = 2^40 chars (a 1 TiB single document; beyond any real row).
+_WIN_C = 1 << 40
+
+
+def winnow_fingerprints(docs):
+    """Per-document winnowing fingerprint sets: adds ``m`` (gram count)
+    and ``fps`` (array of selected gram-hash values, one per distinct
+    winnowed position) to ``docs``; rows shorter than K+W-1 chars drop.
+    Pure in-row array compute — reusable as the candidate layer for
+    fingerprint-postings joins (emit (fp, doc_id) by exploding fps)."""
+    K, W, MOD, C = _WIN_K, _WIN_W, _WIN_MOD, _WIN_C
+    es = (
+        f"transform(sequence(1, length(text) - {K - 1}), p -> "
+        f"aggregate(transform(split(substring(text, p, {K}), ''),"
+        " c -> CAST(ascii(c) AS BIGINT)),"
+        f" 0L, (a,b) -> (a*31 + b) % {MOD}) * {C}L + ({C}L - 1 - p))"
+    )
+    # Bind ``es`` ONCE per row via a single-element transform (the
+    # lambda-binding idiom): a plain projection chain lets Catalyst
+    # collapse projects and inline the O(chars x K) gram-hash array
+    # into EVERY window's slice(), turning the scan O(chars^2 x K)
+    # (measured 119 s at sf0.001 vs 0.5 s bound).
+    fps = (
+        f"element_at(transform(array({es}), es -> "
+        f"transform(array_distinct(transform(sequence(1, size(es) - {W - 1}),"
+        f" w -> array_min(slice(es, w, {W})))), v -> v div {C}L)), 1)"
+    )
+    return docs.filter(F.length("text") >= K + W - 1).withColumns(
+        {
+            "m": (F.length("text") - (K - 1)).cast("bigint"),
+            "fps": F.expr(fps),
+        }
+    )
+
+
+@register(
+    "q195_winnowing_fingerprints",
+    tier="T2",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, lang, text, length(text) - {_WIN_K - 1} AS m
+  FROM documents WHERE length(text) >= {_WIN_K + _WIN_W - 1}),
+g AS (
+  SELECT doc_id, lang, m,
+    list_transform(generate_series(1, m), p ->
+      list_reduce(list_transform(string_split(substr(text, p, {_WIN_K}), ''),
+                                 c -> CAST(ascii(c) AS BIGINT)),
+                  (a,b) -> (a*31 + b) % {_WIN_MOD}) * {_WIN_C}
+        + ({_WIN_C} - 1 - p)) AS es
+  FROM d),
+s AS (
+  SELECT doc_id, lang, m,
+    list_distinct(list_transform(generate_series(1, m - {_WIN_W - 1}), w ->
+      list_aggregate(es[w:w+{_WIN_W - 1}], 'min'))) AS sels
+  FROM g),
+perdoc AS (
+  SELECT lang, doc_id, len(sels) AS n_sel,
+         m - {_WIN_W - 1} AS n_windows, m AS n_grams,
+         list_transform(sels, v -> v // {_WIN_C}) AS fps
+  FROM s),
+a AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_sel) AS BIGINT) AS n_fp,
+         CAST(sum(n_windows) AS BIGINT) AS n_windows,
+         CAST(sum(n_grams) AS BIGINT) AS n_grams
+  FROM perdoc GROUP BY lang),
+b AS (
+  SELECT lang, CAST(count(DISTINCT fp) AS BIGINT) AS distinct_fp
+  FROM (SELECT lang, unnest(fps) AS fp FROM perdoc) GROUP BY lang)
+SELECT a.lang, n_docs, n_fp, n_windows, n_grams, distinct_fp,
+       round(n_fp / n_windows, 4) AS density
+FROM a JOIN b ON a.lang = b.lang
+""",
+)
+def q195_winnowing_fingerprints(spark, sf_dir):
+    """MOSS winnowing fingerprints (Schleimer et al. 2003): hash every
+    5-char gram with the q34 polynomial law, slide a window of 4
+    consecutive gram hashes, and select each window's minimum with
+    the rightmost-position tiebreak — the local document fingerprinting
+    scheme whose guarantee (any match of length >= K+W-1 shares a
+    fingerprint; expected density 2/(W+1)) underlies plagiarism/
+    near-dup detection at corpus scale.  Census per lang: docs, selected
+    fingerprints, windows, grams, distinct fingerprint values, and the
+    realized density (~0.40 = 2/(4+1) on this corpus, the theory value).
+
+    Engine shape: the entire selection runs as nested higher-order
+    array functions INSIDE the scan stage — the (min-hash, rightmost
+    -pos) pair is packed into one bigint (h * 2^40 + (2^40-1-pos)) so a
+    plain ``array_min`` over each length-W slice IS the MOSS argmin,
+    and ``array_distinct`` collapses windows that picked the same gram.
+    No explode until the per-lang distinct count, so per-doc work never
+    shuffles; the only wide ops are two partial-aggregated per-lang
+    censuses (5 keys) joined broadcast.
+
+    Scale shape: per-doc cost is O(chars x W) in-row compute with zero
+    state, so 100 TB fingerprints embarrassingly parallel in one scan;
+    the fingerprint->doc postings this census summarizes are the q35
+    LSH-style candidate layer (emit (fp, doc_id), group by fp) when the
+    goal is pair retrieval rather than the census.
+    """
+    W = _WIN_W
+    docs = load_table(spark, sf_dir, "documents")
+    per = winnow_fingerprints(docs).select(
+        "lang",
+        F.size("fps").cast("bigint").alias("n_sel"),
+        (F.col("m") - (W - 1)).alias("n_windows"),
+        F.col("m").alias("n_grams"),
+        "fps",
+    )
+    a = per.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_sel").cast("bigint").alias("n_fp"),
+        F.sum("n_windows").cast("bigint").alias("n_windows"),
+        F.sum("n_grams").cast("bigint").alias("n_grams"),
+    )
+    b = (
+        per.select("lang", F.explode("fps").alias("fp"))
+        .groupBy("lang")
+        .agg(F.countDistinct("fp").cast("bigint").alias("distinct_fp"))
+    )
+    return a.join(F.broadcast(b), "lang").select(
+        "lang",
+        "n_docs",
+        "n_fp",
+        "n_windows",
+        "n_grams",
+        "distinct_fp",
+        F.round(F.col("n_fp") / F.col("n_windows"), 4).alias("density"),
+    )
+
+
+# ------------------------------------------------------------------ q196
+@register(
+    "q196_stream_stream_join_readback",
+    tier="T2",
+    oracle="""
+WITH l AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+     r AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
+j AS (
+  SELECT l.user_id, l.event_id AS l_event, r.event_id AS r_event,
+         epoch_us(r.ts) - epoch_us(l.ts) AS lag_us
+  FROM l JOIN r ON l.user_id = r.user_id
+   AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(count(DISTINCT l_event) AS BIGINT) AS n_clicks,
+       CAST(count(DISTINCT r_event) AS BIGINT) AS n_purchases,
+       CAST(sum(lag_us) AS BIGINT) AS sum_lag_us,
+       CAST(min(lag_us) AS BIGINT) AS min_lag_us
+FROM j GROUP BY user_id
+""",
+)
+def q196_stream_stream_join_readback(spark, sf_dir):
+    """Per-user click->purchase attribution (purchase within 1 hour of
+    the click) computed by a REAL stream-stream inner join — both sides
+    unbounded file-source streams over a time-ordered wire replay of
+    the events fixture, matched in Spark's join state store — then the
+    memory-sink readback is censused per user and hash-gated against
+    the identical batch join.  The fifth streaming-backed declared
+    query, covering the one stateful-operator family (two-sided join
+    state with watermark eviction) q186-q190 do not.
+
+    Convergence contract: the replay is TIME-ORDERED (ntile chunks,
+    mtime-sequenced), so a 2-day watermark admits every row — a
+    stream-stream join DROPS older-than-watermark input on arrival, so
+    replay order and watermark slack are a correctness pair, not a
+    tuning knob (tests/test_streaming_joins.py pins the hash-replay/
+    wide-watermark variant).  Inner joins emit eagerly, so
+    processAllAvailable() converges without a drain sentinel.
+
+    Scale shape: state is bounded by watermark + the 1-hour range
+    bound — each side buffers only rows whose join window the opposite
+    watermark has not passed (hours of data, not the stream's history)
+    — and the state store is hash-partitioned by user_id, so a 100
+    TB/day event feed shards across executors; lag sums in integer
+    micros keep the readback census bit-exact vs batch.
+    """
+    from multi_threaded_mapreduce_framework_spark.streaming import (
+        events_stream,
+        stream_stream_inner_join,
+    )
+    from multi_threaded_mapreduce_framework_spark.streaming.windowed import (
+        replay_events_time_ordered,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir, "ssjoin")
+    cached = _MATVIEW_STATE_CACHE.get(key)
+    if cached is None:
+        base = os.path.join(
+            tempfile.gettempdir(),
+            "mtmrf_layout",
+            layout_tag(spark, sf_dir),
+            "ssjoin_readback",
+        )
+        replay = os.path.join(base, "replay")
+        replay_events_time_ordered(spark, sf_dir, replay, n_chunks=3)
+        joined = stream_stream_inner_join(
+            events_stream(spark, replay).filter(F.col("event_type") == "click"),
+            events_stream(spark, replay).filter(
+                F.col("event_type") == "purchase"
+            ),
+            max_lag="1 hour",
+            watermark="2 days",
+        )
+        table = f"q196_ssj_{abs(hash(key)) % 10**9}"
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(table)
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        cached = spark.table(table).localCheckpoint()
+        _MATVIEW_STATE_CACHE[key] = cached
+    lag = F.expr("unix_micros(r_ts) - unix_micros(l_ts)")
+    return (
+        cached.select(
+            F.col("l_user").alias("user_id"),
+            "l_event",
+            "r_event",
+            lag.alias("lag_us"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.countDistinct("l_event").cast("bigint").alias("n_clicks"),
+            F.countDistinct("r_event").cast("bigint").alias("n_purchases"),
+            F.sum("lag_us").cast("bigint").alias("sum_lag_us"),
+            F.min("lag_us").cast("bigint").alias("min_lag_us"),
         )
     )
 

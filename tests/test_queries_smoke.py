@@ -81,16 +81,17 @@ def test_driver_priority_names_all_registered():
     ordered = list(all_queries())
     num = lambda n: int(n[1:].split("_", 1)[0])  # noqa: E731
     # round-6 rotation (VERDICT r05 item 1): the 13 never-driven
-    # round-5 debuts lead the window, followed by the round-6 debuts...
-    assert [num(n) for n in ordered[:19]] == list(range(173, 192)), ordered[:19]
+    # round-5 debuts lead the window, followed by the round-6 debuts
+    # q186-q197...
+    assert [num(n) for n in ordered[:25]] == list(range(173, 198)), ordered[:25]
     # ...then the 22 names last driven in r01 (q29-q49 + q67)...
-    assert {num(n) for n in ordered[19:41]} == set(range(29, 50)) | {67}, sorted(
-        num(n) for n in ordered[19:41]
+    assert {num(n) for n in ordered[25:47]} == set(range(29, 50)) | {67}, sorted(
+        num(n) for n in ordered[25:47]
     )
     # ...and the 50-row window tail reaches the head of the r03 band
-    r03_head = {76, 77, 78, 79, 80, 81, 82, 83, 84}
-    assert {num(n) for n in ordered[41:50]} == r03_head, sorted(
-        num(n) for n in ordered[41:50]
+    r03_head = {76, 77, 78}
+    assert {num(n) for n in ordered[47:50]} == r03_head, sorted(
+        num(n) for n in ordered[47:50]
     )
 
 

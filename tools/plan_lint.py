@@ -93,6 +93,9 @@ ALLOW: dict[str, dict[str, str]] = {
     # BNLJ; the build side is 1 row or a domain-bounded table)
     "q62_tfidf_top_terms": {"BNLJ": "total-doc-count scalar (1 row) for IDF"},
     "q39_ivf_assign": {"BNLJ": "centroid table (k=16 rows) broadcast"},
+    "q193_semantic_dedup": {
+        "BNLJ": "centroid table (k=16 rows) broadcast (q39's assignment law)"
+    },
     "q77_tpch_q11": {"BNLJ": "Q11's value-fraction threshold scalar (1 row)"},
     "q78_tpch_q22": {"BNLJ": "Q22's avg-acctbal scalar (1 row)"},
     "q111_global_quantile_buckets": {
