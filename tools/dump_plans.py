@@ -63,6 +63,8 @@ SHOWCASE = {
     "q117_incremental_dedup": "the r6 ingest shape: the band join is a narrow BroadcastHashJoin on (band, key) whose inputs carry only doc_id besides the keys (no shingle array crosses it); the corpus side reads from its session-persisted band-index layout, and verification joins back to the doc_id-keyed shingle tables ABOVE the deduplicating aggregate's candidates.",
     "q187_value_histogram_percentile": "two partial-agg Exchanges ((flag) min/max/count, then (flag, bucket) bin counts), per-group stats re-entering via BroadcastHashJoin, and the cumulative window runs over the <=256-bins-per-group histogram — integer arithmetic end to end, no sort of raw rows.",
     "q186_bitmap_matview_readback": "the readback is ONE partial-agg merge over the stream-written word snapshot (scan -> OR-merge Exchange -> bit_count sum); no raw event ever appears in the plan — the stream already collapsed them to 8-byte words.",
+    "q193_semantic_dedup": "assignment is a BroadcastNestedLoopJoin against the 16-row centroid side; ONE Exchange co-locates each IVF cell into FlatMapGroupsInPandas (the per-cell GEMM) — pair similarities never exist as rows in the plan.",
+    "q195_winnowing_fingerprints": "the whole MOSS selection (gram hashes, window minima, distinct positions) is a single projected higher-order expression INSIDE the scan stage — no Exchange below the 5-key lang censuses, and the fingerprint explode feeds a partial-agg distinct count.",
 }
 
 HEADER = """# PLANS — physical plans of representative queries
