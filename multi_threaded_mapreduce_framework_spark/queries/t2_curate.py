@@ -32,7 +32,7 @@ from multi_threaded_mapreduce_framework_spark.queries.t2_dedup import (
     COSINE_NEARDUP_THRESHOLD,
     IVF_CENTROIDS,
 )
-from multi_threaded_mapreduce_framework_spark.sources import load_table
+from multi_threaded_mapreduce_framework_spark.sources import load_table, spread_small_scan
 
 # ------------------------------------------------------------------ q192
 # The docgen law (sources/pydatasource.py:_doc_row) re-stated in SQL.
@@ -300,21 +300,26 @@ def winnow_fingerprints(docs):
     Pure in-row array compute — reusable as the candidate layer for
     fingerprint-postings joins (emit (fp, doc_id) by exploding fps)."""
     K, W, MOD, C = _WIN_K, _WIN_W, _WIN_MOD, _WIN_C
+    # Char codes computed ONCE per row; each gram hash then folds a
+    # 5-element slice of the bigint array instead of re-splitting a
+    # K-char substring per position (split+ascii per gram measured 3.5x
+    # slower than slice-of-codes at sf0.1).
+    cs = "transform(split(text, ''), c -> CAST(ascii(c) AS BIGINT))"
     es = (
-        f"transform(sequence(1, length(text) - {K - 1}), p -> "
-        f"aggregate(transform(split(substring(text, p, {K}), ''),"
-        " c -> CAST(ascii(c) AS BIGINT)),"
+        f"transform(sequence(1, size(cs) - {K - 1}), p -> "
+        f"aggregate(slice(cs, p, {K}),"
         f" 0L, (a,b) -> (a*31 + b) % {MOD}) * {C}L + ({C}L - 1 - p))"
     )
-    # Bind ``es`` ONCE per row via a single-element transform (the
-    # lambda-binding idiom): a plain projection chain lets Catalyst
+    # Bind ``cs`` then ``es`` ONCE per row via single-element transforms
+    # (the lambda-binding idiom): a plain projection chain lets Catalyst
     # collapse projects and inline the O(chars x K) gram-hash array
     # into EVERY window's slice(), turning the scan O(chars^2 x K)
     # (measured 119 s at sf0.001 vs 0.5 s bound).
     fps = (
+        f"element_at(transform(array({cs}), cs -> "
         f"element_at(transform(array({es}), es -> "
         f"transform(array_distinct(transform(sequence(1, size(es) - {W - 1}),"
-        f" w -> array_min(slice(es, w, {W})))), v -> v div {C}L)), 1)"
+        f" w -> array_min(slice(es, w, {W})))), v -> v div {C}L)), 1)), 1)"
     )
     return docs.filter(F.length("text") >= K + W - 1).withColumns(
         {
@@ -379,9 +384,10 @@ def q195_winnowing_fingerprints(spark, sf_dir):
     -pos) pair is packed into one bigint (h * 2^40 + (2^40-1-pos)) so a
     plain ``array_min`` over each length-W slice IS the MOSS argmin,
     and ``array_distinct`` collapses windows that picked the same gram.
-    No explode until the per-lang distinct count, so per-doc work never
-    shuffles; the only wide ops are two partial-aggregated per-lang
-    censuses (5 keys) joined broadcast.
+    The expensive fps projection is executed exactly once: posexplode
+    feeds a SINGLE per-lang aggregate whose doc-level sums are gated on
+    pos == 0, so the census needs no second branch and no join — the
+    only wide op is one partial-aggregated 5-key lang census.
 
     Scale shape: per-doc cost is O(chars x W) in-row compute with zero
     state, so 100 TB fingerprints embarrassingly parallel in one scan;
@@ -390,33 +396,41 @@ def q195_winnowing_fingerprints(spark, sf_dir):
     goal is pair retrieval rather than the census.
     """
     W = _WIN_W
-    docs = load_table(spark, sf_dir, "documents")
+    # The per-row gram-hash + window-min compute dominates, and the sf
+    # fixtures are single-row-group files: spread the scan so the
+    # O(chars x W) work uses every core (no-op on real multi-split input).
+    docs = spread_small_scan(load_table(spark, sf_dir, "documents"))
+    # ONE pass over the expensive fps projection: posexplode the
+    # fingerprints (every kept doc has >= 1, so no row is lost) and gate
+    # the doc-level sums on pos == 0 — a second branch would re-execute
+    # the whole gram-hash scan (exchange reuse stops at the repartition;
+    # measured 2x the scan cost as two branches).
     per = winnow_fingerprints(docs).select(
         "lang",
         F.size("fps").cast("bigint").alias("n_sel"),
         (F.col("m") - (W - 1)).alias("n_windows"),
         F.col("m").alias("n_grams"),
-        "fps",
+        F.posexplode("fps").alias("pos", "fp"),
     )
-    a = per.groupBy("lang").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.sum("n_sel").cast("bigint").alias("n_fp"),
-        F.sum("n_windows").cast("bigint").alias("n_windows"),
-        F.sum("n_grams").cast("bigint").alias("n_grams"),
-    )
-    b = (
-        per.select("lang", F.explode("fps").alias("fp"))
-        .groupBy("lang")
-        .agg(F.countDistinct("fp").cast("bigint").alias("distinct_fp"))
-    )
-    return a.join(F.broadcast(b), "lang").select(
-        "lang",
-        "n_docs",
-        "n_fp",
-        "n_windows",
-        "n_grams",
-        "distinct_fp",
-        F.round(F.col("n_fp") / F.col("n_windows"), 4).alias("density"),
+    first = F.col("pos") == 0
+    return (
+        per.groupBy("lang")
+        .agg(
+            F.sum(F.when(first, 1).otherwise(0)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(first, F.col("n_sel"))).cast("bigint").alias("n_fp"),
+            F.sum(F.when(first, F.col("n_windows"))).cast("bigint").alias("n_windows"),
+            F.sum(F.when(first, F.col("n_grams"))).cast("bigint").alias("n_grams"),
+            F.countDistinct("fp").cast("bigint").alias("distinct_fp"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_fp",
+            "n_windows",
+            "n_grams",
+            "distinct_fp",
+            F.round(F.col("n_fp") / F.col("n_windows"), 4).alias("density"),
+        )
     )
 
 
