@@ -51,6 +51,7 @@ _QUERY_MODULES = (
     "multi_threaded_mapreduce_framework_spark.queries.t2_multimodal",
     "multi_threaded_mapreduce_framework_spark.queries.t2_streamq",
     "multi_threaded_mapreduce_framework_spark.queries.t2_curate",
+    "multi_threaded_mapreduce_framework_spark.queries.t2_spark4",
 )
 
 
@@ -106,6 +107,11 @@ _DRIVER_PRIORITY = (
     "q195_winnowing_fingerprints",
     "q196_stream_stream_join_readback",
     "q197_quality_terciles",
+    "q198_unpivot_doc_metrics",
+    "q199_session_window_native",
+    "q200_recursive_cte_depths",
+    "q201_variant_payload",
+    "q202_xml_roundtrip_census",
     # --- last driver row r01: 22 stale rows (q25-q28 got their r05
     #     rows in the r5 window tail; these are the remainder) ---
     "q29_knn_label",

@@ -1,0 +1,144 @@
+"""Law-pinning tests for the Spark 4 surface tier (q198-q202):
+boundary semantics and cross-path invariants the DuckDB value-hash
+alone can't pin — the session_window merge-at-exactly-gap law, the
+unpivot Expand shape, recursive-CTE-vs-pointer-jumping parity on one
+forest, variant null/missing-path behavior, and row-level XML
+roundtrip identity."""
+
+from __future__ import annotations
+
+import datetime
+
+import pyspark.sql.functions as F
+
+from multi_threaded_mapreduce_framework_spark.queries import all_queries
+
+QUERIES = all_queries()
+SF = "/root/testdata/sf0.001"
+
+
+def test_q199_session_window_merges_at_exactly_gap(spark):
+    """The declared law: a new session starts only when the gap is
+    STRICTLY greater than the threshold.  Events exactly 30 minutes
+    apart must merge (windows [t, t+g) and [t+g, ...) coalesce); one
+    microsecond beyond must split."""
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, t0),
+        (1, t0 + datetime.timedelta(minutes=30)),            # merges
+        (2, t0),
+        (2, t0 + datetime.timedelta(minutes=30, microseconds=1)),  # splits
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp")
+    got = {
+        r.user_id: r["count"]
+        for r in df.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .count()
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .collect()
+    }
+    assert got == {1: 1, 2: 2}
+
+
+def test_q199_matches_q23_session_counts(spark):
+    """q199's native session_window and q23's manual gaps-and-islands
+    declare the same '> gap' law — their per-user session counts must
+    agree exactly on the real fixture."""
+    native = {
+        r.user_id: r.n_sessions
+        for r in QUERIES["q199_session_window_native"].builder(spark, SF).collect()
+    }
+    manual = {
+        r.user_id: r.num_sessions
+        for r in QUERIES["q23_sessionize"].builder(spark, SF).collect()
+    }
+    assert native == manual
+
+
+def test_q198_unpivot_is_expand_not_union(spark):
+    """unpivot must plan as ONE Expand over the aggregate, not N
+    re-scans union-ed (the oracle's formulation): exactly one Scan in
+    the physical plan and an Expand node."""
+    df = QUERIES["q198_unpivot_doc_metrics"].builder(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in plan
+    assert plan.count("Scan parquet") == 1
+    # and the long rows cover every (lang, metric) cell of the wide table
+    rows = df.collect()
+    langs = {r.lang for r in rows}
+    per_lang = {m for r in rows if r.lang == next(iter(langs)) for m in [r.metric]}
+    assert per_lang == {"n_docs", "sum_chars", "n_sources", "max_chars"}
+    assert len(rows) == 4 * len(langs)
+
+
+def test_q200_recursive_cte_agrees_with_pointer_jumping(spark):
+    """One forest law, two Spark evaluation strategies: the depth
+    census from the recursive CTE must equal the census computed from
+    q175's pointer-jumping depths."""
+    cte = {
+        r.depth: (r.n_nodes, r.sum_custkey)
+        for r in QUERIES["q200_recursive_cte_depths"].builder(spark, SF).collect()
+    }
+    pj = {
+        r.depth: (r.n_nodes, r.sum_custkey)
+        for r in QUERIES["q175_tree_depth_pointer_jumping"]
+        .builder(spark, SF)
+        .groupBy("depth")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.sum("custkey").cast("bigint").alias("sum_custkey"),
+        )
+        .collect()
+    }
+    assert cte == pj
+
+
+def test_q201_variant_missing_path_is_null(spark):
+    """variant_get on a missing path must yield NULL (not error, not
+    zero) so the census's null bucket is well-defined; a non-integer
+    value at the path under a 'bigint' cast must also surface as a
+    typed read, never a silent wrong number."""
+    df = spark.createDataFrame(
+        [('{"k": 7}',), ('{"other": 1}',), ("{}",)], "props string"
+    )
+    got = df.select(
+        F.expr("variant_get(parse_json(props), '$.k', 'bigint')").alias("k")
+    ).collect()
+    assert [r.k for r in got] == [7, None, None]
+
+
+def test_q202_xml_roundtrip_identity_rowlevel(spark):
+    """Stronger than the census hash: EVERY row's (event_id,
+    event_type, value_micro) triple must survive to_xml -> from_xml
+    bit-exactly — zero mismatched rows on the real fixture."""
+    from multi_threaded_mapreduce_framework_spark.sources import load_table
+
+    ev = load_table(spark, SF, "events")
+    xml = F.expr(
+        "to_xml(named_struct("
+        "'event_id', event_id, "
+        "'event_type', event_type, "
+        "'value_micro', CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)))"
+    )
+    parsed = F.from_xml(
+        xml, "event_id BIGINT, event_type STRING, value_micro BIGINT"
+    )
+    bad = (
+        ev.select(
+            "event_id",
+            "event_type",
+            F.expr("CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)").alias(
+                "vm"
+            ),
+            parsed.alias("p"),
+        )
+        .filter(
+            (F.col("p.event_id") != F.col("event_id"))
+            | (F.col("p.event_type") != F.col("event_type"))
+            | (F.col("p.value_micro") != F.col("vm"))
+            | F.col("p.event_id").isNull()
+        )
+        .count()
+    )
+    assert bad == 0
