@@ -65,6 +65,8 @@ SHOWCASE = {
     "q186_bitmap_matview_readback": "the readback is ONE partial-agg merge over the stream-written word snapshot (scan -> OR-merge Exchange -> bit_count sum); no raw event ever appears in the plan — the stream already collapsed them to 8-byte words.",
     "q193_semantic_dedup": "assignment is a BroadcastNestedLoopJoin against the 16-row centroid side; ONE Exchange co-locates each IVF cell into FlatMapGroupsInPandas (the per-cell GEMM) — pair similarities never exist as rows in the plan.",
     "q195_winnowing_fingerprints": "the whole MOSS selection (gram hashes, window minima, distinct positions) is a single projected higher-order expression INSIDE the scan stage — no Exchange below the 5-key lang censuses, and the fingerprint explode feeds a partial-agg distinct count.",
+    "q198_unpivot_doc_metrics": "unpivot plans as ONE Expand node ABOVE the per-lang aggregate (single parquet Scan in the whole plan) — the wide->long reshape multiplies 5 post-agg rows by 4 metrics, never re-scanning the table the way a UNION ALL formulation would.",
+    "q200_recursive_cte_depths": "WITH RECURSIVE plans as Catalyst's UnionLoop — the engine owns the fixed-point iteration (frontier join per step against the parent relation) and the census above it is one partial agg; no driver-side loop exists anywhere in the query.",
 }
 
 HEADER = """# PLANS — physical plans of representative queries
