@@ -69,6 +69,29 @@ def time_query(spark, q, sf_dir: str, runs: int) -> float:
     return statistics.median(samples)
 
 
+def host_calibration() -> float:
+    """Fixed pure-CPU workload (seconds; lower = faster host): a
+    single-core Python loop + one numpy GEMM.  Recorded into the bench
+    payload so ROUND-OVER-ROUND comparisons can separate host-speed
+    drift from plan regressions — round 6 measured the whole 190-query
+    common set uniformly ~1.35x slower than the mid-round record on an
+    idle box with ~0% steal (two independent full re-runs agreed);
+    without a calibration constant that reads as a universal
+    regression.  Normalize: per-query ratio x (calib_then / calib_now)."""
+    import numpy as np  # import BEFORE timing — first-import cost is not host speed
+
+    samples = []
+    for _ in range(3):
+        t0 = time.time()
+        x = 0
+        for i in range(10_000_000):
+            x += i
+        a = np.random.default_rng(0).random((1024, 1024))
+        (a @ a).sum()
+        samples.append(time.time() - t0)
+    return round(statistics.median(samples), 3)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--runs", type=int, default=3)
@@ -135,6 +158,10 @@ def main() -> None:
         )
         if timings
         else -1.0,
+        # host-speed reference (see host_calibration): divide per-query
+        # times by (calib / prior-round calib) before reading a diff as
+        # a regression
+        "calib_s": host_calibration(),
     }
     # Full-precision record on disk for BASELINE.md round-over-round
     # diffs (full-suite runs only — a name-filtered run must not clobber
