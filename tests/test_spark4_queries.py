@@ -142,3 +142,68 @@ def test_q202_xml_roundtrip_identity_rowlevel(spark):
         .count()
     )
     assert bad == 0
+
+
+# ---------------------------------------------------------------- property
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_GAP_US = 30 * 60 * 1_000_000
+# offsets in multiples of 10 minutes plus exact-gap edge values, so
+# exactly-30-min gaps (the merge boundary) occur often
+_offsets = st.lists(
+    st.integers(min_value=0, max_value=24).map(lambda k: k * 600_000_000)
+    | st.sampled_from([_GAP_US, _GAP_US + 1, _GAP_US - 1]),
+    min_size=1,
+    max_size=12,
+)
+
+
+def _islands(us_sorted):
+    """Independent Python reference: number of sessions and summed
+    duration under the declared law (new session iff gap > threshold;
+    duration = last - first + gap per session)."""
+    sessions = []
+    for u in us_sorted:
+        if sessions and u - sessions[-1][1] <= _GAP_US:
+            sessions[-1][1] = u
+        else:
+            sessions.append([u, u])
+    return len(sessions), sum(b - a + _GAP_US for a, b in sessions)
+
+
+@given(offs=_offsets)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_q199_session_window_law_randomized(spark, offs):
+    """session_window must realize the islands law on ARBITRARY event
+    sets, including duplicate timestamps and exactly-gap edges — the
+    single-example boundary test generalized."""
+    import datetime
+
+    base = datetime.datetime(2024, 3, 1)
+    # cumulative offsets so later events never precede earlier ones;
+    # duplicates arise when an offset is 0
+    us, acc = [], 0
+    for o in offs:
+        acc += o
+        us.append(acc)
+    rows = [(1, base + datetime.timedelta(microseconds=u)) for u in us]
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp")
+    got = (
+        df.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .count()
+        .select(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.unix_micros(F.col("session_window.end"))
+                - F.unix_micros(F.col("session_window.start"))
+            ).alias("dur"),
+        )
+        .collect()[0]
+    )
+    n_ref, dur_ref = _islands(sorted(us))
+    assert (got.n, got.dur) == (n_ref, dur_ref)
