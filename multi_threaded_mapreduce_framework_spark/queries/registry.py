@@ -113,6 +113,7 @@ _DRIVER_PRIORITY = (
     "q200_recursive_cte_depths",
     "q201_variant_payload",
     "q202_xml_roundtrip_census",
+    "q203_incremental_greedy_coverage",
     # --- last driver row r01: 22 stale rows (q25-q28 got their r05
     #     rows in the r5 window tail; these are the remainder) ---
     "q29_knn_label",

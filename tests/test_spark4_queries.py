@@ -207,3 +207,42 @@ def test_q199_session_window_law_randomized(spark, offs):
     )
     n_ref, dur_ref = _islands(sorted(us))
     assert (got.n, got.dur) == (n_ref, dur_ref)
+
+
+def test_q203_picks_identical_to_q174(spark):
+    """Delta-maintained greedy must reproduce q174's full-recount
+    trajectory exactly — same winners, same marginal gains, same
+    rounds — on the real fixture."""
+    a = sorted(
+        (r.round, r.doc_id, r.gain)
+        for r in QUERIES["q174_greedy_coverage"].builder(spark, SF).collect()
+    )
+    b = sorted(
+        (r.round, r.doc_id, r.gain)
+        for r in QUERIES["q203_incremental_greedy_coverage"]
+        .builder(spark, SF)
+        .collect()
+    )
+    assert a == b
+
+
+def test_q203_early_stop_on_exhausted_coverage(spark, tmp_path):
+    """When coverage exhausts before K picks, zero-gain docs must NOT
+    be picked (they leave the gains table): the q174 known-optimum
+    corpus yields exactly 2 picks at k=3 — doc2 (8 shingles), doc1
+    (4 disjoint), and doc0 (subset of doc2) never appears."""
+    rows = [
+        (0, "a b c d e f g h"),
+        (1, "p q r s t u"),
+        (2, "a b c d e f g h i j"),
+    ]
+    spark.createDataFrame(rows, "doc_id bigint, text string").write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/documents.parquet")
+    got = {
+        r.round: (r.doc_id, r.gain)
+        for r in QUERIES["q203_incremental_greedy_coverage"]
+        .builder(spark, str(tmp_path))
+        .collect()
+    }
+    assert got == {1: (2, 8), 2: (1, 4)}
