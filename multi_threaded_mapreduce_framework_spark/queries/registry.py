@@ -114,6 +114,7 @@ _DRIVER_PRIORITY = (
     "q201_variant_payload",
     "q202_xml_roundtrip_census",
     "q203_incremental_greedy_coverage",
+    "q204_sequence_packing",
     # --- last driver row r01: 22 stale rows (q25-q28 got their r05
     #     rows in the r5 window tail; these are the remainder) ---
     "q29_knn_label",

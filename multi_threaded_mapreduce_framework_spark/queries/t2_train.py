@@ -904,3 +904,91 @@ def q203_incremental_greedy_coverage(spark, sf_dir, k: int = 3):
     for p in picks[1:]:
         out = out.unionByName(p)
     return out
+
+
+# ------------------------------------------------------------------ q204
+_PACK_L = 256  # tokens per packed training sequence
+
+
+@register(
+    "q204_sequence_packing",
+    tier="T2",
+    oracle=f"""
+WITH d AS (
+  SELECT lang, doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS t
+  FROM documents),
+c AS (
+  SELECT lang, doc_id, t,
+         CAST(coalesce(sum(t) OVER (PARTITION BY lang ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS start
+  FROM d)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(t) AS BIGINT) AS total_tokens,
+       CAST((sum(t) + {_PACK_L - 1}) // {_PACK_L} AS BIGINT) AS n_seqs,
+       CAST(sum(CASE WHEN start // {_PACK_L}
+                       <> (start + t - 1) // {_PACK_L}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs,
+       CAST(sum(t) - ((sum(t) + {_PACK_L - 1}) // {_PACK_L} - 1)
+            * {_PACK_L} AS BIGINT) AS last_seq_fill
+FROM c GROUP BY lang
+""",
+)
+def q204_sequence_packing(spark, sf_dir):
+    """GPT-style training-sequence packing census: per language,
+    concatenate documents in doc_id order into one token stream, cut
+    it into fixed 256-token sequences, and report how the corpus
+    packs — sequences produced, documents split across a sequence
+    boundary, and the fill of the final partial sequence.  This is
+    the data-loader math a 100 TB pretraining pipeline runs to size
+    its epoch (packed sequences == training steps x batch size) and
+    to bound boundary-split rate (split docs lose cross-boundary
+    attention under document-masked packing).
+
+    The packing law is fully deterministic and closed-form: a doc's
+    stream span is [start, start+t) where start = the lang-ordered
+    prefix sum of whitespace-token counts (q32's token law), so it
+    splits iff floor(start/L) != floor((start+t-1)/L) — no iterative
+    bin state, which is what makes the census exactly computable in
+    ONE window pass in both engines (packing that REORDERS docs, e.g.
+    best-fit, is the documented non-SQL sibling; concat-in-order is
+    what production loaders like GPT/Megatron dataloaders do).
+
+    Engine shape: one shuffle total — the lang-partitioned window
+    computes prefix sums, and the per-lang census folds on the same
+    key with no second exchange.  Window partitions are lang-bounded
+    (5 keys; the q197 caveat applies — a language too large for one
+    task moves to q111's two-level distributed prefix-scan law, the
+    same technique q139/q158/q176 already use).  Integer token counts
+    end to end; deterministic doc_id order makes the census
+    hash-exact across engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    L = _PACK_L
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    d = docs.select(
+        "lang",
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("t"),
+    ).withColumn("start", F.coalesce(F.sum("t").over(w), F.lit(0)).cast("bigint"))
+    split = (
+        (F.col("start") / L).cast("bigint")
+        != ((F.col("start") + F.col("t") - 1) / L).cast("bigint")
+    ).cast("bigint")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("t").cast("bigint").alias("total_tokens"),
+            F.expr(f"CAST((sum(t) + {L - 1}) div {L} AS BIGINT)").alias("n_seqs"),
+            F.sum(split).cast("bigint").alias("n_split_docs"),
+            F.expr(
+                f"CAST(sum(t) - ((sum(t) + {L - 1}) div {L} - 1) * {L} AS BIGINT)"
+            ).alias("last_seq_fill"),
+        )
+    )

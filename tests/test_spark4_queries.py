@@ -1,9 +1,10 @@
-"""Law-pinning tests for the Spark 4 surface tier (q198-q202):
+"""Law-pinning tests for the round-6 close tiers (q198-q204):
 boundary semantics and cross-path invariants the DuckDB value-hash
 alone can't pin — the session_window merge-at-exactly-gap law, the
 unpivot Expand shape, recursive-CTE-vs-pointer-jumping parity on one
-forest, variant null/missing-path behavior, and row-level XML
-roundtrip identity."""
+forest, variant null/missing-path behavior, row-level XML roundtrip
+identity, delta-greedy trajectory parity, and the sequence-packing
+boundary law."""
 
 from __future__ import annotations
 
@@ -246,3 +247,32 @@ def test_q203_early_stop_on_exhausted_coverage(spark, tmp_path):
         .collect()
     }
     assert got == {1: (2, 8), 2: (1, 4)}
+
+
+def test_q204_packing_boundary_law(spark, tmp_path):
+    """Hand-computable packing: with L=256, a doc ending EXACTLY on a
+    sequence boundary is not split; one token further is.  Corpus:
+    100 + 156 tokens fill sequence 0 exactly (no split), 50 more open
+    sequence 1 (last fill 50); swapping the middle doc to 157 tokens
+    pushes its last token into sequence 1 — one split doc."""
+    def txt(n):
+        return " ".join(["w"] * n)
+
+    for mid, want in (
+        (156, {"n_docs": 3, "total_tokens": 306, "n_seqs": 2,
+               "n_split_docs": 0, "last_seq_fill": 50}),
+        (157, {"n_docs": 3, "total_tokens": 307, "n_seqs": 2,
+               "n_split_docs": 1, "last_seq_fill": 51}),
+    ):
+        rows = [(1, txt(100), "en"), (2, txt(mid), "en"), (3, txt(50), "en")]
+        spark.createDataFrame(
+            rows, "doc_id bigint, text string, lang string"
+        ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+        got = (
+            QUERIES["q204_sequence_packing"]
+            .builder(spark, str(tmp_path))
+            .collect()[0]
+            .asDict()
+        )
+        got.pop("lang")
+        assert got == want, mid
