@@ -52,6 +52,7 @@ _QUERY_MODULES = (
     "multi_threaded_mapreduce_framework_spark.queries.t2_streamq",
     "multi_threaded_mapreduce_framework_spark.queries.t2_curate",
     "multi_threaded_mapreduce_framework_spark.queries.t2_spark4",
+    "multi_threaded_mapreduce_framework_spark.queries.t2_pretrain",
 )
 
 
@@ -115,6 +116,10 @@ _DRIVER_PRIORITY = (
     "q202_xml_roundtrip_census",
     "q203_incremental_greedy_coverage",
     "q204_sequence_packing",
+    "q205_duplicate_span_census",
+    "q206_dsir_importance",
+    "q207_mixture_epochs",
+    "q208_eval_decontamination",
     # --- last driver row r01: 22 stale rows (q25-q28 got their r05
     #     rows in the r5 window tail; these are the remainder) ---
     "q29_knn_label",

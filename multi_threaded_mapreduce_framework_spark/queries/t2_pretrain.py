@@ -1,0 +1,461 @@
+"""Tier T2 — pretraining-corpus data operations (round-6 continuation).
+
+Four operator families that a production LLM pretraining pipeline runs
+between raw-corpus ingest and the data loader, none previously
+oracle-declared:
+
+- q205: exact duplicated-SPAN census (Lee et al. 2022, "Deduplicating
+  Training Data Makes Language Models Better" — substring-level exact
+  dedup, the suffix-array pass re-expressed as n-gram islands);
+- q206: DSIR importance weighting (Xie et al. 2023 — n-gram importance
+  resampling of a raw corpus toward a target distribution);
+- q207: mixture rebalance / epochs-to-target math (the LLaMA/Pile-style
+  per-source upsampling plan);
+- q208: embedding-level eval-set decontamination (semantic sibling of
+  the q98/q128 shingle contamination checks).
+
+Reference note: all are beyond-reference capabilities (the reference,
+MapReduceFramework.cpp:1-377, is a single-shape map/sort/shuffle/reduce
+library); declared per the builder brief's training-data-pipeline
+rubric under the standard oracle conventions (FIXTURES.md).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql.window import Window
+
+from multi_threaded_mapreduce_framework_spark.queries.registry import register
+from multi_threaded_mapreduce_framework_spark.queries.t2_dedup import (
+    COSINE_NEARDUP_THRESHOLD,
+)
+from multi_threaded_mapreduce_framework_spark.sources import (
+    load_table,
+    spread_small_scan,
+)
+
+# ------------------------------------------------------------------ q205
+_SPAN_G = 5  # n-gram width, matches q101's passage unit
+
+
+@register(
+    "q205_duplicate_span_census",
+    tier="T2",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+tot AS (
+  SELECT lang, CAST(sum(len(w)) AS BIGINT) AS total_tokens,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM t GROUP BY lang),
+g AS (
+  SELECT doc_id, lang, CAST(i AS BIGINT) AS pos,
+         array_to_string(w[i+1:i+{_SPAN_G}], ' ') AS gram
+  FROM t, UNNEST(range(len(w) - {_SPAN_G} + 1)) AS u(i)),
+dup AS (
+  SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM g)
+  GROUP BY gram HAVING count(*) >= 2),
+p AS (
+  SELECT g.doc_id, g.lang, g.pos, g.pos + {_SPAN_G} AS fin
+  FROM g JOIN dup USING (gram)),
+isl AS (
+  SELECT doc_id, lang, pos, fin,
+         CASE WHEN pos > coalesce(max(fin) OVER (
+                PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS new_isl
+  FROM p),
+isl2 AS (
+  SELECT doc_id, lang, pos, fin,
+         sum(new_isl) OVER (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl_id
+  FROM isl),
+spans AS (
+  SELECT doc_id, lang, isl_id, max(fin) - min(pos) AS span_len
+  FROM isl2 GROUP BY doc_id, lang, isl_id),
+per_lang AS (
+  SELECT lang,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs_dup,
+         CAST(count(*) AS BIGINT) AS n_spans,
+         CAST(sum(span_len) AS BIGINT) AS dup_tokens
+  FROM spans GROUP BY lang)
+SELECT tot.lang, tot.n_docs,
+       CAST(coalesce(n_docs_dup, 0) AS BIGINT) AS n_docs_dup,
+       CAST(coalesce(n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(coalesce(dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       total_tokens,
+       CAST(1000 * coalesce(dup_tokens, 0) // total_tokens AS BIGINT)
+         AS dup_milli
+FROM tot LEFT JOIN per_lang USING (lang)
+""",
+)
+def q205_duplicate_span_census(spark, sf_dir):
+    """Exact duplicated-substring census (Lee et al. 2022): per
+    language, the MAXIMAL token spans covered by 5-grams that occur in
+    two or more distinct documents — span count, tokens inside
+    duplicated spans, and the dup-token rate in milli-units.  This is
+    the measurement pass of substring-level exact dedup (the
+    suffix-array "dedup spans, not documents" recipe): q25 removes
+    whole duplicate documents, q101 ranks hot shingles; this query
+    answers *how much of each language's token stream is duplicated
+    text*, the number that decides whether span-cutting is worth it.
+
+    The suffix-array formulation is inherently sequential; the
+    distributed re-expression is exact because a duplicated substring
+    of length >= G is equivalently a run of duplicated G-grams, so
+    maximal duplicated spans are the merged islands of the per-doc
+    duplicated-gram intervals [pos, pos+G).  Three bounded stages:
+    (1) gram census — one partial-aggregated shuffle on the gram key
+    (distinct (doc,gram) first, q101's trick, so no countDistinct
+    state); Zipf-hot grams partial-agg map-side.  (2) flag-back join
+    on the gram key (vocabulary-sized, size-based planner picks the
+    strategy).  (3) island merge — per-doc windows (doc-bounded, never
+    corpus-bounded) compute the running max-end interval merge, then
+    one lang census.  At 100 TB each stage shuffles rows no wider than
+    (doc_id, pos) pairs; the gram strings themselves cross the wire
+    once, into the census.
+    """
+    G = _SPAN_G
+    docs = spread_small_scan(load_table(spark, sf_dir, "documents"))
+    t = docs.select("doc_id", "lang", F.split("text", " ").alias("w"))
+    tot = t.groupBy("lang").agg(
+        F.sum(F.size("w")).cast("bigint").alias("total_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+    )
+    grams = t.select(
+        "doc_id",
+        "lang",
+        F.posexplode(
+            F.expr(
+                f"CASE WHEN size(w) >= {G} THEN "
+                f"transform(sequence(0, size(w) - {G}), "
+                f"i -> array_join(slice(w, i + 1, {G}), ' ')) "
+                "ELSE array() END"
+            )
+        ).alias("pos", "gram"),
+    ).withColumn("pos", F.col("pos").cast("bigint"))
+    dup = (
+        grams.select("doc_id", "gram")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_docs_with"))
+        .filter(F.col("n_docs_with") >= 2)
+        .select("gram")
+    )
+    p = grams.join(dup, "gram").select(
+        "doc_id", "lang", "pos", (F.col("pos") + G).alias("fin")
+    )
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    isl = p.withColumn(
+        "new_isl",
+        (F.col("pos") > F.coalesce(F.max("fin").over(w_prev), F.lit(-1)))
+        .cast("bigint"),
+    ).withColumn("isl_id", F.sum("new_isl").over(w_run))
+    spans = isl.groupBy("doc_id", "lang", "isl_id").agg(
+        (F.max("fin") - F.min("pos")).alias("span_len")
+    )
+    per_lang = spans.groupBy("lang").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs_dup"),
+        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+        F.sum("span_len").cast("bigint").alias("dup_tokens"),
+    )
+    # left join from totals: a language with NO duplicated span still
+    # gets its census row (zeros) — the "is dedup worth it" answer is
+    # just as real when it is "no".
+    return tot.join(per_lang, "lang", "left").select(
+        "lang",
+        "n_docs",
+        F.coalesce("n_docs_dup", F.lit(0)).cast("bigint").alias("n_docs_dup"),
+        F.coalesce("n_spans", F.lit(0)).cast("bigint").alias("n_spans"),
+        F.coalesce("dup_tokens", F.lit(0)).cast("bigint").alias("dup_tokens"),
+        "total_tokens",
+        F.expr(
+            "CAST(1000 * coalesce(dup_tokens, 0) div total_tokens AS BIGINT)"
+        ).alias("dup_milli"),
+    )
+
+
+# ------------------------------------------------------------------ q206
+_DSIR_TOPK = 20
+
+
+@register(
+    "q206_dsir_importance",
+    tier="T2",
+    oracle=f"""
+WITH t AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+           FROM documents),
+allc AS (SELECT tok, CAST(count(*) AS BIGINT) AS c_all FROM t GROUP BY tok),
+enc AS (SELECT tok, CAST(count(*) AS BIGINT) AS c_en
+        FROM t WHERE lang = 'en' GROUP BY tok),
+v AS (SELECT CAST(count(*) AS BIGINT) AS vocab,
+             CAST(sum(c_all) AS BIGINT) AS t_all FROM allc),
+te AS (SELECT CAST(coalesce(sum(c_en), 0) AS BIGINT) AS t_en FROM enc),
+r AS (SELECT allc.tok,
+        ln((coalesce(c_en, 0) + 1.0) / (t_en + vocab))
+        - ln((c_all + 1.0) / (t_all + vocab)) AS lr
+      FROM allc LEFT JOIN enc ON allc.tok = enc.tok, v, te),
+s AS (SELECT doc_id, min(t.lang) AS lang, round(sum(lr), 4) AS imp
+      FROM t JOIN r ON t.tok = r.tok GROUP BY doc_id)
+SELECT doc_id, lang, imp FROM s ORDER BY imp DESC, doc_id LIMIT {_DSIR_TOPK}
+""",
+)
+def q206_dsir_importance(spark, sf_dir):
+    """DSIR importance weighting (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document
+    by sum over its token occurrences of ln(p_target / q_raw), where
+    p/q are add-one-smoothed unigram models of the target slice (here
+    lang='en') and the raw corpus; return the top-20 most target-like
+    documents.  This is the selection pass that tilts a 100 TB crawl
+    toward a curated target (Wikipedia/books in the paper) without a
+    quality classifier — cheap n-gram statistics only.
+
+    Plan: ONE tokenization explode feeds both unigram models (the
+    target model filters the same exploded relation — no second corpus
+    scan); the log-ratio table is vocabulary-sized and joins back to
+    the token stream on the gram key (size-based planner decides
+    broadcast vs shuffle, correct either way since vocabulary grows
+    with the corpus); the two 1-row totals broadcast.  The per-doc sum
+    is one partial-aggregated shuffle on doc_id, and the top-20 is a
+    TakeOrderedAndProject over per-doc rows — never a global sort of
+    the corpus.  Tiebreak doc_id; imp rounded 4 dp after the sum
+    (q62's ln discipline — both engines' ln is within 1 ulp, far from
+    any 4 dp boundary on transcendental sums).
+    """
+    docs = spread_small_scan(load_table(spark, sf_dir, "documents"))
+    t = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
+    )
+    allc = t.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("c_all"))
+    enc = (
+        t.filter(F.col("lang") == "en")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_en"))
+    )
+    v = allc.agg(
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+        F.sum("c_all").cast("bigint").alias("t_all"),
+    )
+    te = enc.agg(F.coalesce(F.sum("c_en"), F.lit(0)).cast("bigint").alias("t_en"))
+    lr = F.log(
+        (F.coalesce(F.col("c_en"), F.lit(0)) + 1.0)
+        / (F.col("t_en") + F.col("vocab"))
+    ) - F.log((F.col("c_all") + 1.0) / (F.col("t_all") + F.col("vocab")))
+    r = (
+        allc.join(enc, "tok", "left")
+        .crossJoin(F.broadcast(v))
+        .crossJoin(F.broadcast(te))
+        .select("tok", lr.alias("lr"))
+    )
+    s = (
+        t.join(r, "tok")
+        .groupBy("doc_id")
+        .agg(F.min("lang").alias("lang"), F.round(F.sum("lr"), 4).alias("imp"))
+    )
+    return (
+        s.orderBy(F.desc("imp"), F.asc("doc_id"))
+        .limit(_DSIR_TOPK)
+        .select("doc_id", "lang", "imp")
+    )
+
+
+# ------------------------------------------------------------------ q207
+# Target mixture shares in milli-units; must sum to 1000.  The spec is
+# the training run's data-mix config (a LLaMA-style table: upsample the
+# tails, cap the head) — a literal dimension table, broadcast by size.
+_MIX_SPEC = (("en", 300), ("de", 175), ("fr", 175), ("es", 175), ("zh", 175))
+
+
+@register(
+    "q207_mixture_epochs",
+    tier="T2",
+    oracle=f"""
+WITH tk AS (SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                   AS tokens
+            FROM documents GROUP BY lang),
+spec(lang, target_milli) AS
+  (VALUES {', '.join(f"('{l}', {m})" for l, m in _MIX_SPEC)}),
+tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS t_total FROM tk)
+SELECT tk.lang, tokens,
+       CAST(1000 * tokens // t_total AS BIGINT) AS natural_milli,
+       CAST(target_milli AS BIGINT) AS target_milli,
+       CAST(target_milli * t_total // 1000 AS BIGINT) AS desired_tokens,
+       CAST(1000 * (target_milli * t_total // 1000) // tokens AS BIGINT)
+         AS rate_milli,
+       CAST((target_milli * t_total // 1000 + tokens - 1) // tokens AS BIGINT)
+         AS epochs
+FROM tk JOIN spec USING (lang), tot
+""",
+)
+def q207_mixture_epochs(spark, sf_dir):
+    """Data-mix rebalance math (the LLaMA / Pile upsampling plan): given
+    a target mixture share per language and one epoch's token budget
+    (= the corpus total), compute each language's sampling rate and the
+    number of epochs of that language the loader must draw — rate over
+    1000 milli-units means upsampling (the tail languages repeat;
+    epochs is the repeat count), under 1000 means the head is
+    subsampled.  This one small table IS the loader config a
+    pretraining run consumes; getting it exactly right (integer
+    milli-unit math, floor/ceil conventions pinned by the oracle) is
+    what keeps two independent implementations of the loader fed with
+    identical streams.
+
+    Plan: the corpus collapses to a 5-row per-lang token census in one
+    partial-aggregated shuffle; everything after operates on
+    aggregated rows — the literal mix-spec dimension joins broadcast,
+    and the 1-row grand total broadcasts into the rate arithmetic.
+    All integer: hash-exact at any scale.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.groupBy("lang").agg(
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("tokens")
+    )
+    spec = F.broadcast(
+        docs.sparkSession.createDataFrame(
+            list(_MIX_SPEC), "lang string, target_milli bigint"
+        )
+    )
+    tot = tk.agg(F.sum("tokens").cast("bigint").alias("t_total"))
+    desired = F.expr("CAST(target_milli * t_total div 1000 AS BIGINT)")
+    return (
+        tk.join(spec, "lang")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("desired_tokens", desired)
+        .select(
+            "lang",
+            "tokens",
+            F.expr("CAST(1000 * tokens div t_total AS BIGINT)").alias(
+                "natural_milli"
+            ),
+            "target_milli",
+            "desired_tokens",
+            F.expr("CAST(1000 * desired_tokens div tokens AS BIGINT)").alias(
+                "rate_milli"
+            ),
+            F.expr(
+                "CAST((desired_tokens + tokens - 1) div tokens AS BIGINT)"
+            ).alias("epochs"),
+        )
+    )
+
+
+# ------------------------------------------------------------------ q208
+_DECON_BLOCKS = 8  # train-side hash blocks; eval replicates to each
+
+
+@register(
+    "q208_eval_decontamination",
+    tier="T2",
+    oracle=f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+ev AS (SELECT v FROM e WHERE vec_id % 20 = 0),
+tr AS (SELECT * FROM e WHERE vec_id % 20 <> 0),
+mx AS (SELECT tr.vec_id, tr.label,
+              max(list_cosine_similarity(tr.v, ev.v)) AS m
+       FROM tr CROSS JOIN ev GROUP BY tr.vec_id, tr.label)
+SELECT label, CAST(count(*) AS BIGINT) AS n_train,
+       CAST(sum(CASE WHEN m >= {COSINE_NEARDUP_THRESHOLD} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_contam,
+       round(max(m), 4) AS max_cos
+FROM mx GROUP BY label
+""",
+)
+def q208_eval_decontamination(spark, sf_dir):
+    """Embedding-level eval-set decontamination: flag every training
+    vector whose cosine to ANY held-out eval vector (the deterministic
+    5% split vec_id % 20 = 0) reaches the q37 near-dup threshold, and
+    report the per-label contamination census.  The semantic sibling
+    of q98/q128's shingle contamination: n-gram checks miss paraphrase
+    leakage; this is the pass that catches it (used for benchmark
+    decontamination in Phi/GPT-class data pipelines).
+
+    Plan — decontamination as a map-shaped scan: the eval set is
+    benchmark-sized (fixed, small; it does NOT grow with the crawl),
+    so it plays the broadcast side.  Train rows hash into
+    {_DECON_BLOCKS} blocks; eval rows replicate to every block key
+    (explode of a literal key sequence — the broadcast-hash-join
+    topology expressed as a grouped kernel, q37's blocked-GEMM law
+    with one side pinned).  ONE shuffle co-locates each train block
+    with the whole eval matrix, a numpy matmul per group computes each
+    train row's max cosine (pairs never materialize as rows), and a
+    per-label census folds the result.  The train side crosses the
+    wire exactly once and the driver holds nothing; at 100 TB the
+    block count scales with executors while eval replication stays
+    benchmark-sized x blocks.  Cosine formula = q37's
+    dot/sqrt(n2a*n2b), the proven list_cosine_similarity parity.
+    """
+    import numpy as np
+    import pandas as pd
+
+    thr = COSINE_NEARDUP_THRESHOLD
+    B = _DECON_BLOCKS
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+    tr = e.filter(F.col("vec_id") % 20 != 0).select(
+        F.pmod(F.xxhash64("vec_id"), F.lit(B)).alias("blk"),
+        "vec_id",
+        "label",
+        "embedding",
+        F.lit(False).alias("is_ev"),
+    )
+    ev = (
+        e.filter(F.col("vec_id") % 20 == 0)
+        .select(
+            F.explode(F.expr(f"sequence(0, {B - 1})")).alias("blk0"),
+            "vec_id",
+            "label",
+            "embedding",
+            F.lit(True).alias("is_ev"),
+        )
+        .select(
+            F.col("blk0").cast("bigint").alias("blk"),
+            "vec_id",
+            "label",
+            "embedding",
+            "is_ev",
+        )
+    )
+
+    def kernel(key, pdf):
+        is_ev = pdf["is_ev"].to_numpy()
+        t_idx = np.nonzero(~is_ev)[0]
+        e_idx = np.nonzero(is_ev)[0]
+        if len(t_idx) == 0 or len(e_idx) == 0:
+            return pd.DataFrame({"vec_id": [], "label": [], "m": []}).astype(
+                {"vec_id": "int64", "label": "int32", "m": "float64"}
+            )
+        mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+        tm, em = mat[t_idx], mat[e_idx]
+        n2t = (tm * tm).sum(axis=1)
+        n2e = (em * em).sum(axis=1)
+        # same scalar formula as q37 / list_cosine_similarity
+        sims = (tm @ em.T) / np.sqrt(np.outer(n2t, n2e))
+        return pd.DataFrame(
+            {
+                "vec_id": pdf["vec_id"].to_numpy()[t_idx],
+                "label": pdf["label"].to_numpy()[t_idx],
+                "m": sims.max(axis=1),
+            }
+        )
+
+    mx = (
+        tr.unionByName(ev)
+        .groupBy("blk")
+        .applyInPandas(kernel, "vec_id bigint, label int, m double")
+    )
+    return mx.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_train"),
+        F.sum((F.col("m") >= thr).cast("bigint")).cast("bigint").alias("n_contam"),
+        F.round(F.max("m"), 4).alias("max_cos"),
+    )

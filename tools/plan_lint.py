@@ -117,6 +117,12 @@ ALLOW: dict[str, dict[str, str]] = {
         "per-bucket partials (bounded), corpus side is bucket-partitioned",
     },
     "q143_pmi_bigrams": {"BNLJ": "ntok/nbig scalars (1 row each)"},
+    "q206_dsir_importance": {
+        "BNLJ": "vocab/t_all and t_en scalars (1 row each) for smoothing"
+    },
+    "q207_mixture_epochs": {
+        "BNLJ": "grand-total token scalar (1 row) into the 5-row mix table"
+    },
     "q150_triangle_count": {"BNLJ": "3 one-row metric joins (nv x ne x tri)"},
     "q165_bitmap_rolling_wau": {
         "BNLJ": "day-grid range join over |days| x words/day — both "
