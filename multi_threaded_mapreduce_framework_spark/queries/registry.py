@@ -53,6 +53,7 @@ _QUERY_MODULES = (
     "multi_threaded_mapreduce_framework_spark.queries.t2_curate",
     "multi_threaded_mapreduce_framework_spark.queries.t2_spark4",
     "multi_threaded_mapreduce_framework_spark.queries.t2_pretrain",
+    "multi_threaded_mapreduce_framework_spark.queries.t2_retrieval",
 )
 
 
@@ -120,6 +121,10 @@ _DRIVER_PRIORITY = (
     "q206_dsir_importance",
     "q207_mixture_epochs",
     "q208_eval_decontamination",
+    "q209_bitext_mining",
+    "q210_ann_recall_census",
+    "q211_source_kl_drift",
+    "q212_quota_prefix_select",
     # --- last driver row r01: 22 stale rows (q25-q28 got their r05
     #     rows in the r5 window tail; these are the remainder) ---
     "q29_knn_label",

@@ -459,3 +459,166 @@ def q208_eval_decontamination(spark, sf_dir):
         F.sum((F.col("m") >= thr).cast("bigint")).cast("bigint").alias("n_contam"),
         F.round(F.max("m"), 4).alias("max_cos"),
     )
+
+
+# ------------------------------------------------------------------ q211
+@register(
+    "q211_source_kl_drift",
+    tier="T2",
+    oracle="""
+WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+           FROM documents),
+allc AS (SELECT tok, CAST(count(*) AS BIGINT) AS c_all FROM t GROUP BY tok),
+v AS (SELECT CAST(count(*) AS BIGINT) AS vocab,
+             CAST(sum(c_all) AS BIGINT) AS t_all FROM allc),
+sc AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c_s
+       FROM t GROUP BY source, tok),
+st AS (SELECT source, CAST(sum(c_s) AS BIGINT) AS t_s FROM sc GROUP BY source),
+grid AS (SELECT st.source, allc.tok, c_all, t_s FROM st CROSS JOIN allc),
+kl AS (SELECT grid.source,
+              sum( ((coalesce(c_s, 0) + 1.0) / (t_s + vocab))
+                 * ln( ((coalesce(c_s, 0) + 1.0) / (t_s + vocab))
+                     / ((c_all + 1.0) / (t_all + vocab)) ) ) AS kl
+       FROM grid LEFT JOIN sc ON sc.source = grid.source
+                             AND sc.tok = grid.tok, v
+       GROUP BY grid.source)
+SELECT st.source, t_s AS n_tokens, round(kl, 4) AS kl_drift
+FROM kl JOIN st USING (source)
+""",
+)
+def q211_source_kl_drift(spark, sf_dir):
+    """Per-source distribution drift: KL(P_source || P_corpus) over
+    add-1-smoothed unigram models — the curation monitor that catches
+    a source going off-distribution (spam floods, scraper breakage,
+    boilerplate takeover) long before any downstream eval does.  A
+    production crawl pipeline tracks exactly this number per
+    source/domain per snapshot; sources whose drift jumps get
+    quarantined (q183's row-level sibling at the source level).
+
+    The smoothed KL needs the FULL vocabulary grid per source (absent
+    tokens contribute probability mass 1/(T_s+V)), so both engines
+    compute the same dense source x vocab relation: the per-source
+    census (|sources| rows) broadcasts into the vocabulary table —
+    grid size is |sources| x |vocab|, which grows with the VOCABULARY,
+    not the corpus — then one left join against observed (source, tok)
+    counts and one per-source sum.  ONE tokenization feeds all three
+    aggregates.  4 dp ln discipline (q62's).
+    """
+    docs = spread_small_scan(load_table(spark, sf_dir, "documents"))
+    t = docs.select("source", F.explode(F.split("text", " ")).alias("tok"))
+    # ONE corpus-sized shuffle: the (source, tok) census; the corpus
+    # model, the vocab total, and the per-source totals all REDUCE from
+    # it (checkpointed so the three derivations don't re-tokenize)
+    sc = (
+        t.groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_s"))
+        .localCheckpoint()
+    )
+    allc = sc.groupBy("tok").agg(F.sum("c_s").cast("bigint").alias("c_all"))
+    v = allc.agg(
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+        F.sum("c_all").cast("bigint").alias("t_all"),
+    )
+    st = sc.groupBy("source").agg(F.sum("c_s").cast("bigint").alias("t_s"))
+    grid = allc.crossJoin(F.broadcast(st)).crossJoin(F.broadcast(v))
+    p_s = (F.coalesce(F.col("c_s"), F.lit(0)) + 1.0) / (
+        F.col("t_s") + F.col("vocab")
+    )
+    p_all = (F.col("c_all") + 1.0) / (F.col("t_all") + F.col("vocab"))
+    kl = (
+        grid.join(sc, ["source", "tok"], "left")
+        .groupBy("source")
+        .agg(F.round(F.sum(p_s * F.log(p_s / p_all)), 4).alias("kl_drift"))
+    )
+    return kl.join(st, "source").select(
+        "source", F.col("t_s").alias("n_tokens"), "kl_drift"
+    )
+
+
+# ------------------------------------------------------------------ q212
+@register(
+    "q212_quota_prefix_select",
+    tier="T2",
+    oracle="""
+WITH scored AS (
+  SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS t,
+         least(1.0, len(string_split(text, ' ')) / 40.0) * 0.6
+         + least(1.0, (length(replace(text, ' ', ''))
+                       / CAST(len(string_split(text, ' ')) AS DOUBLE)) / 8.0)
+           * 0.4 AS q
+  FROM documents),
+tot AS (SELECT lang, CAST(sum(t) AS BIGINT) AS total_tokens,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM scored GROUP BY lang),
+r AS (SELECT s.*, coalesce(sum(t) OVER (PARTITION BY lang
+          ORDER BY q DESC, doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+      FROM scored s),
+sel AS (SELECT r.lang, r.doc_id, r.t, r.q FROM r JOIN tot USING (lang)
+        WHERE prefix < total_tokens // 2)
+SELECT tot.lang, n_docs, total_tokens,
+       CAST(count(sel.doc_id) AS BIGINT) AS n_selected,
+       CAST(coalesce(sum(sel.t), 0) AS BIGINT) AS tokens_selected,
+       CAST(coalesce(min(floor(sel.q * 100)), 0) AS BIGINT) AS cutoff_centi
+FROM tot LEFT JOIN sel USING (lang)
+GROUP BY tot.lang, n_docs, total_tokens
+""",
+)
+def q212_quota_prefix_select(spark, sf_dir):
+    """Token-budget curation (the FineWeb-Edu-style "take the best
+    docs until the budget is spent" pass): per language, rank documents
+    by the q95 quality score and select greedily until half the
+    language's token budget is reached (the crossing document is
+    included); census of the cut — docs/tokens selected and the
+    quality floor the budget bought.  Rank-then-cut differs from q95's
+    fixed-threshold gate: the threshold here is DERIVED from the
+    budget, which is how curation actually runs when the training plan
+    (q207) fixes token counts first.
+
+    The greedy fill is closed-form over the (q DESC, doc_id) prefix
+    sum — a doc is selected iff its EXCLUSIVE prefix < quota — so one
+    lang-partitioned window computes it exactly in both engines; no
+    iterative selection state.  Window partitions are lang-bounded
+    (q197/q111 caveat: a language too large for one task moves to the
+    two-level distributed prefix-scan law).  Quality is exact IEEE
+    double arithmetic (mult/div/least — no transcendentals), so the
+    ordering and the floor(q*100) cutoff are bit-identical across
+    engines; everything else is integer.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.size(F.split("text", " ")).cast("bigint")
+    chars = F.length(F.regexp_replace("text", " ", ""))
+    q = F.least(F.lit(1.0), t / 40.0) * 0.6 + F.least(
+        F.lit(1.0), (chars / t.cast("double")) / 8.0
+    ) * 0.4
+    scored = docs.select("doc_id", "lang", t.alias("t"), q.alias("q"))
+    tot = scored.groupBy("lang").agg(
+        F.sum("t").cast("bigint").alias("total_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.desc("q"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    r = scored.withColumn(
+        "prefix", F.coalesce(F.sum("t").over(w), F.lit(0)).cast("bigint")
+    )
+    sel = r.join(tot.select("lang", "total_tokens"), "lang").filter(
+        F.col("prefix") < F.expr("total_tokens div 2")
+    )
+    agg = sel.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_selected"),
+        F.sum("t").cast("bigint").alias("tokens_selected"),
+        F.min(F.floor(F.col("q") * 100)).cast("bigint").alias("cutoff_centi"),
+    )
+    return tot.join(agg, "lang", "left").select(
+        "lang",
+        "n_docs",
+        "total_tokens",
+        F.coalesce("n_selected", F.lit(0)).cast("bigint").alias("n_selected"),
+        F.coalesce("tokens_selected", F.lit(0))
+        .cast("bigint")
+        .alias("tokens_selected"),
+        F.coalesce("cutoff_centi", F.lit(0)).cast("bigint").alias("cutoff_centi"),
+    )

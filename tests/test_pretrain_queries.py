@@ -143,3 +143,53 @@ def test_q208_split_is_disjoint_and_total(spark, sf_dir):
         .count()
     )
     assert n_train == expect
+
+
+def test_q211_kl_nonnegative_and_zero_for_identical_dist(spark, tmp_path, sf_dir):
+    """Gibbs' inequality: KL >= 0 always; and a corpus with a single
+    source has P_source == P_corpus exactly (same counts, same totals),
+    so its smoothed KL is exactly 0.0."""
+    rows = QUERIES["q211_source_kl_drift"](spark, sf_dir).collect()
+    assert len(rows) > 1 and all(r.kl_drift >= 0 for r in rows)
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(
+        [(i, "alpha beta gamma delta", "en", "only", 22) for i in range(4)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    one = QUERIES["q211_source_kl_drift"](spark, d).collect()
+    assert len(one) == 1 and one[0].kl_drift == 0.0
+
+
+def test_q212_greedy_fill_laws(spark, tmp_path):
+    """The budget-fill contract: selection is a prefix of the
+    (quality DESC, doc_id) order, the quota is reached (crossing doc
+    included), and dropping the crossing doc would fall below quota."""
+    d = str(tmp_path / "sf")
+    # 4 docs, 10 tokens each (40 total, quota 20); quality strictly
+    # decreasing with doc_id by construction (longer words score higher
+    # via the mean-word-length term)
+    texts = [
+        "aaaaaaaa " * 9 + "aaaaaaaa",
+        "aaaaaa " * 9 + "aaaaaa",
+        "aaaa " * 9 + "aaaa",
+        "aa " * 9 + "aa",
+    ]
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    r = QUERIES["q212_quota_prefix_select"](spark, d).collect()[0]
+    assert r.total_tokens == 40 and r.n_docs == 4
+    # quota = 20: doc0 (prefix 0 < 20) and doc1 (prefix 10 < 20) are
+    # selected; doc2 (prefix 20) is not
+    assert r.n_selected == 2 and r.tokens_selected == 20
+    assert r.tokens_selected >= r.total_tokens // 2
+
+
+def test_q212_fixture_quota_reached(spark, sf_dir):
+    """On the real fixture every language's selection covers its quota
+    (tokens_selected >= total div 2) without exceeding one crossing
+    doc's worth of overshoot relative to the largest selected doc."""
+    for r in QUERIES["q212_quota_prefix_select"](spark, sf_dir).collect():
+        assert r.tokens_selected >= r.total_tokens // 2
+        assert 0 < r.n_selected <= r.n_docs

@@ -120,6 +120,14 @@ ALLOW: dict[str, dict[str, str]] = {
     "q206_dsir_importance": {
         "BNLJ": "vocab/t_all and t_en scalars (1 row each) for smoothing"
     },
+    "q210_ann_recall_census": {
+        "BNLJ": "pinned probe table (5 rows) broadcast to the exact leg "
+        "(q28's probe-broadcast law)"
+    },
+    "q211_source_kl_drift": {
+        "BNLJ": "per-source census (|sources| rows) + vocab/t_all scalar "
+        "broadcast into the vocabulary grid"
+    },
     "q207_mixture_epochs": {
         "BNLJ": "grand-total token scalar (1 row) into the 5-row mix table"
     },
