@@ -75,13 +75,13 @@ _REGISTRY: dict[str, Query] = {}
 # + q56 + q111-q126 + q01-q22; r04 the q127-q171 debuts +
 # q23/q24/q94/q98/q102; r05 the q50-q75/q86-q110 bands + q25-q28 +
 # q172.  Round-6 priority, exactly as the r5 verdict sequenced it:
-# (1) the 13 never-driven round-5 debuts q173-q185, then the 17
-# round-6 debuts q186-q202 (30 never-driven rows lead the window);
-# (2) the 22 names last driven r01 (q29-q49 + q67) — the window's 50
-# rows end inside this band, and its tail + the r03 band head queue
-# for r7; (3) the r03 band in staleness order; (4) the r05 band;
-# (5) the r04 band via registration order.  The full set is re-proven
-# locally each session via tools/check_oracle.py at sf0.01 + sf0.1.
+# (1) the 13 never-driven round-5 debuts q173-q185, then the 31
+# round-6 debuts q186-q216 (44 never-driven rows lead the window —
+# more debuts than one 50-row window holds, so the overflow heads the
+# r7 queue); (2) the 22 names last driven r01 (q29-q49 + q67);
+# (3) the r03 band in staleness order; (4) the r05 band; (5) the r04
+# band via registration order.  The full set is re-proven locally
+# each session via tools/check_oracle.py at sf0.01 + sf0.1.
 _DRIVER_PRIORITY = (
     # --- never driven: the 13 round-5 debuts (r5 verdict item 1 says
     #     these lead the r6 window), then any round-6 debuts ---
@@ -125,6 +125,10 @@ _DRIVER_PRIORITY = (
     "q210_ann_recall_census",
     "q211_source_kl_drift",
     "q212_quota_prefix_select",
+    "q213_containment_mining",
+    "q214_embedding_diversity",
+    "q215_shard_balance_audit",
+    "q216_eval_ngram_coverage",
     # --- last driver row r01: 22 stale rows (q25-q28 got their r05
     #     rows in the r5 window tail; these are the remainder) ---
     "q29_knn_label",

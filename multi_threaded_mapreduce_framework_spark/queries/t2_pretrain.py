@@ -622,3 +622,150 @@ def q212_quota_prefix_select(spark, sf_dir):
         .alias("tokens_selected"),
         F.coalesce("cutoff_centi", F.lit(0)).cast("bigint").alias("cutoff_centi"),
     )
+
+
+# ------------------------------------------------------------------ q215
+_N_SHARDS = 64
+# portable shard law: Knuth multiplicative hash over a prime-bounded
+# id — ((doc_id % 1000003) * 2654435761) stays far below 2^63, so the
+# arithmetic is exact in BOTH engines with no overflow semantics in
+# play (Spark 4 runs ANSI; an unbounded 64-bit LCG would raise there
+# and silently wrap in DuckDB's HUGEINT path)
+_SHARD_EXPR = f"CAST(((doc_id % 1000003) * 2654435761) % {_N_SHARDS} AS BIGINT)"
+
+
+@register(
+    "q215_shard_balance_audit",
+    tier="T2",
+    oracle=f"""
+WITH d AS (SELECT {_SHARD_EXPR} AS shard,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS t
+           FROM documents),
+s AS (SELECT shard, CAST(sum(t) AS BIGINT) AS toks,
+             CAST(count(*) AS BIGINT) AS n_docs
+      FROM d GROUP BY shard)
+SELECT CAST(count(*) AS BIGINT) AS n_shards_used,
+       CAST(sum(toks) AS BIGINT) AS total_tokens,
+       CAST(min(toks) AS BIGINT) AS min_shard_tokens,
+       CAST(max(toks) AS BIGINT) AS max_shard_tokens,
+       CAST(1000 * max(toks) // (sum(toks) // count(*)) AS BIGINT)
+         AS imbalance_milli
+FROM s
+""",
+)
+def q215_shard_balance_audit(spark, sf_dir):
+    """Training-shard balance audit: hash documents into the loader's
+    {_N_SHARDS} shards with a portable multiplicative hash and report
+    the token balance — max-shard over mean-shard in milli-units.  A
+    data loader feeds one shard per worker; an imbalanced sharding is
+    a straggler at every epoch boundary, so this audit runs before any
+    training job is launched.  The shard law is the same expression in
+    both engines (prime-bounded multiplicative hash — exact integer
+    arithmetic with no 64-bit overflow, portable where xxhash64 is
+    not), so the census is hash-exact end to end.
+
+    Plan: one partial-aggregated shuffle to the shard census
+    ({_N_SHARDS} rows), then a single fold over it — the corpus
+    crosses the wire as {_N_SHARDS} partial rows per task, nothing
+    else.  All integer.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        F.expr(_SHARD_EXPR).alias("shard"),
+        F.size(F.split("text", " ")).cast("bigint").alias("t"),
+    )
+    s = d.groupBy("shard").agg(F.sum("t").cast("bigint").alias("toks"))
+    return s.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shards_used"),
+        F.sum("toks").cast("bigint").alias("total_tokens"),
+        F.min("toks").cast("bigint").alias("min_shard_tokens"),
+        F.max("toks").cast("bigint").alias("max_shard_tokens"),
+        F.expr(
+            "CAST(1000 * max(toks) div (sum(toks) div count(1)) AS BIGINT)"
+        ).alias("imbalance_milli"),
+    )
+
+
+# ------------------------------------------------------------------ q216
+_COV_G = 3  # gram width: 3-word grams give a non-degenerate census on
+# the fixture (5-grams are ~all unique in synthetic text)
+
+
+@register(
+    "q216_eval_ngram_coverage",
+    tier="T2",
+    oracle=f"""
+WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+g AS (SELECT DISTINCT lang, doc_id % 20 = 0 AS is_eval,
+             array_to_string(w[i+1:i+{_COV_G}], ' ') AS gram
+      FROM t, UNNEST(range(len(w) - {_COV_G - 1})) AS u(i)),
+ev AS (SELECT DISTINCT lang, gram FROM g WHERE is_eval),
+tr AS (SELECT DISTINCT lang, gram FROM g WHERE NOT is_eval),
+cov AS (SELECT ev.lang, CAST(count(*) AS BIGINT) AS n_eval_grams,
+               CAST(sum(CASE WHEN tr.gram IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_covered
+        FROM ev LEFT JOIN tr ON ev.lang = tr.lang AND ev.gram = tr.gram
+        GROUP BY ev.lang)
+SELECT lang, n_eval_grams, n_covered,
+       CAST(1000 * n_covered // n_eval_grams AS BIGINT) AS coverage_milli
+FROM cov
+""",
+)
+def q216_eval_ngram_coverage(spark, sf_dir):
+    """Eval-set n-gram coverage (the memorization-surface metric): per
+    language, the fraction of the held-out split's distinct 3-grams
+    that also occur in the training split.  q98/q128 FLAG contaminated
+    documents; this measures the aggregate overlap a benchmark report
+    quotes ("x% of eval n-grams appear in training data") — the number
+    that calibrates how much of an eval score could be recall rather
+    than generalization.
+
+    Plan: one tokenization explodes grams with the split flag computed
+    map-side from doc_id (deterministic split — no membership table);
+    each side reduces to DISTINCT (lang, gram) via partial-aggregated
+    shuffles on the gram key; the coverage join is gram-keyed
+    (vocabulary-of-grams-sized) and the census folds per lang.  The
+    eval split here is the doc_id % 20 sample; in production the eval
+    side is a pinned benchmark (bounded), making the coverage join a
+    broadcast — this declared form covers the harder case where it is
+    not.
+    """
+    G = _COV_G
+    docs = spread_small_scan(load_table(spark, sf_dir, "documents"))
+    t = docs.select("doc_id", "lang", F.split("text", " ").alias("w"))
+    g = t.select(
+        "lang",
+        (F.col("doc_id") % 20 == 0).alias("is_eval"),
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(w) >= {G} THEN "
+                f"transform(sequence(0, size(w) - {G}), "
+                f"i -> array_join(slice(w, i + 1, {G}), ' ')) "
+                "ELSE array() END"
+            )
+        ).alias("gram"),
+    ).distinct()
+    ev = g.filter("is_eval").select("lang", "gram").distinct()
+    tr = g.filter(~F.col("is_eval")).select("lang", F.col("gram").alias("tgram"))
+    cov = (
+        ev.join(
+            tr,
+            (ev.lang == tr.lang) & (ev.gram == tr.tgram),
+            "left",
+        )
+        .groupBy(ev.lang)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_eval_grams"),
+            F.sum(F.when(F.col("tgram").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_covered"),
+        )
+    )
+    return cov.select(
+        "lang",
+        "n_eval_grams",
+        "n_covered",
+        F.expr("CAST(1000 * n_covered div n_eval_grams AS BIGINT)").alias(
+            "coverage_milli"
+        ),
+    )

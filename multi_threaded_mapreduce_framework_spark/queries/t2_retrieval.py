@@ -29,10 +29,14 @@ from multi_threaded_mapreduce_framework_spark.functions.vector import (
 )
 from multi_threaded_mapreduce_framework_spark.queries.registry import register
 from multi_threaded_mapreduce_framework_spark.queries.t2_dedup import (
+    PF_DOC_CAP,
     _bucket_col,
     _bucket_sql_duck,
 )
-from multi_threaded_mapreduce_framework_spark.sources import load_table
+from multi_threaded_mapreduce_framework_spark.sources import (
+    load_table,
+    spread_small_scan,
+)
 
 # ------------------------------------------------------------------ q209
 _BITEXT_TOPK = 20
@@ -80,7 +84,7 @@ def q209_bitext_mining(spark, sf_dir):
     count grows with the corpus (more planes), keeping cells
     executor-bounded — the same scaling knob q38/q120 declare.
     """
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = spread_small_scan(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id",
         F.col("embedding").cast("array<double>").alias("v"),
     )
@@ -181,7 +185,7 @@ def q210_ann_recall_census(spark, sf_dir):
     pushdown that makes a fixed-probe audit O(scan) at 100 TB.
     """
     K = _RECALL_K
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = spread_small_scan(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     # one materialization of the bucketed table; the exact leg, the LSH
@@ -236,5 +240,215 @@ def q210_ann_recall_census(spark, sf_dir):
             F.expr(
                 "CAST(1000 * coalesce(n_hit, 0) div n_exact AS BIGINT)"
             ).alias("recall_milli"),
+        )
+    )
+
+
+# ------------------------------------------------------------------ q213
+_CONT_T_NUM, _CONT_T_DEN = 4, 5  # containment threshold 0.8 as a rational
+
+
+@register(
+    "q213_containment_mining",
+    tier="T2",
+    oracle=f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+           WHERE doc_id < {PF_DOC_CAP}),
+sh AS (SELECT DISTINCT doc_id, array_to_string(w[i+1:i+3], ' ') AS s
+       FROM t, UNNEST(range(len(w) - 2)) AS u(i)),
+sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS ad, b.doc_id AS bd, CAST(count(*) AS BIGINT) AS i
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id),
+o AS (SELECT CASE WHEN s1.n <= s2.n THEN ad ELSE bd END AS d1,
+             CASE WHEN s1.n <= s2.n THEN bd ELSE ad END AS d2,
+             i, least(s1.n, s2.n) AS nmin
+      FROM inter JOIN sz s1 ON s1.doc_id = ad JOIN sz s2 ON s2.doc_id = bd)
+SELECT d1, d2, round(CAST(i AS DOUBLE) / nmin, 2) AS containment
+FROM o WHERE i * {_CONT_T_DEN} >= nmin * {_CONT_T_NUM}
+""",
+)
+def q213_containment_mining(spark, sf_dir):
+    """Near-CONTAINMENT mining: pairs where the smaller document's
+    3-shingle set is >= 80% inside the other's — the asymmetric
+    relation Jaccard (q27/q126) misses by construction (a quote or an
+    aggregated page contains a small doc entirely, yet Jaccard stays
+    low when the container is large).  Quote/aggregator detection is a
+    standard pass next to near-dup removal in crawl curation.
+
+    Candidate generation is the PPJoin prefix law ADAPTED to
+    containment: with overlap >= ceil(t*n) required against the
+    SMALLER set A (|A| = n), a qualifying pair must share a shingle in
+    A's rarest-first prefix of n - ceil(t*n) + 1 — but the container
+    side must index its FULL set (a tiny A can sit anywhere inside B),
+    so the join is A-prefix x B-full-postings with the size constraint
+    |B| >= |A| orienting each pair exactly once.  Rare-first prefixes
+    keep the probe side off the hot postings for all but
+    hot-token-dominated docs; a second LOSSLESS positional filter
+    (in the shared global order, a qualifying pair's first common
+    shingle sits within BOTH theta-prefixes) prunes matches deep in
+    the container's suffix.  The oracle is the INDEPENDENT full
+    inverted-index join — a different candidate generator, so equality
+    proves the prefix+positional filters lost nothing (q126's
+    losslessness discipline).  Input shares q126's declared
+    PF_DOC_CAP: exact pairwise verification at 0.8 is inherently
+    candidate-volume-bound, and the cap bounds the DECLARED form's
+    bench cost; the uncapped Spark plan is identical in shape and
+    swept in SCALE.md.
+    """
+    t_num, t_den = _CONT_T_NUM, _CONT_T_DEN
+    docs = (
+        spread_small_scan(load_table(spark, sf_dir, "documents"))
+        .filter(F.col("doc_id") < PF_DOC_CAP)
+        .select("doc_id", F.split("text", " ").alias("ws"))
+    )
+    shingle = F.expr(
+        "array_distinct(transform(slice(ws, 1, greatest(size(ws) - 2, 0)),"
+        " (w, i) -> concat(w, ' ', ws[i + 1], ' ', ws[i + 2])))"
+    )
+    # checkpoint the BARE shingle projection: the transform/distinct
+    # HOF is CodegenFallback (no common-subexpression elimination), so
+    # a filter or size() over the live expression re-evaluates the
+    # whole shingling per reference — measured 3.3 s -> 1.1 s at sf0.1
+    sh = (
+        docs.select("doc_id", shingle.alias("hs"))
+        .localCheckpoint()  # feeds postings, prefix, and both verify sides
+        .filter(F.size("hs") >= 1)
+        .withColumn("n", F.size("hs"))
+    )
+    tok = sh.select("doc_id", "n", F.explode("hs").alias("s"))
+    freq = tok.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    worder = Window.partitionBy("doc_id").orderBy("df", "s")
+    ranked = (
+        tok.join(freq, "s")
+        .withColumn("rn", F.row_number().over(worder))
+        .localCheckpoint()  # feeds both the prefix and the postings side
+    )
+    prefix = ranked.filter(
+        F.col("rn")
+        <= F.col("n") - F.expr(f"(n * {t_num} + {t_den} - 1) div {t_den}") + 1
+    ).select(F.col("doc_id").alias("small_id"), F.col("n").alias("sn"), "s")
+    post = ranked.select(
+        F.col("doc_id").alias("big_id"),
+        F.col("n").alias("bn"),
+        F.col("rn").alias("bp"),
+        "s",
+    )
+    # B-side positional filter (lossless): in the shared rarest-first
+    # global order, the FIRST common shingle of a qualifying pair sits
+    # within BOTH sides' theta-prefixes (theta = ceil(t*sn) overlap
+    # needed, so position <= size - theta + 1 on each side); the A-side
+    # is the prefix relation, and bp <= bn - theta + 1 prunes hot-token
+    # matches deep in the container's suffix
+    cand = (
+        prefix.join(
+            post,
+            (prefix.s == post.s)
+            & (
+                (F.col("bn") > F.col("sn"))
+                | ((F.col("bn") == F.col("sn")) & (F.col("small_id") < F.col("big_id")))
+            )
+            & (
+                F.col("bp")
+                <= F.col("bn")
+                - F.expr(f"(sn * {t_num} + {t_den} - 1) div {t_den}")
+                + 1
+            ),
+        )
+        .select(F.col("small_id").alias("d1"), F.col("big_id").alias("d2"))
+        .distinct()
+    )
+    s1 = sh.select(F.col("doc_id").alias("d1"), F.col("hs").alias("hs1"))
+    s2 = sh.select(F.col("doc_id").alias("d2"), F.col("hs").alias("hs2"))
+    inter = F.size(F.array_intersect("hs1", "hs2"))
+    nmin = F.size("hs1")  # d1 is the smaller set by construction
+    return (
+        cand.join(s1, "d1")
+        .join(s2, "d2")
+        .filter(inter * t_den >= nmin * t_num)
+        .select(
+            "d1",
+            "d2",
+            F.round(inter.cast("double") / nmin, 2).alias("containment"),
+        )
+    )
+
+
+# ------------------------------------------------------------------ q214
+_DIVERSITY_CELLS = 8  # q39's IVF_CENTROIDS — same cell law
+
+
+@register(
+    "q214_embedding_diversity",
+    tier="T2",
+    oracle=f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c AS (SELECT vec_id AS centroid_id, v AS cv FROM e
+      WHERE vec_id < {_DIVERSITY_CELLS}),
+scored AS (
+  SELECT e.vec_id, c.centroid_id,
+         row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY list_cosine_similarity(e.v, c.cv) DESC,
+                     c.centroid_id) AS rn
+  FROM e CROSS JOIN c),
+asg AS (SELECT s.vec_id, centroid_id, lang
+        FROM scored s JOIN documents d ON s.vec_id = d.doc_id WHERE rn = 1),
+cell AS (SELECT lang, centroid_id, CAST(count(*) AS BIGINT) AS n
+         FROM asg GROUP BY lang, centroid_id),
+tot AS (SELECT lang, CAST(sum(n) AS BIGINT) AS nt FROM cell GROUP BY lang)
+SELECT cell.lang, nt AS n_vecs,
+       CAST(count(*) AS BIGINT) AS n_cells_used,
+       round(-sum((CAST(n AS DOUBLE) / nt) * ln(CAST(n AS DOUBLE) / nt)), 4)
+         AS cell_entropy,
+       CAST(1000 * max(n) // nt AS BIGINT) AS top_cell_milli
+FROM cell JOIN tot USING (lang) GROUP BY cell.lang, nt
+""",
+)
+def q214_embedding_diversity(spark, sf_dir):
+    """Embedding-space diversity census (the SemDeDup/DoReMi
+    complement): per language, the Shannon entropy and concentration
+    of its documents' distribution over IVF cells — low entropy or a
+    fat top-cell share means the language's corpus slice is
+    semantically collapsed (template farms, mirrored sites), the
+    signal that triggers per-cell caps before training.  Uses q39's
+    exact centroid-assignment law, so the cells audited here are the
+    ones the ANN index (q113) and SemDeDup (q193) actually use.
+
+    Plan: centroid table broadcasts into the scan (q39's map-side
+    assignment — the per-vec top-1 is an argmax over {_DIVERSITY_CELLS}
+    broadcast rows, no window over data); the id join to documents
+    attaches lang; then ONE partial-aggregated (lang, cell) census
+    whose output is |langs| x |cells| rows — entropy folds over that
+    bounded table, never over the corpus.  4 dp ln discipline.
+    """
+    from multi_threaded_mapreduce_framework_spark.queries.t2_dedup import (
+        ivf_assignments,
+    )
+
+    asg = ivf_assignments(spark, sf_dir).select("vec_id", "centroid_id")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    cell = (
+        asg.join(docs, asg.vec_id == docs.doc_id)
+        .groupBy("lang", "centroid_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    tot = cell.groupBy("lang").agg(F.sum("n").cast("bigint").alias("nt"))
+    p = F.col("n").cast("double") / F.col("nt")
+    return (
+        cell.join(tot, "lang")
+        .groupBy("lang", "nt")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cells_used"),
+            F.round(-F.sum(p * F.log(p)), 4).alias("cell_entropy"),
+            F.expr("CAST(1000 * max(n) div nt AS BIGINT)").alias(
+                "top_cell_milli"
+            ),
+        )
+        .select(
+            "lang",
+            F.col("nt").alias("n_vecs"),
+            "n_cells_used",
+            "cell_entropy",
+            "top_cell_milli",
         )
     )

@@ -63,3 +63,132 @@ def test_q210_recall_identities(spark, sf_dir):
         assert 0 <= r.n_hit <= min(r.n_exact, r.n_lsh)
         assert r.n_lsh <= 10
         assert r.recall_milli == 1000 * r.n_hit // r.n_exact
+
+
+def _write_docs(spark, tmp_path, rows):
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(
+        rows,
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    return d
+
+
+def test_q213_containment_catches_what_jaccard_misses(spark, tmp_path):
+    """A small doc quoted inside a much larger one: containment 1.0
+    but Jaccard well under the 0.8 threshold — the pair MUST surface
+    here (and would not in q27/q126). Orientation: d1 is the smaller
+    shingle set."""
+    quote = "alpha beta gamma delta epsilon"  # 3 distinct 3-shingles
+    filler = " ".join(f"f{i}" for i in range(40))
+    rows = [
+        (0, quote, "en", "s", len(quote)),
+        (1, f"{filler} {quote}", "en", "s", 99),
+        (2, "totally different words here now", "en", "s", 33),
+    ]
+    d = _write_docs(spark, tmp_path, rows)
+    out = {(r.d1, r.d2): r.containment
+           for r in QUERIES["q213_containment_mining"](spark, d).collect()}
+    assert out == {(0, 1): 1.0}
+    # sanity: the same pair's Jaccard is far below 0.8
+    n_small, n_big = 3, 3 + 38 + 3  # distinct shingles (filler + seam + quote)
+    assert 3 / (n_small + n_big - 3) < 0.5
+
+
+def test_q213_prefix_filter_is_lossless_vs_bruteforce(spark, tmp_path):
+    """Every brute-force containment pair at t=0.8 must be found by
+    the prefix+positional candidate generation (losslessness on a
+    corpus with hot shingles shared by ALL docs, the adversarial case
+    for prefix filters)."""
+    hot = "h1 h2 h3 h4"  # shingles shared corpus-wide (hot postings)
+    rows = [
+        (0, f"{hot} a1 a2 a3", "en", "s", 1),
+        (1, f"{hot} a1 a2 a3 b9", "en", "s", 1),   # contains doc0's set
+        (2, f"{hot} c1 c2 c3 c4 c5", "en", "s", 1),
+        (3, f"{hot} a1 a2", "en", "s", 1),
+    ]
+    d = _write_docs(spark, tmp_path, rows)
+    got = {(r.d1, r.d2) for r in
+           QUERIES["q213_containment_mining"](spark, d).collect()}
+    # brute force in python
+    import itertools
+    def sh3(t):
+        w = t.split()
+        return {" ".join(w[i:i+3]) for i in range(len(w)-2)}
+    sets = {i: sh3(t) for i, t, *_ in rows}
+    want = set()
+    for a, b in itertools.combinations(sorted(sets), 2):
+        sa, sb = sets[a], sets[b]
+        (d1, d2) = (a, b) if len(sa) <= len(sb) else (b, a)
+        nmin = min(len(sa), len(sb))
+        if len(sa & sb) * 5 >= nmin * 4:
+            want.add((d1, d2))
+    assert got == want and want  # non-trivial case
+
+
+def test_q214_entropy_laws(spark, tmp_path):
+    """All vectors duplicating centroid 3's embedding assign to one
+    cell: entropy exactly 0.0, one cell used, top share 1000."""
+    import random
+
+    rng = random.Random(7)
+    cents = [[rng.uniform(-1, 1) for _ in range(64)] for _ in range(8)]
+    emb = [(i, cents[i], i) for i in range(8)]
+    emb += [(i, cents[3], i) for i in range(8, 40)]
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(
+        emb, "vec_id bigint, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+    spark.createDataFrame(
+        [(i, "x", "en", "s", 1) for i in range(40)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    rows = QUERIES["q214_embedding_diversity"](spark, d).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # 32 copies of centroid 3 land in cell 3; the 8 centroid-self rows
+    # each land in their own cell -> entropy > 0 is fine for them; so
+    # instead pin the dominant-cell share law
+    assert r.n_vecs == 40 and r.top_cell_milli == 1000 * 33 // 40
+    assert r.n_cells_used == 8 and r.cell_entropy > 0
+
+
+def test_q215_shard_identities(spark, sf_dir):
+    """total == sum of shard tokens (recomputed); imbalance law holds;
+    the shard expression is total (every doc lands in [0, 64))."""
+    from multi_threaded_mapreduce_framework_spark.sources import load_table
+
+    r = QUERIES["q215_shard_balance_audit"](spark, sf_dir).collect()[0]
+    docs = load_table(spark, sf_dir, "documents").collect()
+    import collections
+
+    sh = collections.Counter()
+    for row in docs:
+        shard = ((row.doc_id % 1000003) * 2654435761) % 64
+        sh[shard] += len(row.text.split(" "))
+    assert r.n_shards_used == len(sh)
+    assert r.total_tokens == sum(sh.values())
+    assert r.max_shard_tokens == max(sh.values())
+    assert r.min_shard_tokens == min(sh.values())
+    assert r.imbalance_milli == 1000 * max(sh.values()) // (
+        sum(sh.values()) // len(sh)
+    )
+
+
+def test_q216_coverage_bounds_and_duplicate_law(spark, tmp_path):
+    """An eval doc duplicated verbatim in the train split is fully
+    covered (1000 milli); an eval doc with unique text scores 0."""
+    dup = "p q r s t u v w"
+    rows = [
+        (0, dup, "en", "s", 1),      # eval (0 % 20 == 0)
+        (1, dup, "en", "s", 1),      # train twin
+        (20, "unique1 unique2 unique3 unique4", "de", "s", 1),  # eval, uncovered
+        (21, "other tokens entirely here", "de", "s", 1),
+    ]
+    d = _write_docs(spark, tmp_path, rows)
+    cov = {r.lang: r for r in
+           QUERIES["q216_eval_ngram_coverage"](spark, d).collect()}
+    assert cov["en"].coverage_milli == 1000
+    assert cov["de"].coverage_milli == 0
+    for r in cov.values():
+        assert 0 <= r.n_covered <= r.n_eval_grams

@@ -120,6 +120,9 @@ ALLOW: dict[str, dict[str, str]] = {
     "q206_dsir_importance": {
         "BNLJ": "vocab/t_all and t_en scalars (1 row each) for smoothing"
     },
+    "q214_embedding_diversity": {
+        "BNLJ": "centroid table (k=8 rows) broadcast (q39's assignment law)"
+    },
     "q210_ann_recall_census": {
         "BNLJ": "pinned probe table (5 rows) broadcast to the exact leg "
         "(q28's probe-broadcast law)"
