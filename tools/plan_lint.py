@@ -120,6 +120,9 @@ ALLOW: dict[str, dict[str, str]] = {
     "q206_dsir_importance": {
         "BNLJ": "vocab/t_all and t_en scalars (1 row each) for smoothing"
     },
+    "q219_source_embedding_drift": {
+        "BNLJ": "global-norm scalar (1 row) broadcast into the cosine fold"
+    },
     "q214_embedding_diversity": {
         "BNLJ": "centroid table (k=8 rows) broadcast (q39's assignment law)"
     },
