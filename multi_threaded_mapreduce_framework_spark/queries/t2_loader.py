@@ -255,3 +255,130 @@ def q219_source_embedding_drift(spark, sf_dir):
             "drift_cos"
         ),
     )
+
+
+# ------------------------------------------------------------------ q220
+_ES_K = 50
+# portable uniform: prime-bounded multiplicative hash -> (0, 1]; the
+# division is exact IEEE on integers, so u is bit-identical across
+# engines (q215's hash law, rescaled)
+_ES_U_SQL = "((doc_id % 1000003) * 2654435761) % 1000003"
+
+
+@register(
+    "q220_weighted_sample_es",
+    tier="T2",
+    oracle=f"""
+WITH d AS (SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+             {_ES_U_SQL} AS h
+           FROM documents),
+k AS (SELECT doc_id, lang, w,
+             -ln((h + 1) / 1000004.0) / w AS key FROM d)
+SELECT doc_id, lang, w, round(key, 4) AS es_key
+FROM k ORDER BY key ASC, doc_id LIMIT {_ES_K}
+""",
+)
+def q220_weighted_sample_es(spark, sf_dir):
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis
+    exponential clocks): each document draws key = -ln(u)/w with a
+    PORTABLE deterministic uniform u and weight w = token count; the
+    k smallest keys are exactly a PPS-without-replacement sample.
+    This is how a curation pipeline takes a weighted subsample of a
+    100 TB corpus in ONE pass with no global state — the
+    without-replacement answer next to q139's systematic PPS (which
+    needs a global prefix) and q99's uniform strata.
+
+    One-pass and embarrassingly parallel: the key is a map-side
+    expression (the hash-uniform is exact integer arithmetic, so u is
+    bit-identical across engines; ln/divide are 1-ulp, far from any
+    rank boundary), and the top-k is a TakeOrderedAndProject —
+    per-task partial top-k, never a global sort.  Selection is
+    deterministic given the hash, so the test recomputes the EXACT
+    expected sample in pure Python.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.split("text", " ")).cast("bigint").alias("w"),
+        F.expr(_ES_U_SQL).alias("h"),
+    )
+    key = -F.log((F.col("h") + 1) / 1000004.0) / F.col("w")
+    return (
+        d.select("doc_id", "lang", "w", key.alias("key"))
+        .orderBy(F.asc("key"), F.asc("doc_id"))
+        .limit(_ES_K)
+        .select("doc_id", "lang", "w", F.round("key", 4).alias("es_key"))
+    )
+
+
+# ------------------------------------------------------------------ q221
+_BURST_MIN_GAPS = 5
+
+
+@register(
+    "q221_interarrival_burstiness",
+    tier="T2",
+    oracle=f"""
+WITH g AS (SELECT user_id,
+             epoch_ms(ts) - epoch_ms(lag(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id)) AS gap
+           FROM events),
+b AS (SELECT user_id, avg(gap) AS mu, stddev_pop(gap) AS sd
+      FROM g WHERE gap IS NOT NULL GROUP BY user_id
+      HAVING count(gap) >= {_BURST_MIN_GAPS}),
+idx AS (SELECT user_id, (sd - mu) / (sd + mu) AS burst
+        FROM b WHERE sd + mu > 0)
+SELECT CAST(least(greatest(floor((burst + 1) * 5), 0), 9) AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_users,
+       round(avg(burst), 4) AS mean_burst
+FROM idx GROUP BY 1
+""",
+)
+def q221_interarrival_burstiness(spark, sf_dir):
+    """Inter-arrival burstiness census (Goh-Barabasi index): per user,
+    B = (sigma - mu) / (sigma + mu) over the millisecond gaps between
+    consecutive events — B near -1 is a regular clock, 0 is Poisson,
+    +1 is extreme bursts; the histogram over users is the traffic-shape
+    audit that separates organic users from schedulers and scrapers
+    (bot filtering upstream of any behavioral analytics, and of q23's
+    sessionization thresholds).
+
+    Plan: gaps come from ONE user-partitioned window (user-bounded
+    partitions that grow in count, not size — the q23 discipline) over
+    integer epoch-millis (exact in both engines); per-user moments
+    partial-aggregate, and the bucket census folds over per-user rows.
+    stddev_pop on both sides; 4 dp rounding on the mean; the bucket
+    floor operates on a sqrt-derived value far from lattice points.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select(
+        "user_id",
+        (
+            F.unix_millis("ts") - F.unix_millis(F.lag("ts").over(w))
+        ).alias("gap"),
+    ).filter(F.col("gap").isNotNull())
+    b = (
+        g.groupBy("user_id")
+        .agg(
+            F.avg("gap").alias("mu"),
+            F.stddev_pop("gap").alias("sd"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .filter(F.col("n") >= _BURST_MIN_GAPS)
+        .filter(F.col("sd") + F.col("mu") > 0)
+        .select(
+            ((F.col("sd") - F.col("mu")) / (F.col("sd") + F.col("mu"))).alias(
+                "burst"
+            )
+        )
+    )
+    bucket = F.least(
+        F.greatest(F.floor((F.col("burst") + 1) * 5), F.lit(0)), F.lit(9)
+    ).cast("bigint")
+    return b.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.round(F.avg("burst"), 4).alias("mean_burst"),
+    )

@@ -88,3 +88,69 @@ def test_q219_drift_self_consistency(spark, tmp_path):
     rows = QUERIES["q219_source_embedding_drift"](spark, d).collect()
     assert len(rows) == 1
     assert rows[0].n_vecs == 30 and math.isclose(rows[0].drift_cos, 1.0)
+
+
+def test_q220_exact_reference_selection(spark, sf_dir):
+    """The ES sample is deterministic given the portable hash: the
+    Spark selection must equal a pure-Python recomputation exactly
+    (ids, weights, and 4 dp keys)."""
+    import math
+
+    from multi_threaded_mapreduce_framework_spark.sources import load_table
+
+    out = QUERIES["q220_weighted_sample_es"](spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.size(F.split("text", " ")).alias("w")
+    ).collect()
+    keyed = []
+    for r in docs:
+        h = ((r.doc_id % 1000003) * 2654435761) % 1000003
+        keyed.append((-math.log((h + 1) / 1000004.0) / r.w, r.doc_id, r.w))
+    keyed.sort()
+    want = [(d, w, round(k, 4)) for k, d, w in keyed[:50]]
+    got = [(r.doc_id, r.w, r.es_key) for r in out]
+    assert got == want
+
+
+def test_q220_weight_bias(spark, tmp_path):
+    """PPS law (sanity, deterministic here): with equal hashes ruled
+    out, a doc with enormous weight gets a near-zero key and MUST be
+    selected over tiny-weight docs at the same u."""
+    rows = [(i, "w " * (2000 if i == 3 else 5), "en", "s", 1) for i in range(60)]
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(
+        [(i, t.strip(), l, s, n) for i, t, l, s, n in rows],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    got = {r.doc_id for r in QUERIES["q220_weighted_sample_es"](spark, d).collect()}
+    assert 3 in got  # the heavy doc is in any 50-of-60 PPS sample
+
+
+def test_q221_burstiness_bounds_and_clock_law(spark, tmp_path):
+    """B is within (-1, 1); a perfectly regular clock user (constant
+    gaps) has sd = 0 -> B = -1 -> bucket 0."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # user 1: perfect 60 s clock, 10 events
+    rows += [(i, base + dt.timedelta(seconds=60 * i), 1, "click", 0.0, "{}")
+             for i in range(10)]
+    # user 2: bursty — 5 quick pairs separated by huge gaps
+    t = base
+    eid = 100
+    for b in range(6):
+        rows.append((eid, t, 2, "click", 0.0, "{}")); eid += 1
+        rows.append((eid, t + dt.timedelta(seconds=1), 2, "click", 0.0, "{}")); eid += 1
+        t += dt.timedelta(hours=12)
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string"
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    out = {r.bucket: r for r in
+           QUERIES["q221_interarrival_burstiness"](spark, d).collect()}
+    assert 0 in out and out[0].mean_burst == -1.0  # the clock user
+    assert any(b >= 5 for b in out)  # the bursty user lands right of Poisson
+    for r in out.values():
+        assert -1.0 <= r.mean_burst <= 1.0

@@ -83,16 +83,19 @@ def test_driver_priority_names_all_registered():
     # round-6 rotation (VERDICT r05 item 1): the 13 never-driven
     # round-5 debuts lead the window, followed by the round-6 debuts
     # q186-q204...
-    assert [num(n) for n in ordered[:47]] == list(range(173, 220)), ordered[:47]
+    n_debuts = 49  # q173..q221: never-driven rows lead the window
+    assert [num(n) for n in ordered[:n_debuts]] == list(range(173, 222)), (
+        ordered[:n_debuts]
+    )
     # ...then the 22 names last driven in r01 (q29-q49 + q67); the
     # 50-row window ends inside this band, the rest queues for r7
-    assert {num(n) for n in ordered[47:69]} == set(range(29, 50)) | {67}, sorted(
-        num(n) for n in ordered[47:69]
-    )
+    assert {num(n) for n in ordered[n_debuts : n_debuts + 22]} == set(
+        range(29, 50)
+    ) | {67}, sorted(num(n) for n in ordered[n_debuts : n_debuts + 22])
     # ...and the r03 band queues immediately after
     r03_head = {76, 77, 78}
-    assert {num(n) for n in ordered[69:72]} == r03_head, sorted(
-        num(n) for n in ordered[69:72]
+    assert {num(n) for n in ordered[n_debuts + 22 : n_debuts + 25]} == r03_head, (
+        sorted(num(n) for n in ordered[n_debuts + 22 : n_debuts + 25])
     )
 
 
