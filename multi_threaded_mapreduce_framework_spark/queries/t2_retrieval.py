@@ -28,6 +28,10 @@ from multi_threaded_mapreduce_framework_spark.functions.vector import (
     cosine_similarity,
 )
 from multi_threaded_mapreduce_framework_spark.queries.registry import register
+from multi_threaded_mapreduce_framework_spark.functions.texthash import (
+    BAND_MIX as _TH_MIX,
+    P as _TH_P,
+)
 from multi_threaded_mapreduce_framework_spark.queries.t2_dedup import (
     PF_DOC_CAP,
     _bucket_col,
@@ -450,5 +454,133 @@ def q214_embedding_diversity(spark, sf_dir):
             "n_cells_used",
             "cell_entropy",
             "top_cell_milli",
+        )
+    )
+
+
+# ------------------------------------------------------------------ q222
+_MH_ERR_K = 16  # q35's MINHASH_K — the sketch being measured
+
+
+@register(
+    "q222_minhash_error_census",
+    tier="T2",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(wh)-2),
+    i -> ((wh[i]*{{MIX}} + wh[i+1]) % {{P}} * {{MIX}} + wh[i+2]) % {{P}})) AS hs
+  FROM (SELECT doc_id, list_transform(string_split(text, ' '),
+          w -> list_reduce(list_transform(string_split(w, ''),
+                c -> CAST(ascii(c) AS BIGINT)), (a,b) -> (a*31+b) % {{P}})) AS wh
+        FROM documents WHERE doc_id < {{CAP}})),
+shf AS (SELECT * FROM sh WHERE len(hs) > 0),
+sig AS (SELECT doc_id, hs, list_transform(generate_series(0, {_MH_ERR_K - 1}),
+          i -> list_min(list_transform(hs,
+                 h -> ((17+13*i)*h + (91+7*i)) % {{P}}))) AS sig
+        FROM shf),
+tok AS (SELECT doc_id, unnest(hs) AS h FROM shf),
+cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         FROM tok a JOIN tok b ON a.h = b.h AND a.doc_id < b.doc_id),
+p AS (SELECT d1, d2,
+        CAST(1000 * len(list_intersect(x.hs, y.hs))
+             // (len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs)))
+             AS BIGINT) AS exact_milli,
+        CAST(1000 * list_sum(list_transform(generate_series(1, {_MH_ERR_K}),
+             i -> CASE WHEN x.sig[i] = y.sig[i] THEN 1 ELSE 0 END))
+             // {_MH_ERR_K} AS BIGINT) AS est_milli
+      FROM cand JOIN sig x ON x.doc_id = d1 JOIN sig y ON y.doc_id = d2)
+SELECT CAST(exact_milli // 100 AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(abs(est_milli - exact_milli)) // count(*) AS BIGINT)
+         AS mean_abs_err_milli,
+       CAST(max(abs(est_milli - exact_milli)) AS BIGINT) AS max_abs_err_milli
+FROM p GROUP BY 1
+""".format(MIX=_TH_MIX, P=_TH_P, CAP=PF_DOC_CAP),
+)
+def q222_minhash_error_census(spark, sf_dir):
+    """MinHash estimation-error census (q210's discipline applied to
+    the OTHER approximate layer): for every shingle-sharing pair, the
+    MinHash(16) match-rate estimate vs the exact Jaccard, bucketed by
+    exact-Jaccard decile — the measured error curve that justifies
+    q35's band thresholds.  The textbook claim is E[est] = J with
+    sd = sqrt(J(1-J)/K); this census replaces the claim with the
+    corpus's own numbers, and the census itself is oracle-verified
+    (both engines re-derive sketch AND truth, all-integer milli math).
+
+    Plan: ONE scan computes shingle hashes and signatures (q35's
+    portable codegen'd expressions — bit-identical across engines by
+    construction, the same parity q177 proved for HLL); the pair
+    universe is the distinct shared-shingle join (the q27 inverted
+    index — input shares q126/q213's declared PF_DOC_CAP since exact
+    verification is pair-volume-bound); the per-pair compare carries
+    (hs, sig) once via join-back, and the decile census folds all-
+    integer.  At scale the same census runs over q35's CANDIDATES
+    (already materialized by the dedup pass) instead of all sharing
+    pairs — same plan minus the pair generation.
+    """
+    from multi_threaded_mapreduce_framework_spark.functions.texthash import (
+        word_shingle_hashes,
+    )
+    from multi_threaded_mapreduce_framework_spark.queries.t2_dedup import (
+        minhash_signature_np,
+    )
+
+    K = _MH_ERR_K
+    docs = (
+        spread_small_scan(load_table(spark, sf_dir, "documents"))
+        .filter(F.col("doc_id") < PF_DOC_CAP)
+        .filter(F.size(F.split("text", " ")) >= 3)
+    )
+    sh = (
+        docs.select("doc_id", word_shingle_hashes("text").alias("hs"))
+        .localCheckpoint()  # feeds tok, and both compare sides
+    )
+    sig = sh.select(
+        "doc_id", "hs", minhash_signature_np(F.col("hs"), K).alias("sig")
+    )
+    tok = sh.select("doc_id", F.explode("hs").alias("h"))
+    a, b = tok.alias("a"), tok.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    x = sig.select(
+        F.col("doc_id").alias("d1"),
+        F.col("hs").alias("hs1"),
+        F.col("sig").alias("sig1"),
+    )
+    y = sig.select(
+        F.col("doc_id").alias("d2"),
+        F.col("hs").alias("hs2"),
+        F.col("sig").alias("sig2"),
+    )
+    inter = F.size(F.array_intersect("hs1", "hs2"))
+    union = F.size("hs1") + F.size("hs2") - inter
+    exact_milli = F.expr(
+        "CAST(1000 * size(array_intersect(hs1, hs2)) div "
+        "(size(hs1) + size(hs2) - size(array_intersect(hs1, hs2))) AS BIGINT)"
+    )
+    est_milli = F.expr(
+        f"CAST(1000 * aggregate(zip_with(sig1, sig2,"
+        f" (p, q) -> IF(p = q, 1, 0)), 0, (acc, v) -> acc + v)"
+        f" div {K} AS BIGINT)"
+    )
+    p = cand.join(x, "d1").join(y, "d2").select(
+        exact_milli.alias("exact_milli"), est_milli.alias("est_milli")
+    )
+    err = F.abs(F.col("est_milli") - F.col("exact_milli"))
+    return (
+        p.groupBy(F.expr("CAST(exact_milli div 100 AS BIGINT)").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.expr(
+                "CAST(sum(abs(est_milli - exact_milli)) div count(1) AS BIGINT)"
+            ).alias("mean_abs_err_milli"),
+            F.max(err).cast("bigint").alias("max_abs_err_milli"),
         )
     )

@@ -192,3 +192,31 @@ def test_q216_coverage_bounds_and_duplicate_law(spark, tmp_path):
     assert cov["de"].coverage_milli == 0
     for r in cov.values():
         assert 0 <= r.n_covered <= r.n_eval_grams
+
+
+def test_q222_identical_docs_have_zero_sketch_error(spark, tmp_path):
+    """Identical shingle sets => identical MinHash signatures => the
+    estimate is exactly 1000 milli with error 0, in the top bucket;
+    and every bucket's mean error is bounded by its max."""
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta", "en", "s", 1),
+        (1, "alpha beta gamma delta epsilon zeta", "en", "s", 1),
+        (2, "other words entirely different here", "en", "s", 1),
+    ]
+    d = _write_docs(spark, tmp_path, rows)
+    out = {r.bucket: r for r in
+           QUERIES["q222_minhash_error_census"](spark, d).collect()}
+    assert 10 in out
+    assert out[10].mean_abs_err_milli == 0 and out[10].max_abs_err_milli == 0
+    for r in out.values():
+        assert 0 <= r.mean_abs_err_milli <= r.max_abs_err_milli <= 1000
+
+
+def test_q222_error_within_theory_bound(spark, sf_dir):
+    """Chebyshev-ish sanity: mean |est - J| must sit well under the
+    K=16 sketch's absolute ceiling, and the dominant low-J bucket must
+    be tight (sd(J=0.1) ~ 75 milli; allow generous 3x slack)."""
+    rows = QUERIES["q222_minhash_error_census"](spark, sf_dir).collect()
+    assert rows
+    low = [r for r in rows if r.bucket == 0]
+    assert low and low[0].mean_abs_err_milli <= 225
