@@ -382,3 +382,180 @@ def q221_interarrival_burstiness(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n_users"),
         F.round(F.avg("burst"), 4).alias("mean_burst"),
     )
+
+
+# ------------------------------------------------------------------ q223
+@register(
+    "q223_heaps_law_fit",
+    tier="T2",
+    oracle="""
+WITH t AS (SELECT lang, doc_id, unnest(string_split(text, ' ')) AS tok
+           FROM documents),
+fo AS (SELECT lang, tok, CAST(min(doc_id) AS BIGINT) AS fdoc
+       FROM t GROUP BY lang, tok),
+nv AS (SELECT lang, fdoc, CAST(count(*) AS BIGINT) AS new_toks
+       FROM fo GROUP BY lang, fdoc),
+dr AS (SELECT lang, doc_id,
+              CAST(row_number() OVER (PARTITION BY lang ORDER BY doc_id)
+                   AS BIGINT) AS drank,
+              CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS ndocs
+       FROM documents),
+cum AS (SELECT dr.lang, dr.drank, dr.ndocs,
+               CAST(sum(coalesce(new_toks, 0)) OVER (
+                    PARTITION BY dr.lang ORDER BY dr.drank
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS v
+        FROM dr LEFT JOIN nv ON nv.lang = dr.lang AND nv.fdoc = dr.doc_id),
+cp AS (SELECT lang, drank, v FROM cum
+       WHERE drank % greatest(ndocs // 10, 1) = 0)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_checkpoints,
+       round(regr_slope(ln(CAST(v AS DOUBLE)), ln(CAST(drank AS DOUBLE))), 4)
+         AS heaps_beta,
+       CAST(max(v) AS BIGINT) AS vocab_final
+FROM cp GROUP BY lang
+""",
+)
+def q223_heaps_law_fit(spark, sf_dir):
+    """Heaps'-law fit per language: vocabulary growth V(d) sampled at
+    ten document-rank checkpoints and regressed as ln V ~ beta ln d —
+    the companion curve to q218's Zipf slope (together they are the
+    two numbers a tokenizer-vocabulary plan is sized from; a beta near
+    zero, as on this saturating synthetic fixture, says the vocabulary
+    is closed and a small subword inventory suffices — the MEASUREMENT
+    is the deliverable either way).
+
+    V(d) never materializes per token: first occurrences reduce to a
+    (lang, first_doc) histogram (partial-agg), and the cumulative
+    vocabulary is a running sum of that histogram joined onto the
+    per-lang doc rank — lang-bounded windows over DOC rows (q197/q111
+    caveat), checkpoints every ndocs/10, and the regression folds over
+    ten rows per lang with built-in regr_slope.  4 dp ln discipline.
+    """
+    docs = spread_small_scan(load_table(spark, sf_dir, "documents"))
+    t = docs.select("lang", "doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    fo = t.groupBy("lang", "tok").agg(
+        F.min("doc_id").cast("bigint").alias("fdoc")
+    )
+    nv = fo.groupBy("lang", "fdoc").agg(
+        F.count(F.lit(1)).cast("bigint").alias("new_toks")
+    )
+    wl = Window.partitionBy("lang").orderBy("doc_id")
+    dr = load_table(spark, sf_dir, "documents").select("lang", "doc_id").select(
+        "lang",
+        "doc_id",
+        F.row_number().over(wl).cast("bigint").alias("drank"),
+        F.count(F.lit(1)).over(Window.partitionBy("lang")).cast("bigint").alias(
+            "ndocs"
+        ),
+    )
+    wrun = (
+        Window.partitionBy("lang")
+        .orderBy("drank")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = (
+        dr.join(nv, (nv.lang == dr.lang) & (nv.fdoc == dr.doc_id), "left")
+        .select(dr.lang, "drank", "ndocs", F.coalesce("new_toks", F.lit(0)).alias("nt"))
+        .withColumn("v", F.sum("nt").over(wrun).cast("bigint"))
+    )
+    cp = cum.filter(
+        F.col("drank") % F.greatest(F.expr("ndocs div 10"), F.lit(1)) == 0
+    )
+    return cp.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_checkpoints"),
+        F.round(
+            F.regr_slope(
+                F.log(F.col("v").cast("double")),
+                F.log(F.col("drank").cast("double")),
+            ),
+            4,
+        ).alias("heaps_beta"),
+        F.max("v").cast("bigint").alias("vocab_final"),
+    )
+
+
+# ------------------------------------------------------------------ q224
+_CT_PROFILE_K = 20  # trigrams per language profile
+
+
+@register(
+    "q224_ngram_langid_confusion",
+    tier="T2",
+    oracle=f"""
+WITH g AS (SELECT lang, doc_id,
+             unnest(list_distinct(list_transform(
+               generate_series(1, len(text) - 2), i -> text[i:i+2]))) AS tg
+           FROM documents),
+prof AS (SELECT lang AS plang, tg FROM (
+           SELECT lang, tg, row_number() OVER (PARTITION BY lang
+                  ORDER BY count(*) DESC, tg) AS rk
+           FROM g GROUP BY lang, tg) WHERE rk <= {_CT_PROFILE_K}),
+ov AS (SELECT g.doc_id, g.lang, prof.plang, CAST(count(*) AS BIGINT) AS hits
+       FROM g JOIN prof ON g.tg = prof.tg GROUP BY 1, 2, 3),
+pred AS (SELECT doc_id, lang, plang AS predicted,
+                row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY hits DESC, plang) AS rn
+         FROM ov),
+p1 AS (SELECT d.doc_id, d.lang, coalesce(pred.predicted, 'none') AS predicted
+       FROM documents d LEFT JOIN pred
+         ON pred.doc_id = d.doc_id AND pred.rn = 1)
+SELECT lang, predicted, CAST(count(*) AS BIGINT) AS cnt
+FROM p1 GROUP BY lang, predicted
+""",
+)
+def q224_ngram_langid_confusion(spark, sf_dir):
+    """Multi-class n-gram language ID (Cavnar-Trenkle profiles) and its
+    confusion matrix vs the declared labels: each language's top-20
+    character trigrams form its profile; a document is classified to
+    the profile it overlaps most (ties to the alphabetically first
+    language, absent overlap to 'none').  q33 is the binary
+    stopword-ratio gate; this is the real multi-class identifier a
+    curation pipeline runs, and the confusion census IS the audit of
+    mislabeled language columns.  On this shared-vocabulary synthetic
+    fixture the matrix is genuinely noisy — that measured weakness is
+    the deliverable, exactly like q210's low LSH recall.
+
+    Plan: ONE distinct-trigram explode feeds both the profile build
+    and the classification; profiles are |langs| x 20 rows — built via
+    a vocab-bounded rank window over aggregated counts, then broadcast
+    into the overlap join; per-doc argmax is a doc-bounded window
+    (<= |langs| rows per doc); unmatched docs survive via the left
+    join.  The census folds on (lang, predicted) — |langs|^2 rows.
+    """
+    K = _CT_PROFILE_K
+    docs = spread_small_scan(load_table(spark, sf_dir, "documents"))
+    g = docs.select(
+        "lang",
+        "doc_id",
+        F.explode(
+            F.expr(
+                "array_distinct(transform(sequence(1, greatest(length(text) - 2, 0)),"
+                " i -> substring(text, i, 3)))"
+            )
+        ).alias("tg"),
+    )
+    cnt = g.groupBy("lang", "tg").agg(F.count(F.lit(1)).alias("c"))
+    wp = Window.partitionBy("lang").orderBy(F.desc("c"), F.asc("tg"))
+    prof = (
+        cnt.withColumn("rk", F.row_number().over(wp))
+        .filter(F.col("rk") <= K)
+        .select(F.col("lang").alias("plang"), "tg")
+    )
+    ov = (
+        g.join(F.broadcast(prof), "tg")
+        .groupBy("doc_id", "lang", "plang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("hits"))
+    )
+    wd = Window.partitionBy("doc_id").orderBy(F.desc("hits"), F.asc("plang"))
+    pred = (
+        ov.withColumn("rn", F.row_number().over(wd))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("plang").alias("predicted"))
+    )
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    p1 = base.join(pred, "doc_id", "left").select(
+        "lang", F.coalesce("predicted", F.lit("none")).alias("predicted")
+    )
+    return p1.groupBy("lang", "predicted").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )

@@ -154,3 +154,48 @@ def test_q221_burstiness_bounds_and_clock_law(spark, tmp_path):
     assert any(b >= 5 for b in out)  # the bursty user lands right of Poisson
     for r in out.values():
         assert -1.0 <= r.mean_burst <= 1.0
+
+
+def test_q223_heaps_identities(spark, sf_dir):
+    """vocab_final equals the per-lang distinct token count; exactly
+    10 checkpoints whenever ndocs >= 10; beta >= 0 (vocabulary never
+    shrinks) and beta <= 1 (can't grow faster than linear)."""
+    from multi_threaded_mapreduce_framework_spark.sources import load_table
+
+    rows = {r.lang: r for r in QUERIES["q223_heaps_law_fit"](spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents").collect()
+    vocab = {}
+    for d in docs:
+        vocab.setdefault(d.lang, set()).update(d.text.split(" "))
+    for lang, r in rows.items():
+        assert r.vocab_final == len(vocab[lang])
+        assert r.n_checkpoints == 10
+        assert 0.0 <= r.heaps_beta <= 1.0
+
+
+def test_q224_confusion_is_total_and_separable_langs_classify(spark, tmp_path):
+    """Row sums cover every document; on a corpus whose languages use
+    DISJOINT alphabets the classifier is perfect (diagonal matrix) —
+    the crafted separable case that pins the argmax plumbing."""
+    rows = [
+        (i, "aaa bbb aab abb baa " * 3, "en", "s", 1) for i in range(0, 10)
+    ] + [
+        (i, "xxx yyy xxy xyy yxx " * 3, "de", "s", 1) for i in range(10, 20)
+    ]
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(
+        rows,
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    out = {(r.lang, r.predicted): r.cnt for r in
+           QUERIES["q224_ngram_langid_confusion"](spark, d).collect()}
+    assert out == {("en", "en"): 10, ("de", "de"): 10}
+
+
+def test_q224_total_coverage_on_fixture(spark, sf_dir):
+    """Every document lands in exactly one confusion cell."""
+    from multi_threaded_mapreduce_framework_spark.sources import load_table
+
+    total = sum(r.cnt for r in
+                QUERIES["q224_ngram_langid_confusion"](spark, sf_dir).collect())
+    assert total == load_table(spark, sf_dir, "documents").count()
