@@ -231,6 +231,21 @@ def q206_dsir_importance(spark, sf_dir):
     (q62's ln discipline — both engines' ln is within 1 ulp, far from
     any 4 dp boundary on transcendental sums).
     """
+    s = dsir_doc_scores(spark, sf_dir).select(
+        "doc_id", "lang", F.round("imp_raw", 4).alias("imp")
+    )
+    return (
+        s.orderBy(F.desc("imp"), F.asc("doc_id"))
+        .limit(_DSIR_TOPK)
+        .select("doc_id", "lang", "imp")
+    )
+
+
+def dsir_doc_scores(spark, sf_dir):
+    """Shared DSIR scorer: every document with its UNROUNDED importance
+    sum (columns: doc_id, lang, imp_raw).  One definition used by q206
+    AND the q225 scorer-agreement audit, so the ranking q225 audits is
+    exactly the one q206 selects from."""
     docs = spread_small_scan(load_table(spark, sf_dir, "documents"))
     t = docs.select(
         "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
@@ -256,15 +271,10 @@ def q206_dsir_importance(spark, sf_dir):
         .crossJoin(F.broadcast(te))
         .select("tok", lr.alias("lr"))
     )
-    s = (
+    return (
         t.join(r, "tok")
         .groupBy("doc_id")
-        .agg(F.min("lang").alias("lang"), F.round(F.sum("lr"), 4).alias("imp"))
-    )
-    return (
-        s.orderBy(F.desc("imp"), F.asc("doc_id"))
-        .limit(_DSIR_TOPK)
-        .select("doc_id", "lang", "imp")
+        .agg(F.min("lang").alias("lang"), F.sum("lr").alias("imp_raw"))
     )
 
 

@@ -584,3 +584,113 @@ def q222_minhash_error_census(spark, sf_dir):
             F.max(err).cast("bigint").alias("max_abs_err_milli"),
         )
     )
+
+
+# ------------------------------------------------------------------ q225
+_AGREE_DEPTHS = (10, 50, 100)
+
+
+@register(
+    "q225_scorer_agreement",
+    tier="T2",
+    oracle=f"""
+WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS w, text
+           FROM documents),
+q AS (SELECT doc_id,
+        least(1.0, len(w) / 40.0) * 0.6
+        + least(1.0, (length(replace(text, ' ', ''))
+                      / CAST(len(w) AS DOUBLE)) / 8.0) * 0.4 AS qual
+      FROM t),
+tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        FROM documents),
+allc AS (SELECT tok, CAST(count(*) AS BIGINT) AS c_all FROM tok GROUP BY tok),
+enc AS (SELECT tok, CAST(count(*) AS BIGINT) AS c_en
+        FROM tok WHERE lang = 'en' GROUP BY tok),
+v AS (SELECT CAST(count(*) AS BIGINT) AS vocab,
+             CAST(sum(c_all) AS BIGINT) AS t_all FROM allc),
+te AS (SELECT CAST(coalesce(sum(c_en), 0) AS BIGINT) AS t_en FROM enc),
+r AS (SELECT allc.tok,
+        ln((coalesce(c_en, 0) + 1.0) / (t_en + vocab))
+        - ln((c_all + 1.0) / (t_all + vocab)) AS lr
+      FROM allc LEFT JOIN enc ON allc.tok = enc.tok, v, te),
+imp AS (SELECT doc_id, sum(lr) AS imp
+        FROM tok JOIN r ON tok.tok = r.tok GROUP BY doc_id),
+rs AS (SELECT doc_id, row_number() OVER (ORDER BY qual DESC, doc_id) AS rq
+       FROM q),
+rt AS (SELECT doc_id, row_number() OVER (ORDER BY imp DESC, doc_id) AS ri
+       FROM imp),
+m AS (SELECT rs.doc_id, greatest(rq, ri) AS mx FROM rs JOIN rt USING (doc_id)),
+depths(d) AS (VALUES {', '.join(f'({d})' for d in _AGREE_DEPTHS)})
+SELECT CAST(d AS BIGINT) AS depth,
+       CAST(count(*) FILTER (WHERE mx <= d) AS BIGINT) AS n_common,
+       CAST(1000 * count(*) FILTER (WHERE mx <= d)
+            // (2 * d - count(*) FILTER (WHERE mx <= d)) AS BIGINT)
+         AS jaccard_milli
+FROM m CROSS JOIN depths GROUP BY d
+""",
+)
+def q225_scorer_agreement(spark, sf_dir):
+    """Scorer-agreement audit: how much do the heuristic-quality
+    ranking (q95's score) and the DSIR target-likeness ranking (q206's
+    score) agree at the top — common documents and top-k Jaccard at
+    depths 10/50/100.  Two curation scorers that barely overlap (the
+    measured finding on this fixture: 17 common in the top 100) select
+    very different corpora; this census is the decision evidence for
+    which scorer — or which blend — feeds q212's budget cut.  q210's
+    measure-don't-guess discipline applied to the curation layer
+    itself.
+
+    Plan: each side's top-100 extraction is a TakeOrderedAndProject
+    (per-task partial top-k, never a global sort); the in-subset ranks
+    come from a window over the ALREADY-LIMITED 100-row relation (a
+    bounded global window — the q111 allowlist class, size pinned by
+    the LIMIT upstream); the agreement join is 100x100-row, and the
+    census folds over the 3-row depth grid.  All-integer output.
+    """
+    from multi_threaded_mapreduce_framework_spark.queries.t2_pretrain import (
+        dsir_doc_scores,
+    )
+
+    kmax = max(_AGREE_DEPTHS)
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    chars = F.length(F.regexp_replace("text", " ", ""))
+    qual = F.least(F.lit(1.0), F.size(w) / 40.0) * 0.6 + F.least(
+        F.lit(1.0), (chars / F.size(w).cast("double")) / 8.0
+    ) * 0.4
+    top_q = (
+        docs.select("doc_id", qual.alias("s"))
+        .orderBy(F.desc("s"), F.asc("doc_id"))
+        .limit(kmax)
+    )
+    top_i = (
+        dsir_doc_scores(spark, sf_dir)
+        .select("doc_id", F.col("imp_raw").alias("s"))
+        .orderBy(F.desc("s"), F.asc("doc_id"))
+        .limit(kmax)
+    )
+    wrank = Window.orderBy(F.desc("s"), F.asc("doc_id"))
+    rs = top_q.select("doc_id", F.row_number().over(wrank).alias("rq"))
+    rt = top_i.select("doc_id", F.row_number().over(wrank).alias("ri"))
+    m = rs.join(rt, "doc_id").select(
+        F.greatest("rq", "ri").alias("mx")
+    )
+    depths = F.broadcast(
+        docs.sparkSession.createDataFrame(
+            [(d,) for d in _AGREE_DEPTHS], "d bigint"
+        )
+    )
+    common = F.sum((F.col("mx") <= F.col("d")).cast("bigint"))
+    return (
+        m.crossJoin(depths)
+        .groupBy("d")
+        .agg(
+            common.cast("bigint").alias("n_common"),
+            F.expr(
+                "CAST(1000 * sum(CASE WHEN mx <= d THEN 1 ELSE 0 END)"
+                " div (2 * d - sum(CASE WHEN mx <= d THEN 1 ELSE 0 END))"
+                " AS BIGINT)"
+            ).alias("jaccard_milli"),
+        )
+        .select(F.col("d").alias("depth"), "n_common", "jaccard_milli")
+    )

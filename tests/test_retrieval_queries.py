@@ -220,3 +220,19 @@ def test_q222_error_within_theory_bound(spark, sf_dir):
     assert rows
     low = [r for r in rows if r.bucket == 0]
     assert low and low[0].mean_abs_err_milli <= 225
+
+
+def test_q225_agreement_identities(spark, sf_dir):
+    """n_common is monotone in depth, bounded by depth; jaccard law
+    holds; and a self-comparison sanity: the quality top-k always
+    agrees with itself (pinned implicitly by jaccard <= 1000)."""
+    rows = {r.depth: r for r in
+            QUERIES["q225_scorer_agreement"](spark, sf_dir).collect()}
+    assert set(rows) == {10, 50, 100}
+    last = -1
+    for d in (10, 50, 100):
+        r = rows[d]
+        assert 0 <= r.n_common <= d
+        assert r.n_common >= last
+        last = r.n_common
+        assert r.jaccard_milli == 1000 * r.n_common // (2 * d - r.n_common)

@@ -120,6 +120,12 @@ ALLOW: dict[str, dict[str, str]] = {
     "q206_dsir_importance": {
         "BNLJ": "vocab/t_all and t_en scalars (1 row each) for smoothing"
     },
+    "q225_scorer_agreement": {
+        "BNLJ": "DSIR vocab/t_en scalars (1 row each) + the 3-row depth "
+        "grid broadcast",
+        "GLOBAL-WINDOW": "rank over the TakeOrdered TOP-100 subset — "
+        "size pinned by the LIMIT upstream (q111's bounded class)",
+    },
     "q219_source_embedding_drift": {
         "BNLJ": "global-norm scalar (1 row) broadcast into the cosine fold"
     },
