@@ -51,9 +51,17 @@ def time_query(spark, q, sf_dir: str, runs: int) -> float:
     for i in range(runs + 1):
         t0 = time.time()
         df = q.builder(spark, sf_dir)
-        # Force full execution. count() collapses the result without
-        # driver-side materialization; collect() only for tiny results.
-        df.count()
+        # Force COMPLETE execution with the noop sink: it evaluates
+        # every output column without driver-side materialization.
+        # count() — the previous action — lets Catalyst ELIMINATE the
+        # right side of a final left join whose key is provably unique
+        # (count needs no columns), so queries ending in
+        # census LEFT JOIN detail (q205/q210/q212) benched a pruned
+        # plan: q205 at 2M docs read 0.7 s under count() vs 37 s for
+        # the real result.  noop forces the honest plan for every
+        # query; for aggregate-final queries the two actions measure
+        # identically.
+        df.write.format("noop").mode("overwrite").save()
         dt = time.time() - t0
         if i > 0:  # skip warm-up sample
             samples.append(dt)

@@ -377,26 +377,44 @@ def q140_char_entropy(spark, sf_dir):
     near-zero entropy flags repeated-character junk, unusually high
     entropy flags binary-in-text garbage.
 
-    Scale shape: ZERO shuffles.  The histogram is computed IN-ROW with
-    higher-order functions (distinct chars -> per-char counts ->
-    entropy fold), so the whole query is a map-side projection over
-    the scan — no explode, no (doc_id, char) shuffle, nothing that
-    grows with corpus size beyond the scan itself.  The entropy is
-    clamped at 0 after rounding (the fold can return -0.0)."""
+    Scale shape: ZERO shuffles.  The histogram is computed IN-ROW
+    (sort the char array, fold its run lengths), so the whole query is
+    a map-side projection over the scan — no explode, no (doc_id,
+    char) shuffle, nothing that grows with corpus size beyond the scan
+    itself.  The run-length form is O(n log n) per row; the earlier
+    per-distinct-char filter scan was O(n * k) with two array scans
+    per distinct char — invisible under the old count()-pruned bench
+    action and a measured 5.1 s -> 1.25 s at sf0.1 once the noop sink
+    timed the real projection.  The entropy is clamped at 0 after
+    rounding (the fold can return -0.0)."""
     docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
-    ent = F.expr(
-        "aggregate(transform(array_distinct(cs),"
-        " c -> (cast(size(filter(cs, x -> x = c)) as double) / size(cs))"
-        "      * log2(cast(size(filter(cs, x -> x = c)) as double) / size(cs))),"
-        " cast(0 as double), (a, x) -> a + x)"
+    # run-start flags: each sorted char vs its predecessor (the shifted
+    # copy is built with slice/concat — NEVER indexed inside a lambda,
+    # which would re-evaluate the sort per element)
+    starts = F.expr(
+        "filter(transform("
+        " zip_with(sc, concat(array(cast(NULL as string)),"
+        "                     slice(sc, 1, greatest(size(sc) - 1, 0))),"
+        "          (c, p) -> IF(p IS NULL OR c <> p, 1, 0)),"
+        " (f, i) -> IF(f = 1, cast(i as double), cast(-1 as double))),"
+        " v -> v >= cast(0 as double))"
     )
-    return docs.select(
-        "doc_id", F.split("text", "").alias("cs")
-    ).select(
-        "doc_id",
-        F.size("cs").cast("bigint").alias("n_chars"),
-        F.size(F.array_distinct("cs")).cast("bigint").alias("n_uniq"),
-        F.greatest(F.round(-ent, 4), F.lit(0.0)).alias("entropy"),
+    ent = F.expr(
+        "aggregate(zip_with(starts, concat(slice(starts, 2,"
+        " greatest(size(starts) - 1, 0)), array(cast(size(cs) as double))),"
+        " (a, b) -> (b - a) / size(cs) * log2((b - a) / size(cs))),"
+        " cast(0 as double), (acc, x) -> acc + x)"
+    )
+    return (
+        docs.select("doc_id", F.split("text", "").alias("cs"))
+        .withColumn("sc", F.array_sort("cs"))
+        .withColumn("starts", starts)
+        .select(
+            "doc_id",
+            F.size("cs").cast("bigint").alias("n_chars"),
+            F.size("starts").cast("bigint").alias("n_uniq"),
+            F.greatest(F.round(-ent, 4), F.lit(0.0)).alias("entropy"),
+        )
     )
 
 
