@@ -1,0 +1,361 @@
+"""Tier T2 — embedding-training audits + the dataset card.
+
+- q226: hard-negative mining (triplet/contrastive training's data
+  pass: for every anchor, its highest-cosine DIFFERENT-label vector);
+- q227: class-separability margin (per label: mean cosine to own
+  centroid vs the best foreign centroid — the Fisher-style health
+  check run before training a classifier on the embedding space);
+- q228: the dataset card — the one-row summary a curated corpus
+  ships with (docs/tokens/langs/sources, short-doc and exact-dup
+  rates, quality quartiles), every number reusing a law an earlier
+  query already pinned.
+
+Reference note: beyond-reference capabilities (the reference,
+MapReduceFramework.cpp:1-377, is a single-shape map/sort/shuffle/reduce
+library); declared per the builder brief's training-data-pipeline
+rubric under the standard oracle conventions (FIXTURES.md).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from multi_threaded_mapreduce_framework_spark.queries.registry import register
+from multi_threaded_mapreduce_framework_spark.sources import (
+    load_table,
+    spread_small_scan,
+)
+
+# ------------------------------------------------------------------ q226
+_HARDNEG_TOPK = 20
+_HARDNEG_BLOCKS = 4  # q37's blocked-GEMM fan-out
+
+
+@register(
+    "q226_hard_negative_mining",
+    tier="T2",
+    oracle=f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+p AS (SELECT a.vec_id AS anchor_id, a.label AS anchor_label,
+             b.vec_id AS neg_id,
+             list_cosine_similarity(a.v, b.v) AS c,
+             row_number() OVER (PARTITION BY a.vec_id
+               ORDER BY list_cosine_similarity(a.v, b.v) DESC, b.vec_id) AS rn
+      FROM e a JOIN e b ON a.label <> b.label)
+SELECT anchor_id, anchor_label, neg_id, round(c, 4) AS hard_neg_cos
+FROM p WHERE rn = 1 ORDER BY c DESC, anchor_id LIMIT {_HARDNEG_TOPK}
+""",
+)
+def q226_hard_negative_mining(spark, sf_dir):
+    """Hard-negative mining (the data pass of triplet/contrastive
+    embedding training): for every anchor vector, the most similar
+    vector carrying a DIFFERENT label — the pairs a trainer feeds as
+    hard negatives; top-20 by cosine.  q37 finds same-anything
+    near-dups and q29 votes labels; this is the cross-label argmax
+    neither computes, and the top of the list doubles as a
+    label-noise audit (a 0.99-cosine cross-label pair is usually a
+    mislabel, not a hard negative).
+
+    Plan: q37's blocked-GEMM law with a per-anchor argmax on top —
+    rows hash into {_HARDNEG_BLOCKS} blocks, every unordered block
+    pair is one grouped-kernel key, one numpy matmul per group emits
+    each anchor's per-group best cross-label match (pairs never
+    materialize as rows), and a combiner-friendly groupBy-max of a
+    (cos, -neg_id) struct folds the per-group bests into the global
+    argmax.  Total work is inherently quadratic (this is the exact
+    baseline; the bucket-restricted sibling is q209's law with a
+    label filter), but the shuffle carries one row per (anchor,
+    block-pair) — never the pair matrix.
+    """
+    import numpy as np
+    import pandas as pd
+
+    B = _HARDNEG_BLOCKS
+    b = F.pmod(F.xxhash64("vec_id"), F.lit(B))
+    pair_keys = F.expr(
+        f"""concat(
+          transform(sequence(b, {B - 1}), j -> struct(b AS i, j AS j)),
+          IF(b = 0, array(),
+             transform(sequence(0, b - 1), i -> struct(i AS i, b AS j))))"""
+    )
+
+    def kernel(key, pdf):
+        i, j = key
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        labels = pdf["label"].to_numpy(dtype=np.int64)
+        mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+        norms2 = (mat * mat).sum(axis=1)
+        blk = pdf["b"].to_numpy()
+        out_a, out_l, out_n, out_c = [], [], [], []
+
+        def best(a_idx, b_idx):
+            if len(a_idx) == 0 or len(b_idx) == 0:
+                return
+            # candidate columns sorted by id ASC: np.argmax returns the
+            # FIRST maximum, which is then the smallest neg_id — the
+            # declared tiebreak, fully vectorized (no per-anchor loop)
+            b_idx = b_idx[np.argsort(ids[b_idx])]
+            sims = (mat[a_idx] @ mat[b_idx].T) / np.sqrt(
+                np.outer(norms2[a_idx], norms2[b_idx])
+            )
+            diff = labels[a_idx][:, None] != labels[b_idx][None, :]
+            sims = np.where(diff, sims, -np.inf)
+            m = sims.max(axis=1)
+            am = sims.argmax(axis=1)
+            keep = m > -np.inf
+            out_a.extend(ids[a_idx][keep])
+            out_l.extend(labels[a_idx][keep])
+            out_n.extend(ids[b_idx][am[keep]])
+            out_c.extend(m[keep])
+
+        if i == j:
+            idx = np.arange(len(ids))
+            best(idx, idx)
+        else:
+            ai = np.nonzero(blk == i)[0]
+            bj = np.nonzero(blk == j)[0]
+            best(ai, bj)
+            best(bj, ai)
+        return pd.DataFrame(
+            {
+                "anchor_id": np.array(out_a, dtype=np.int64),
+                "anchor_label": np.array(out_l, dtype=np.int64),
+                "neg_id": np.array(out_n, dtype=np.int64),
+                "c": np.array(out_c, dtype=np.float64),
+            }
+        )
+
+    emb = spread_small_scan(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "label", "embedding", b.alias("b")
+    )
+    per_group = (
+        emb.withColumn("pk", F.explode(pair_keys))
+        .select(
+            "vec_id",
+            "label",
+            "embedding",
+            "b",
+            F.col("pk.i").alias("gi"),
+            F.col("pk.j").alias("gj"),
+        )
+        .groupBy("gi", "gj")
+        .applyInPandas(
+            kernel, "anchor_id bigint, anchor_label bigint, neg_id bigint, c double"
+        )
+    )
+    best = (
+        per_group.groupBy("anchor_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("c"), (-F.col("neg_id")).alias("nn"), "neg_id",
+                    "anchor_label",
+                )
+            ).alias("m")
+        )
+        .select(
+            "anchor_id",
+            F.col("m.anchor_label").alias("anchor_label"),
+            F.col("m.neg_id").alias("neg_id"),
+            F.col("m.c").alias("c"),
+        )
+    )
+    return (
+        best.orderBy(F.desc("c"), F.asc("anchor_id"))
+        .limit(_HARDNEG_TOPK)
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "neg_id",
+            F.round("c", 4).alias("hard_neg_cos"),
+        )
+    )
+
+
+# ------------------------------------------------------------------ q227
+@register(
+    "q227_class_separability",
+    tier="T2",
+    oracle="""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+dims AS (SELECT vec_id, label, i AS d, v[i] AS x
+         FROM e, UNNEST(generate_series(1, 64)) AS u(i)),
+cent AS (SELECT label AS clabel, d, avg(x) AS m FROM dims GROUP BY label, d),
+cn AS (SELECT clabel, sqrt(sum(m * m)) AS cnorm FROM cent GROUP BY clabel),
+vd AS (SELECT dims.vec_id, dims.label AS vlabel, cent.clabel,
+              sum(dims.x * cent.m) AS dot
+       FROM dims JOIN cent ON dims.d = cent.d
+       GROUP BY dims.vec_id, dims.label, cent.clabel),
+vn AS (SELECT vec_id, sqrt(sum(x * x)) AS vnorm FROM dims GROUP BY vec_id),
+cs AS (SELECT vd.vec_id, vlabel, clabel, dot / (vnorm * cnorm) AS cc
+       FROM vd JOIN vn USING (vec_id) JOIN cn USING (clabel)),
+agg AS (SELECT vlabel AS label, clabel, avg(cc) AS mc
+        FROM cs GROUP BY vlabel, clabel),
+own AS (SELECT label, mc AS own_cos FROM agg WHERE label = clabel),
+oth AS (SELECT label, max(mc) AS other_cos
+        FROM agg WHERE label <> clabel GROUP BY label)
+SELECT own.label, round(own_cos, 4) AS own_cos,
+       round(other_cos, 4) AS other_cos,
+       round(own_cos - other_cos, 4) AS margin
+FROM own JOIN oth USING (label)
+""",
+)
+def q227_class_separability(spark, sf_dir):
+    """Class-separability margin (the Fisher-style health check run on
+    an embedding space before training a classifier over it): per
+    label, the mean cosine of its vectors to their OWN centroid minus
+    the best mean cosine to any FOREIGN centroid.  A non-positive
+    margin says the label is not linearly recoverable from this space
+    — the go/no-go number for q29's kNN and q226's negative mining.
+
+    Plan: vectors explode to (vec, label, dim, x) ONCE (map-side);
+    centroids are one partial-agg on (label, dim) — |labels| x 64 rows,
+    broadcast into the per-(vec, centroid) dot fold; all remaining
+    relations are bounded by |labels| or |labels|^2.  The corpus
+    crosses the wire as (vec, centroid)-keyed partials, never as raw
+    pair rows.  4 dp rounding absorbs avg() summation-order noise
+    (q219's discipline).
+    """
+    e = spread_small_scan(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    dims = e.select("vec_id", "label", F.posexplode("v").alias("d", "x"))
+    cent = dims.groupBy(F.col("label").alias("clabel"), "d").agg(
+        F.avg("x").alias("m")
+    )
+    cn = cent.groupBy("clabel").agg(
+        F.sqrt(F.sum(F.col("m") * F.col("m"))).alias("cnorm")
+    )
+    vd = (
+        dims.join(F.broadcast(cent), "d")
+        .groupBy("vec_id", F.col("label").alias("vlabel"), "clabel")
+        .agg(F.sum(F.col("x") * F.col("m")).alias("dot"))
+    )
+    vn = dims.groupBy("vec_id").agg(
+        F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("vnorm")
+    )
+    cs = (
+        vd.join(vn, "vec_id")
+        .join(F.broadcast(cn), "clabel")
+        .select(
+            "vlabel",
+            "clabel",
+            (F.col("dot") / (F.col("vnorm") * F.col("cnorm"))).alias("cc"),
+        )
+    )
+    agg = cs.groupBy(F.col("vlabel").alias("label"), "clabel").agg(
+        F.avg("cc").alias("mc")
+    )
+    own = agg.filter(F.col("label") == F.col("clabel")).select(
+        "label", F.col("mc").alias("own_cos")
+    )
+    oth = (
+        agg.filter(F.col("label") != F.col("clabel"))
+        .groupBy("label")
+        .agg(F.max("mc").alias("other_cos"))
+    )
+    return own.join(oth, "label").select(
+        "label",
+        F.round("own_cos", 4).alias("own_cos"),
+        F.round("other_cos", 4).alias("other_cos"),
+        F.round(F.col("own_cos") - F.col("other_cos"), 4).alias("margin"),
+    )
+
+
+# ------------------------------------------------------------------ q228
+_SHORT_DOC_TOKENS = 10
+
+
+@register(
+    "q228_dataset_card",
+    tier="T2",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, lang, source, text,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS t,
+         least(1.0, len(string_split(text, ' ')) / 40.0) * 0.6
+         + least(1.0, (length(replace(text, ' ', ''))
+                       / CAST(len(string_split(text, ' ')) AS DOUBLE)) / 8.0)
+           * 0.4 AS q
+  FROM documents),
+dup AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS n_dup_docs
+        FROM (SELECT count(*) AS n FROM d GROUP BY text HAVING count(*) >= 2))
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(sum(t) AS BIGINT) AS total_tokens,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars,
+       CAST(1000 * sum(t) // count(*) AS BIGINT) AS mean_doc_tokens_milli,
+       CAST(1000 * sum(CASE WHEN t < {_SHORT_DOC_TOKENS} THEN 1 ELSE 0 END)
+            // count(*) AS BIGINT) AS short_docs_milli,
+       (SELECT n_dup_docs FROM dup) AS n_exact_dup_docs,
+       round(quantile_cont(q, 0.25), 2) AS quality_p25,
+       round(quantile_cont(q, 0.5), 2) AS quality_p50,
+       round(quantile_cont(q, 0.9), 2) AS quality_p90
+FROM d
+""",
+)
+def q228_dataset_card(spark, sf_dir):
+    """The dataset card: the one-row summary a curated corpus ships
+    with — scale (docs/tokens/chars/langs/sources), hygiene (short-doc
+    and exact-duplicate rates), and quality distribution (exact
+    interpolated quartiles of the q95 score).  Every number reuses a
+    law an earlier query pinned in isolation (q32 token counts, q25
+    exact-dup identity, q43's percentile == quantile_cont parity, q95
+    quality); this query is the composition a release pipeline
+    actually publishes, verified end to end as ONE plan.
+
+    Plan: one scan feeds every aggregate; the duplicate census is a
+    partial-aggregated groupBy on the text key (the q25 law — at
+    100 TB this key becomes the q34 fingerprint, same plan); exact
+    percentiles are the declared small-scale baseline whose 100 TB
+    swap-in is approx_percentile (q43's documented trade).  The two
+    distinct-counts ride the same aggregate (bounded domains).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.size(F.split("text", " ")).cast("bigint")
+    chars = F.length(F.regexp_replace("text", " ", ""))
+    q = F.least(F.lit(1.0), t / 40.0) * 0.6 + F.least(
+        F.lit(1.0), (chars / t.cast("double")) / 8.0
+    ) * 0.4
+    d = docs.select(
+        "lang", "source", "text", t.alias("t"), q.alias("q")
+    )
+    dup = (
+        d.groupBy("text")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .agg(F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias("n_exact_dup_docs"))
+    )
+    card = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+        F.sum("t").cast("bigint").alias("total_tokens"),
+        F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+        F.expr("CAST(1000 * sum(t) div count(1) AS BIGINT)").alias(
+            "mean_doc_tokens_milli"
+        ),
+        F.expr(
+            f"CAST(1000 * sum(CASE WHEN t < {_SHORT_DOC_TOKENS} THEN 1 ELSE 0 END)"
+            " div count(1) AS BIGINT)"
+        ).alias("short_docs_milli"),
+        F.round(F.expr("percentile(q, 0.25)"), 2).alias("quality_p25"),
+        F.round(F.expr("percentile(q, 0.5)"), 2).alias("quality_p50"),
+        F.round(F.expr("percentile(q, 0.9)"), 2).alias("quality_p90"),
+    )
+    return card.crossJoin(F.broadcast(dup)).select(
+        "n_docs",
+        "n_langs",
+        "n_sources",
+        "total_tokens",
+        "total_chars",
+        "mean_doc_tokens_milli",
+        "short_docs_milli",
+        "n_exact_dup_docs",
+        "quality_p25",
+        "quality_p50",
+        "quality_p90",
+    )

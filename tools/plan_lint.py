@@ -120,6 +120,9 @@ ALLOW: dict[str, dict[str, str]] = {
     "q206_dsir_importance": {
         "BNLJ": "vocab/t_all and t_en scalars (1 row each) for smoothing"
     },
+    "q228_dataset_card": {
+        "BNLJ": "1-row dup-census joined to the 1-row card aggregate"
+    },
     "q225_scorer_agreement": {
         "BNLJ": "DSIR vocab/t_en scalars (1 row each) + the 3-row depth "
         "grid broadcast",
