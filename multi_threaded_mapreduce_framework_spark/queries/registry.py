@@ -77,8 +77,8 @@ _REGISTRY: dict[str, Query] = {}
 # + q56 + q111-q126 + q01-q22; r04 the q127-q171 debuts +
 # q23/q24/q94/q98/q102; r05 the q50-q75/q86-q110 bands + q25-q28 +
 # q172.  Round-6 priority, exactly as the r5 verdict sequenced it:
-# (1) the 13 never-driven round-5 debuts q173-q185, then the 43
-# round-6 debuts q186-q228 (56 never-driven rows lead the window —
+# (1) the 13 never-driven round-5 debuts q173-q185, then the 44
+# round-6 debuts q186-q229 (57 never-driven rows lead the window —
 # more debuts than one 50-row window holds, so the overflow heads the
 # r7 queue); (2) the 22 names last driven r01 (q29-q49 + q67);
 # (3) the r03 band in staleness order; (4) the r05 band; (5) the r04
@@ -143,6 +143,7 @@ _DRIVER_PRIORITY = (
     "q226_hard_negative_mining",
     "q227_class_separability",
     "q228_dataset_card",
+    "q229_conversion_survival",
     # --- last driver row r01: 22 stale rows (q25-q28 got their r05
     #     rows in the r5 window tail; these are the remainder) ---
     "q29_knn_label",

@@ -19,6 +19,7 @@ rubric under the standard oracle conventions (FIXTURES.md).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+from pyspark.sql.window import Window
 
 from multi_threaded_mapreduce_framework_spark.queries.registry import register
 from multi_threaded_mapreduce_framework_spark.sources import (
@@ -358,4 +359,122 @@ def q228_dataset_card(spark, sf_dir):
         "quality_p25",
         "quality_p50",
         "quality_p90",
+    )
+
+
+# ------------------------------------------------------------------ q229
+_SURV_HORIZON_DAYS = 14  # day buckets 0..13; later conversions censored
+
+
+@register(
+    "q229_conversion_survival",
+    tier="T2",
+    oracle=f"""
+WITH su AS (SELECT user_id, min(ts) AS s FROM events
+            WHERE event_type = 'signup' GROUP BY user_id),
+fp AS (SELECT e.user_id, min(e.ts) AS p
+       FROM events e JOIN su ON e.user_id = su.user_id
+       WHERE e.event_type = 'purchase' AND e.ts >= su.s
+       GROUP BY e.user_id),
+u AS (SELECT su.user_id,
+             CASE WHEN p IS NOT NULL
+                    AND (epoch_ms(p) - epoch_ms(s)) // 86400000
+                        <= {_SURV_HORIZON_DAYS - 1}
+                  THEN CAST((epoch_ms(p) - epoch_ms(s)) // 86400000 AS BIGINT)
+             END AS conv_day
+      FROM su LEFT JOIN fp ON su.user_id = fp.user_id),
+n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM u),
+cd AS (SELECT conv_day AS d, CAST(count(*) AS BIGINT) AS n_conv
+       FROM u WHERE conv_day IS NOT NULL GROUP BY conv_day),
+days AS (SELECT CAST(unnest(range({_SURV_HORIZON_DAYS})) AS BIGINT) AS d),
+km AS (SELECT days.d, coalesce(n_conv, 0) AS n_conv,
+              total - CAST(coalesce(sum(coalesce(n_conv, 0)) OVER (
+                    ORDER BY days.d
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS n_at_risk,
+              total
+       FROM days LEFT JOIN cd ON cd.d = days.d, n)
+SELECT d AS day, n_at_risk, CAST(n_conv AS BIGINT) AS n_conv,
+       CAST(1000 * n_conv // n_at_risk AS BIGINT) AS hazard_milli,
+       CAST(1000 * (n_at_risk - n_conv) // total AS BIGINT) AS survival_milli
+FROM km WHERE n_at_risk > 0
+""",
+)
+def q229_conversion_survival(spark, sf_dir):
+    """Discrete conversion survival curve (signup -> first purchase):
+    per day-since-signup bucket, the users still at risk, the day's
+    conversions, the hazard rate, and the surviving (not-yet-converted)
+    share — the time-to-convert analysis behind activation dashboards
+    and the input to any parametric churn model.  q178 reports each
+    converter's LAG; this is the population-level survival/hazard
+    table, with non-converters properly counted as censored-at-horizon
+    rather than dropped.
+
+    Censoring note: with right-censoring ONLY at the fixed 14-day
+    horizon (every user is observable for the full window in this
+    fixture), the Kaplan-Meier estimator reduces EXACTLY to the
+    empirical survival function — so the curve is computed in pure
+    integer milli math (no product estimator, no FP), which is what
+    makes it hash-exact across engines.  Staggered-entry censoring (a
+    user's window truncated by the snapshot edge) is the documented
+    extension: at-risk counts then also decrease by censored users per
+    bucket, same plan shape.
+
+    Plan: two event scans reduce to per-user firsts (partial-agg on
+    user_id); conversion days histogram to at most 14 rows; the
+    at-risk ledger is a running sum over the FIXED 14-row day grid
+    (bounded global window — q111's allowlist class) with the 1-row
+    total broadcast.  Corpus-sized data never reaches the window.
+    """
+    H = _SURV_HORIZON_DAYS
+    ev = load_table(spark, sf_dir, "events")
+    su = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s"))
+    )
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(su, "user_id")
+        .filter(F.col("ts") >= F.col("s"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p"))
+    )
+    day = F.expr("(unix_millis(p) - unix_millis(s)) div 86400000")
+    u = su.join(fp, "user_id", "left").select(
+        "user_id",
+        F.when(F.col("p").isNotNull() & (day <= H - 1), day)
+        .cast("bigint")
+        .alias("conv_day"),
+    )
+    n = u.agg(F.count(F.lit(1)).cast("bigint").alias("total"))
+    cd = (
+        u.filter(F.col("conv_day").isNotNull())
+        .groupBy(F.col("conv_day").alias("d"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_conv"))
+    )
+    days = ev.sparkSession.range(H).select(F.col("id").cast("bigint").alias("d"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, -1)
+    km = (
+        days.join(cd, "d", "left")
+        .select("d", F.coalesce("n_conv", F.lit(0)).alias("n_conv"))
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "n_at_risk",
+            (
+                F.col("total")
+                - F.coalesce(F.sum("n_conv").over(w), F.lit(0))
+            ).cast("bigint"),
+        )
+    )
+    return km.filter(F.col("n_at_risk") > 0).select(
+        F.col("d").alias("day"),
+        "n_at_risk",
+        F.col("n_conv").cast("bigint").alias("n_conv"),
+        F.expr("CAST(1000 * n_conv div n_at_risk AS BIGINT)").alias(
+            "hazard_milli"
+        ),
+        F.expr(
+            "CAST(1000 * (n_at_risk - n_conv) div total AS BIGINT)"
+        ).alias("survival_milli"),
     )

@@ -78,3 +78,60 @@ def test_q228_card_identities(spark, sf_dir):
     c = Counter(r.text for r in docs)
     assert card.n_exact_dup_docs == sum(n for n in c.values() if n >= 2)
     assert card.quality_p25 <= card.quality_p50 <= card.quality_p90
+
+
+def test_q229_survival_laws(spark, sf_dir):
+    """Monotone laws of the survival table: at-risk counts and
+    survival_milli are non-increasing in day; the at-risk ledger
+    telescopes (n_at_risk(d+1) = n_at_risk(d) - n_conv(d)); hazard and
+    survival match their integer definitions; day 0 starts at the full
+    signup cohort."""
+    from multi_threaded_mapreduce_framework_spark.sources import load_table
+
+    rows = sorted(
+        QUERIES["q229_conversion_survival"](spark, sf_dir).collect(),
+        key=lambda r: r.day,
+    )
+    assert rows and rows[0].day == 0
+    ev = load_table(spark, sf_dir, "events")
+    n_signup = (
+        ev.filter(F.col("event_type") == "signup")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert rows[0].n_at_risk == n_signup
+    total = rows[0].n_at_risk
+    for i, r in enumerate(rows):
+        assert r.hazard_milli == 1000 * r.n_conv // r.n_at_risk
+        assert r.survival_milli == 1000 * (r.n_at_risk - r.n_conv) // total
+        if i + 1 < len(rows):
+            nxt = rows[i + 1]
+            assert nxt.day == r.day + 1
+            assert nxt.n_at_risk == r.n_at_risk - r.n_conv
+            assert nxt.survival_milli <= r.survival_milli
+
+
+def test_q229_all_convert_day_zero(spark, tmp_path):
+    """Crafted cohort where every signup purchases within day 0: one
+    row, hazard 1000, survival 0."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for uid in range(5):
+        rows.append((uid * 2, base, uid, "signup", 0.0, "{}"))
+        rows.append(
+            (uid * 2 + 1, base + dt.timedelta(hours=1), uid, "purchase", 1.0, "{}")
+        )
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string"
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    out = QUERIES["q229_conversion_survival"](spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.day, r.n_at_risk, r.n_conv, r.hazard_milli, r.survival_milli) == (
+        0, 5, 5, 1000, 0,
+    )

@@ -83,8 +83,8 @@ def test_driver_priority_names_all_registered():
     # round-6 rotation (VERDICT r05 item 1): the 13 never-driven
     # round-5 debuts lead the window, followed by the round-6 debuts
     # q186-q204...
-    n_debuts = 56  # q173..q228: never-driven rows lead the window
-    assert [num(n) for n in ordered[:n_debuts]] == list(range(173, 229)), (
+    n_debuts = 57  # q173..q229: never-driven rows lead the window
+    assert [num(n) for n in ordered[:n_debuts]] == list(range(173, 230)), (
         ordered[:n_debuts]
     )
     # ...then the 22 names last driven in r01 (q29-q49 + q67); the

@@ -123,6 +123,11 @@ ALLOW: dict[str, dict[str, str]] = {
     "q228_dataset_card": {
         "BNLJ": "1-row dup-census joined to the 1-row card aggregate"
     },
+    "q229_conversion_survival": {
+        "BNLJ": "1-row cohort total broadcast into the 14-row day grid",
+        "GLOBAL-WINDOW": "at-risk running sum over the FIXED 14-row day "
+        "grid (bounded by the horizon, not the data)",
+    },
     "q225_scorer_agreement": {
         "BNLJ": "DSIR vocab/t_en scalars (1 row each) + the 3-row depth "
         "grid broadcast",
