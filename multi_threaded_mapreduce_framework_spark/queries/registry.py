@@ -70,73 +70,22 @@ class Query:
 
 _REGISTRY: dict[str, Query] = {}
 
-# Driver-check rotation (VERDICT.md r05 "Next round" item 1): the verify
+# Driver-check rotation (VERDICT.md r06 "Next round" item 1): the verify
 # driver records correctness rows for a bounded window of entries in
 # declared order (50 per round, observed).  Cumulative driver coverage:
 # r01 drove q01-q49+q67; r02 q50-q110 minus q76-q85; r03 q76-q85 + q88
 # + q56 + q111-q126 + q01-q22; r04 the q127-q171 debuts +
 # q23/q24/q94/q98/q102; r05 the q50-q75/q86-q110 bands + q25-q28 +
-# q172.  Round-6 priority, exactly as the r5 verdict sequenced it:
-# (1) the 13 never-driven round-5 debuts q173-q185, then the 44
-# round-6 debuts q186-q229 (57 never-driven rows lead the window —
-# more debuts than one 50-row window holds, so the overflow heads the
-# r7 queue); (2) the 22 names last driven r01 (q29-q49 + q67);
-# (3) the r03 band in staleness order; (4) the r05 band; (5) the r04
+# q172; r06 q173-q222 (50 rows, 0 failures).  Round-7 priority,
+# exactly as the r6 verdict sequenced it: (1) the 7 round-6 debuts the
+# r6 snapshot missed (q223-q229 — never driven); (2) the 22 names last
+# driven r01 (q29-q49 + q67); (3) this round's debuts (never driven);
+# (4) the r03 band in staleness order; (5) the r05 band; (6) the r04
 # band via registration order.  The full set is re-proven locally
 # each session via tools/check_oracle.py at sf0.01 + sf0.1.
 _DRIVER_PRIORITY = (
-    # --- never driven: the 13 round-5 debuts (r5 verdict item 1 says
-    #     these lead the r6 window), then any round-6 debuts ---
-    "q173_multimodal_video",
-    "q174_greedy_coverage",
-    "q175_tree_depth_pointer_jumping",
-    "q176_interval_sweep_concurrency",
-    "q177_portable_hll",
-    "q178_cogroup_conversion_lag",
-    "q179_regex_pretokenize",
-    "q180_arrow_doc_stats",
-    "q181_grouped_agg_iqr",
-    "q182_udtf_chunk_census",
-    "q183_quarantine_rows",
-    "q184_pq_codebook_census",
-    "q185_three_step_funnel",
-    "q186_bitmap_matview_readback",
-    "q187_value_histogram_percentile",
-    "q188_incremental_matview_readback",
-    "q189_tws_state_readback",
-    "q190_tws_timer_sessions",
-    "q191_training_corpus_pipeline",
-    "q192_docgen_census",
-    "q193_semantic_dedup",
-    "q194_rollup_hierarchy",
-    "q195_winnowing_fingerprints",
-    "q196_stream_stream_join_readback",
-    "q197_quality_terciles",
-    "q198_unpivot_doc_metrics",
-    "q199_session_window_native",
-    "q200_recursive_cte_depths",
-    "q201_variant_payload",
-    "q202_xml_roundtrip_census",
-    "q203_incremental_greedy_coverage",
-    "q204_sequence_packing",
-    "q205_duplicate_span_census",
-    "q206_dsir_importance",
-    "q207_mixture_epochs",
-    "q208_eval_decontamination",
-    "q209_bitext_mining",
-    "q210_ann_recall_census",
-    "q211_source_kl_drift",
-    "q212_quota_prefix_select",
-    "q213_containment_mining",
-    "q214_embedding_diversity",
-    "q215_shard_balance_audit",
-    "q216_eval_ngram_coverage",
-    "q217_packing_best_fit",
-    "q218_zipf_hapax_census",
-    "q219_source_embedding_drift",
-    "q220_weighted_sample_es",
-    "q221_interarrival_burstiness",
-    "q222_minhash_error_census",
+    # --- never driven: the 7 round-6 debuts committed after the r6
+    #     driver snapshot (r6 verdict item 1 says these lead r7) ---
     "q223_heaps_law_fit",
     "q224_ngram_langid_confusion",
     "q225_scorer_agreement",
@@ -168,8 +117,9 @@ _DRIVER_PRIORITY = (
     "q48_array_collect",
     "q49_ntile",
     "q67_simhash_hamming_pairs",
-    # --- last driver row r03: head of the band fills the remaining
-    #     window slots; the rest queues for r7 in this order ---
+    # --- round-7 debuts (never driven) fill the window tail ---
+    # --- last driver row r03: anything left of the 50-row window ends
+    #     here; the rest queues for r8 in this order ---
     "q76_tpch_q19",
     "q77_tpch_q11",
     "q78_tpch_q22",

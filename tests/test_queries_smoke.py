@@ -80,22 +80,25 @@ def test_driver_priority_names_all_registered():
     assert len(set(_DRIVER_PRIORITY)) == len(_DRIVER_PRIORITY)  # no dupes
     ordered = list(all_queries())
     num = lambda n: int(n[1:].split("_", 1)[0])  # noqa: E731
-    # round-6 rotation (VERDICT r05 item 1): the 13 never-driven
-    # round-5 debuts lead the window, followed by the round-6 debuts
-    # q186-q204...
-    n_debuts = 57  # q173..q229: never-driven rows lead the window
-    assert [num(n) for n in ordered[:n_debuts]] == list(range(173, 230)), (
-        ordered[:n_debuts]
+    # round-7 rotation (VERDICT r06 item 1): the 7 round-6 debuts the
+    # r6 driver snapshot missed lead the window...
+    n_old_debuts = 7  # q223..q229: never driven
+    assert [num(n) for n in ordered[:n_old_debuts]] == list(range(223, 230)), (
+        ordered[:n_old_debuts]
     )
-    # ...then the 22 names last driven in r01 (q29-q49 + q67); the
-    # 50-row window ends inside this band, the rest queues for r7
-    assert {num(n) for n in ordered[n_debuts : n_debuts + 22]} == set(
+    # ...then the 22 names last driven in r01 (q29-q49 + q67)...
+    assert {num(n) for n in ordered[n_old_debuts : n_old_debuts + 22]} == set(
         range(29, 50)
-    ) | {67}, sorted(num(n) for n in ordered[n_debuts : n_debuts + 22])
-    # ...and the r03 band queues immediately after
+    ) | {67}, sorted(num(n) for n in ordered[n_old_debuts : n_old_debuts + 22])
+    # ...then this round's debuts (q230+, never driven) fill the window
+    # tail; the 50-row window ends there and the r03 band queues next
+    n_new_debuts = 0  # bump as round-7 queries land
+    tail = ordered[n_old_debuts + 22 : n_old_debuts + 22 + n_new_debuts]
+    assert [num(n) for n in tail] == list(range(230, 230 + n_new_debuts)), tail
     r03_head = {76, 77, 78}
-    assert {num(n) for n in ordered[n_debuts + 22 : n_debuts + 25]} == r03_head, (
-        sorted(num(n) for n in ordered[n_debuts + 22 : n_debuts + 25])
+    at = n_old_debuts + 22 + n_new_debuts
+    assert {num(n) for n in ordered[at : at + 3]} == r03_head, (
+        sorted(num(n) for n in ordered[at : at + 3])
     )
 
 
