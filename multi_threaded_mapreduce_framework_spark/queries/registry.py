@@ -93,6 +93,10 @@ _DRIVER_PRIORITY = (
     "q227_class_separability",
     "q228_dataset_card",
     "q229_conversion_survival",
+    # q217 was driven r06 under its old name q217_packing_best_fit;
+    # the r7 rename (ADVICE r06) + hash-gate promotion (VERDICT r06
+    # item 4) make it a new driver key, so it debuts again here
+    "q217_packing_first_fit",
     # --- last driver row r01: 22 stale rows (q25-q28 got their r05
     #     rows in the r5 window tail; these are the remainder) ---
     "q29_knn_label",

@@ -701,10 +701,19 @@ def q167_linear_interpolate(spark, sf_dir):
         .orderBy("hn")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # "first upcoming observation" as a RUNNING frame over the DESC
+    # order, not a [current, unbounded following] frame: Spark's
+    # UnboundedFollowing window frame re-evaluates the aggregate from
+    # scratch for every row (O(rows^2) per partition — measured 1.76 s
+    # for this query's 168-row-max user grids under the honest noop
+    # action, r6 bench tail), while the UnboundedPreceding frame is a
+    # single running accumulation.  Both windows still ride ONE
+    # user_id exchange; the DESC window adds a partition-local re-sort,
+    # which the ASC wn frame also required.
     wn = (
         Window.partitionBy("user_id")
-        .orderBy("hn")
-        .rowsBetween(0, Window.unboundedFollowing)
+        .orderBy(F.desc("hn"))
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
     hn_obs = F.when(F.col("n").isNotNull(), F.col("hn"))
     filled = j.select(
@@ -714,8 +723,8 @@ def q167_linear_interpolate(spark, sf_dir):
         "hn",
         F.last("n", ignorenulls=True).over(wp).alias("pv"),
         F.last(hn_obs, ignorenulls=True).over(wp).alias("ph"),
-        F.first("n", ignorenulls=True).over(wn).alias("nv"),
-        F.first(hn_obs, ignorenulls=True).over(wn).alias("nh"),
+        F.last("n", ignorenulls=True).over(wn).alias("nv"),
+        F.last(hn_obs, ignorenulls=True).over(wn).alias("nh"),
     )
     interp = F.when(
         F.col("n").isNotNull(), F.col("n") * F.lit(1_000_000)

@@ -1,10 +1,10 @@
 """Tier T2 — loader-side packing + corpus-statistics operators.
 
 - q217: first-fit-decreasing sample packing (the ITERATIVE bin-packing
-  sibling q204's docstring declares non-SQL-expressible: concat-in-order
-  packing is closed-form, FFD is stateful — a grouped Arrow kernel per
-  language).  Rows-only by contract (no SQL oracle exists for an
-  iterative fold); the FFD laws are value-pinned in tests, including a
+  sibling of q204's closed-form concat-in-order packing — a grouped
+  Arrow kernel per language).  Hash-gated since round 7: the DuckDB
+  oracle replays the exact integer fold via ``list_reduce`` (see the
+  docstring); the FFD laws stay value-pinned in tests, including a
   parity check against an independent in-test reference implementation.
 - q218: Zipf/hapax vocabulary census (the tokenizer-design statistics:
   Zipf slope, hapax share — how heavy the tail a subword vocabulary
@@ -34,8 +34,49 @@ from multi_threaded_mapreduce_framework_spark.sources import (
 _FFD_L = 256  # bin capacity in tokens, matches q204's sequence length
 
 
-@register("q217_packing_best_fit", tier="T2", oracle=None)
-def q217_packing_best_fit(spark, sf_dir):
+@register(
+    "q217_packing_first_fit",
+    tier="T2",
+    oracle=f"""
+WITH
+d AS (SELECT lang, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS t
+      FROM documents),
+sq AS (SELECT lang, doc_id, t,
+             CAST(row_number() OVER
+                    (PARTITION BY lang ORDER BY t DESC, doc_id)
+                  AS BIGINT) AS seq
+       FROM d WHERE t <= {_FFD_L}),
+p AS (SELECT lang,
+             list([t, seq] ORDER BY seq) AS items,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(t) AS BIGINT) AS total
+      FROM sq GROUP BY lang),
+f AS (SELECT lang, n_docs, total,
+        len(list_reduce(
+          list_prepend(CAST([] AS BIGINT[][]),
+                       list_transform(items, e -> [e])),
+          (acc, el) -> CASE
+            WHEN len(list_filter(acc, p -> p[1] >= el[1][1])) = 0
+            THEN list_append(acc, [{_FFD_L} - el[1][1], el[1][2]])
+            ELSE list_transform(acc, p -> CASE
+              WHEN p = list_filter(acc, q -> q[1] >= el[1][1])[1]
+              THEN [p[1] - el[1][1], p[2]] ELSE p END)
+          END)) AS n_bins
+      FROM p),
+ov AS (SELECT lang, CAST(count(*) FILTER (WHERE t > {_FFD_L}) AS BIGINT)
+              AS n_over
+       FROM d GROUP BY lang)
+SELECT ov.lang,
+       CAST(coalesce(n_docs, 0) AS BIGINT) AS n_docs_packed,
+       CAST(coalesce(n_bins, 0) AS BIGINT) AS n_bins,
+       CAST(coalesce(total, 0) AS BIGINT) AS total_tokens_packed,
+       CAST(coalesce(n_bins, 0) * {_FFD_L} - coalesce(total, 0) AS BIGINT)
+         AS waste_tokens,
+       n_over AS n_oversize
+FROM ov LEFT JOIN f USING (lang)
+""",
+)
+def q217_packing_first_fit(spark, sf_dir):
     """First-fit-decreasing sample packing census: per language, pack
     documents (token counts) into 256-token bins WITHOUT splitting —
     docs sorted by (tokens DESC, doc_id), each placed into the first
@@ -45,15 +86,26 @@ def q217_packing_best_fit(spark, sf_dir):
     contamination is unacceptable (q204's concat-and-cut form splits
     boundary docs; FFD wastes some fill instead) — the census reports
     exactly that trade: bins used vs q204's lower bound, and the waste.
+    (Renamed from q217_packing_best_fit in round 7: the kernel always
+    implemented FIRST-fit — earliest open bin, not tightest — and the
+    old name misread against the packing literature; ADVICE r06.)
 
     FFD is an inherently sequential fold over an ordered stream with
-    bin-fill state, which is why q204's docstring declares it the
-    non-SQL sibling: no window/prefix-sum law computes it, so this is
-    the one declared rows-only query of the loader tier (the driver
-    records a rows-only check; the FFD laws — capacity, conservation,
-    the at-most-one-half-empty-bin first-fit theorem, and parity with
-    an independent reference fold — are value-pinned in
-    tests/test_loader_queries.py).
+    bin-fill state — no window/prefix-sum law computes it — but it IS
+    replayable in SQL as a single list fold, so since round 7 this
+    query is HASH-GATED (promoted from rows-only, VERDICT r06 item 4):
+    the DuckDB oracle replays the exact fold with ``list_reduce``,
+    carrying the open-bin state as a list of [remaining, bin_id] pairs
+    in opening order.  The first-fit target is identified by VALUE —
+    ``list_filter(acc, p -> p[1] >= x)[1]`` is the earliest qualifying
+    pair, and pair equality locates it uniquely because an equal pair
+    earlier in the list would itself qualify (bin_id makes pairs
+    distinct) — sidestepping both DuckDB's dynamic-bound list-slice
+    pathology and per-element re-evaluation of a positional index.
+    All-integer state, so the replay is exact, not approximate.  The
+    FFD laws (capacity, conservation, the at-most-one-half-empty-bin
+    first-fit theorem, parity with an independent reference fold)
+    remain value-pinned in tests/test_loader_queries.py.
 
     Plan: token counts reduce map-side to (lang, doc_id, t) — the ONLY
     corpus-sized stage; ONE shuffle groups each language's counts into

@@ -613,7 +613,7 @@ r AS (SELECT allc.tok,
         ln((coalesce(c_en, 0) + 1.0) / (t_en + vocab))
         - ln((c_all + 1.0) / (t_all + vocab)) AS lr
       FROM allc LEFT JOIN enc ON allc.tok = enc.tok, v, te),
-imp AS (SELECT doc_id, sum(lr) AS imp
+imp AS (SELECT doc_id, round(sum(lr), 4) AS imp
         FROM tok JOIN r ON tok.tok = r.tok GROUP BY doc_id),
 rs AS (SELECT doc_id, row_number() OVER (ORDER BY qual DESC, doc_id) AS rq
        FROM q),
@@ -663,9 +663,13 @@ def q225_scorer_agreement(spark, sf_dir):
         .orderBy(F.desc("s"), F.asc("doc_id"))
         .limit(kmax)
     )
+    # Rank by the same round(imp, 4) expression q206 orders by (NOT the
+    # unrounded imp_raw), so documents tied at 4 dp order identically
+    # here and in q206's selection — the audited top-k IS q206's top-k
+    # at every tie boundary (ADVICE r06).
     top_i = (
         dsir_doc_scores(spark, sf_dir)
-        .select("doc_id", F.col("imp_raw").alias("s"))
+        .select("doc_id", F.round("imp_raw", 4).alias("s"))
         .orderBy(F.desc("s"), F.asc("doc_id"))
         .limit(kmax)
     )

@@ -37,7 +37,7 @@ def test_q217_ffd_laws_and_reference_parity(spark, sf_dir):
     reference fold over the same token multiset."""
     from multi_threaded_mapreduce_framework_spark.sources import load_table
 
-    rows = {r.lang: r for r in QUERIES["q217_packing_best_fit"](spark, sf_dir).collect()}
+    rows = {r.lang: r for r in QUERIES["q217_packing_first_fit"](spark, sf_dir).collect()}
     docs = load_table(spark, sf_dir, "documents").select(
         "lang", F.size(F.split("text", " ")).alias("t")
     ).collect()

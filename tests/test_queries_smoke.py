@@ -81,11 +81,14 @@ def test_driver_priority_names_all_registered():
     ordered = list(all_queries())
     num = lambda n: int(n[1:].split("_", 1)[0])  # noqa: E731
     # round-7 rotation (VERDICT r06 item 1): the 7 round-6 debuts the
-    # r6 driver snapshot missed lead the window...
-    n_old_debuts = 7  # q223..q229: never driven
-    assert [num(n) for n in ordered[:n_old_debuts]] == list(range(223, 230)), (
-        ordered[:n_old_debuts]
-    )
+    # r6 driver snapshot missed lead the window, then the renamed
+    # q217_packing_first_fit (new driver key after the r7 rename +
+    # hash-gate promotion)...
+    n_old_debuts = 8  # q223..q229 + renamed q217: never driven
+    assert [num(n) for n in ordered[:n_old_debuts]] == list(range(223, 230)) + [
+        217
+    ], ordered[:n_old_debuts]
+    assert ordered[7] == "q217_packing_first_fit"
     # ...then the 22 names last driven in r01 (q29-q49 + q67)...
     assert {num(n) for n in ordered[n_old_debuts : n_old_debuts + 22]} == set(
         range(29, 50)
