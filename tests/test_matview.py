@@ -480,3 +480,115 @@ def test_matview_reads_stay_exact_under_concurrent_compaction(spark, tmp_path):
         for r in read_matview(spark, state, KEYS).collect()
     }
     assert final == truth_after[-1]
+
+
+def test_matview_read_exact_with_compaction_injected_mid_read(
+    spark, tmp_path, monkeypatch
+):
+    """VERDICT r06 item 6, the adversarial version of the resolve-once
+    law: inject a FULL compaction between read_matview's base
+    resolution and its batch listing (the exact interleaving the old
+    two-call pattern was vulnerable to).  The reader resolved base-0
+    (wm 0); the injected compaction publishes base-1 folding batch 1
+    and defers GC, so the listing still finds batch 1 with id > 0 —
+    the read must combine OLD base + batch 1 exactly once.  Under the
+    old pattern (watermark re-read from the CURRENT pointer after the
+    listing) the same interleaving pairs wm 1 with base-0 and LOSES
+    batch 1 — asserted at the bottom so this test fails on that code."""
+    import multi_threaded_mapreduce_framework_spark.streaming.matview as mv
+
+    state = str(tmp_path / "state")
+    ev = load_table(spark, SF, "events")
+    _partials(ev.limit(300), KEYS).write.parquet(f"{state}/batch_id=0")
+    compact_matview(spark, state, KEYS)  # base-0, wm 0
+    _partials(ev.limit(700), KEYS).write.parquet(f"{state}/batch_id=1")
+    truth = sorted(map(tuple, read_matview(spark, state, KEYS).collect()))
+
+    real_listing = mv._committed_batch_ids
+    fired = {"n": 0}
+
+    def listing_with_injected_compaction(d):
+        # only the OUTER read's first listing triggers the compaction;
+        # the compaction's own internal listing must see the real state
+        if fired["n"] == 0:
+            fired["n"] = 1
+            monkeypatch.setattr(mv, "_committed_batch_ids", real_listing)
+            compact_matview(spark, state, KEYS)  # publishes base-1
+            monkeypatch.setattr(
+                mv, "_committed_batch_ids", listing_with_injected_compaction
+            )
+        return real_listing(d)
+
+    monkeypatch.setattr(
+        mv, "_committed_batch_ids", listing_with_injected_compaction
+    )
+    got = sorted(map(tuple, read_matview(spark, state, KEYS).collect()))
+    monkeypatch.setattr(mv, "_committed_batch_ids", real_listing)
+    assert fired["n"] == 1  # the injection actually ran mid-read
+    assert got == truth
+    # prove the test has teeth: the OLD two-call pattern (base resolved
+    # first, watermark re-read from the post-compaction pointer) drops
+    # batch 1 under this exact interleaving
+    old_base = f"{state}/base-0"
+    assert os.path.isdir(old_base)  # deferred GC retained it
+    wm_now = _watermark(state)  # what the second call would have seen
+    assert wm_now == 1
+    ids_old_pattern = [i for i in mv._committed_batch_ids(state) if i > wm_now]
+    torn = mv._merged_partials(
+        spark, state, KEYS, old_base, ids_old_pattern, ["cnt", "sum_micro"]
+    ).agg(F.sum("cnt").alias("c"))
+    assert torn.collect()[0].c < sum(r[1] for r in truth)  # undercounts
+
+
+def test_bitmap_matview_read_exact_with_compaction_injected_mid_read(
+    spark, tmp_path, monkeypatch
+):
+    """Same injected interleaving for the bitmap-word path
+    (_bitmap_state shares the resolve-once discipline): a compaction
+    published between base resolution and batch listing must not
+    change the distinct counts (OR-idempotency would mask a double
+    count here, so the undercount direction is the live hazard)."""
+    import multi_threaded_mapreduce_framework_spark.streaming.matview as mv
+    from multi_threaded_mapreduce_framework_spark.functions.bitmap import (
+        bitmap_layer,
+    )
+    from multi_threaded_mapreduce_framework_spark.streaming.matview import (
+        compact_bitmap_matview,
+        read_bitmap_matview,
+    )
+
+    state = str(tmp_path / "state")
+    ev = load_table(spark, SF, "events")
+    bitmap_layer(ev.limit(300), KEYS, "user_id").write.parquet(
+        f"{state}/batch_id=0"
+    )
+    compact_bitmap_matview(spark, state, KEYS)  # base-0, wm 0
+    bitmap_layer(ev.limit(900), KEYS, "user_id").write.parquet(
+        f"{state}/batch_id=1"
+    )
+    truth = sorted(
+        map(tuple, read_bitmap_matview(spark, state, KEYS).collect())
+    )
+
+    real_listing = mv._committed_batch_ids
+    fired = {"n": 0}
+
+    def listing_with_injected_compaction(d):
+        if fired["n"] == 0:
+            fired["n"] = 1
+            monkeypatch.setattr(mv, "_committed_batch_ids", real_listing)
+            compact_bitmap_matview(spark, state, KEYS)
+            monkeypatch.setattr(
+                mv, "_committed_batch_ids", listing_with_injected_compaction
+            )
+        return real_listing(d)
+
+    monkeypatch.setattr(
+        mv, "_committed_batch_ids", listing_with_injected_compaction
+    )
+    got = sorted(
+        map(tuple, read_bitmap_matview(spark, state, KEYS).collect())
+    )
+    monkeypatch.setattr(mv, "_committed_batch_ids", real_listing)
+    assert fired["n"] == 1
+    assert got == truth
