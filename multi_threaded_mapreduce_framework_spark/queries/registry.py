@@ -56,6 +56,7 @@ _QUERY_MODULES = (
     "multi_threaded_mapreduce_framework_spark.queries.t2_retrieval",
     "multi_threaded_mapreduce_framework_spark.queries.t2_loader",
     "multi_threaded_mapreduce_framework_spark.queries.t2_audit2",
+    "multi_threaded_mapreduce_framework_spark.queries.t2_r7",
 )
 
 
@@ -122,6 +123,12 @@ _DRIVER_PRIORITY = (
     "q49_ntile",
     "q67_simhash_hamming_pairs",
     # --- round-7 debuts (never driven) fill the window tail ---
+    "q230_merge_into_upsert",
+    "q232_kcenter_coreset",
+    "q233_tokenizer_fertility",
+    "q234_doremi_step",
+    "q235_int8_quant_error",
+    "q236_rrf_fusion",
     # --- last driver row r03: anything left of the 50-row window ends
     #     here; the rest queues for r8 in this order ---
     "q76_tpch_q19",

@@ -94,10 +94,14 @@ def test_driver_priority_names_all_registered():
         range(29, 50)
     ) | {67}, sorted(num(n) for n in ordered[n_old_debuts : n_old_debuts + 22])
     # ...then this round's debuts (q230+, never driven) fill the window
-    # tail; the 50-row window ends there and the r03 band queues next
-    n_new_debuts = 0  # bump as round-7 queries land
+    # tail in ascending numeric order; the 50-row window ends there and
+    # the r03 band queues next
+    n_new_debuts = 6  # bump as round-7 queries land
     tail = ordered[n_old_debuts + 22 : n_old_debuts + 22 + n_new_debuts]
-    assert [num(n) for n in tail] == list(range(230, 230 + n_new_debuts)), tail
+    tail_nums = [num(n) for n in tail]
+    assert tail_nums == sorted(tail_nums) and all(x >= 230 for x in tail_nums), (
+        tail
+    )
     r03_head = {76, 77, 78}
     at = n_old_debuts + 22 + n_new_debuts
     assert {num(n) for n in ordered[at : at + 3]} == r03_head, (
