@@ -77,74 +77,18 @@ _REGISTRY: dict[str, Query] = {}
 # r01 drove q01-q49+q67; r02 q50-q110 minus q76-q85; r03 q76-q85 + q88
 # + q56 + q111-q126 + q01-q22; r04 the q127-q171 debuts +
 # q23/q24/q94/q98/q102; r05 the q50-q75/q86-q110 bands + q25-q28 +
-# q172; r06 q173-q222 (50 rows, 0 failures).  Round-7 priority,
-# exactly as the r6 verdict sequenced it: (1) the 7 round-6 debuts the
-# r6 snapshot missed (q223-q229 — never driven); (2) the 22 names last
-# driven r01 (q29-q49 + q67); (3) this round's debuts (never driven);
-# (4) the r03 band in staleness order; (5) the r05 band; (6) the r04
-# band via registration order.  The full set is re-proven locally
-# each session via tools/check_oracle.py at sf0.01 + sf0.1.
+# q172; r06 q173-q222; r07 q223-q229 + q217(renamed) + q29-q49/q67
+# + the 6 r7 debuts + q76-q85/q88/q56/q111/q112 (50 rows, 0 failures).
+# Round-8 priority, as the r7 verdict sequenced it (item 3): (1) this
+# round's debuts (never driven); (2) the 36 names last driven r03
+# (q113-q126 + q01-q22); (3) the r05 band fills the window tail; (4)
+# the r04/r05 remainder via registration order.  The full set is
+# re-proven locally each session via tools/check_oracle.py at sf0.01.
 _DRIVER_PRIORITY = (
-    # --- never driven: the 7 round-6 debuts committed after the r6
-    #     driver snapshot (r6 verdict item 1 says these lead r7) ---
-    "q223_heaps_law_fit",
-    "q224_ngram_langid_confusion",
-    "q225_scorer_agreement",
-    "q226_hard_negative_mining",
-    "q227_class_separability",
-    "q228_dataset_card",
-    "q229_conversion_survival",
-    # q217 was driven r06 under its old name q217_packing_best_fit;
-    # the r7 rename (ADVICE r06) + hash-gate promotion (VERDICT r06
-    # item 4) make it a new driver key, so it debuts again here
-    "q217_packing_first_fit",
-    # --- last driver row r01: 22 stale rows (q25-q28 got their r05
-    #     rows in the r5 window tail; these are the remainder) ---
-    "q29_knn_label",
-    "q30_text_stats",
-    "q31_quality_score",
-    "q32_token_stats",
-    "q33_langid",
-    "q34_fingerprint",
-    "q35_minhash_lsh",
-    "q36_simhash",
-    "q37_embedding_neardup",
-    "q38_ann_lsh_bucketed",
-    "q39_ivf_assign",
-    "q40_cube",
-    "q41_grouping_sets",
-    "q42_full_outer",
-    "q43_percentiles",
-    "q44_stats_agg",
-    "q45_pivot",
-    "q46_exists_subquery",
-    "q47_scalar_subquery",
-    "q48_array_collect",
-    "q49_ntile",
-    "q67_simhash_hamming_pairs",
-    # --- round-7 debuts (never driven) fill the window tail ---
-    "q230_merge_into_upsert",
-    "q232_kcenter_coreset",
-    "q233_tokenizer_fertility",
-    "q234_doremi_step",
-    "q235_int8_quant_error",
-    "q236_rrf_fusion",
-    # --- last driver row r03: anything left of the 50-row window ends
-    #     here; the rest queues for r8 in this order ---
-    "q76_tpch_q19",
-    "q77_tpch_q11",
-    "q78_tpch_q22",
-    "q79_corr_covar",
-    "q80_conditional_agg",
-    "q81_vector_minmax",
-    "q82_gap_fill",
-    "q83_window_distribution",
-    "q84_edit_distance_pairs",
-    "q85_chunk_documents",
-    "q88_tpch_q12",
-    "q56_approx_percentile",
-    "q111_global_quantile_buckets",
-    "q112_bucketed_join",
+    # --- round-8 debuts (never driven) lead the window ---
+    "q231_tws_liststate_lastk",
+    # --- last driver row r03: the 36 remaining stale rows (the r7
+    #     window consumed q76-q85/q88/q56/q111/q112 off this band) ---
     "q113_ivf_probe_search",
     "q114_salted_agg",
     "q115_partition_pruned_scan",
@@ -181,8 +125,9 @@ _DRIVER_PRIORITY = (
     "q20_string_funcs",
     "q21_date_funcs",
     "q22_json_extract",
-    # --- last driver row r05 (the r5 window: q50-q75 band + q86-q110
-    #     band + q25-q28 + q172): freshest bulk, queues after r03 ---
+    # --- last driver row r05 (freshest bulk): the q50-q75 band fills
+    #     the 50-row window tail; q86-q110 / r04 names follow in
+    #     registration order via _ordered ---
     "q50_mapreduce_wordcount",
     "q51_tpch_q1",
     "q52_tpch_q3",
@@ -207,8 +152,6 @@ _DRIVER_PRIORITY = (
     "q73_tpch_q4",
     "q74_tpch_q14",
     "q75_tpch_q18",
-    # (r04-driven names — q23/q24/q94/q98/q102 and q127-q171 — and the
-    #  remaining r05 rows follow in registration order via _ordered.)
 )
 
 

@@ -335,9 +335,14 @@ WITH tk AS (SELECT lang,
             FROM documents GROUP BY lang),
 l AS (SELECT lang, CAST(1000 * chars // toks AS BIGINT) AS loss_milli
       FROM tk),
-w AS (SELECT lang, loss_milli, exp(loss_milli / 1000.0) AS ew FROM l),
-t AS (SELECT sum(ew) AS tot FROM w)
-SELECT lang, loss_milli, round(ew / tot, 4) AS weight_4dp FROM w, t
+w AS (SELECT lang, loss_milli,
+             CAST(floor(1000000 * exp(loss_milli / 1000.0)) AS BIGINT)
+               AS ew_micro
+      FROM l),
+t AS (SELECT CAST(sum(ew_micro) AS BIGINT) AS tot_micro FROM w)
+SELECT lang, loss_milli,
+       CAST(1000000 * ew_micro // tot_micro AS BIGINT) AS weight_micro
+FROM w, t
 """,
 )
 def q234_doremi_step(spark, sf_dir):
@@ -354,11 +359,15 @@ def q234_doremi_step(spark, sf_dir):
     consumes.
 
     Engine parity discipline: the loss enters exp() already quantized
-    to integer milli (both engines exponentiate the SAME double);
-    exp/division are within 1 ulp and the weights are rounded 4 dp on
-    OUTPUT (the q62/q206 ln convention).  Plan: one scan partial-aggs
-    to 5 domain rows; everything after is a 5-row fold with the 1-row
-    normalizer broadcast."""
+    to integer milli (both engines exponentiate the SAME double), and
+    the exponential is immediately re-quantized to integer MICRO
+    (floor(1e6 * exp)) so normalization runs in pure integer
+    arithmetic — the only cross-engine exposure left is a 1-ulp exp()
+    difference landing exactly on a 1e-6 floor boundary (~1e-6
+    probability vs the 4dp-round-after-division convention this
+    replaced, ADVICE r07).  Plan: one scan partial-aggs to 5 domain
+    rows; everything after is a 5-row fold with the 1-row normalizer
+    broadcast."""
     docs = spread_small_scan(load_table(spark, sf_dir, "documents"))
     tk = docs.groupBy("lang").agg(
         F.sum(F.size(F.split("text", " "))).cast("bigint").alias("toks"),
@@ -368,13 +377,19 @@ def q234_doremi_step(spark, sf_dir):
         "lang", F.expr("CAST(1000 * chars div toks AS BIGINT)").alias("loss_milli")
     )
     w = l_.select(
-        "lang", "loss_milli", F.exp(F.col("loss_milli") / 1000.0).alias("ew")
+        "lang",
+        "loss_milli",
+        F.expr(
+            "CAST(floor(1000000 * exp(loss_milli / 1000.0)) AS BIGINT)"
+        ).alias("ew_micro"),
     )
-    t = w.agg(F.sum("ew").alias("tot"))
+    t = w.agg(F.sum("ew_micro").cast("bigint").alias("tot_micro"))
     return w.crossJoin(F.broadcast(t)).select(
         "lang",
         "loss_milli",
-        F.round(F.col("ew") / F.col("tot"), 4).alias("weight_4dp"),
+        F.expr("CAST(1000000 * ew_micro div tot_micro AS BIGINT)").alias(
+            "weight_micro"
+        ),
     )
 
 
@@ -386,7 +401,7 @@ def q234_doremi_step(spark, sf_dir):
 WITH x AS (SELECT label, i, v[i] AS x
            FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS v
                  FROM embeddings),
-                unnest(generate_series(1, 64)) AS t(i)),
+                unnest(generate_series(1, len(v))) AS t(i)),
 mm AS (SELECT i, min(x) AS mn, max(x) AS mx FROM x GROUP BY i),
 q AS (SELECT label,
              CASE WHEN mx > mn

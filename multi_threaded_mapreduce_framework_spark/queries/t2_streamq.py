@@ -379,3 +379,105 @@ def q190_tws_timer_sessions(spark, sf_dir):
     return cached.filter(F.col("user_id") != SENTINEL).select(
         "user_id", "start_us", "end_us", "n"
     )
+
+
+@register(
+    "q231_tws_liststate_lastk",
+    tier="T2",
+    oracle=f"""
+WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+                  coalesce({_MICRO_SQL}, 0) AS vm
+           FROM events),
+r AS (SELECT user_id, vm,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY us DESC, event_id DESC) AS rn
+      FROM e)
+SELECT user_id, CAST(rn - 1 AS INT) AS pos, CAST(vm AS BIGINT) AS vm
+FROM r WHERE rn <= 3
+""",
+)
+def q231_tws_liststate_lastk(spark, sf_dir):
+    """Per-user LAST-3 event values maintained by state-v2 LIST STATE
+    in a real ``transformWithStateInPandas`` run — the bounded-recency
+    feature buffer ("last 3 transaction amounts") a feature store keeps
+    per entity — hash-gated against the batch top-3-by-recency window.
+    Fills the q231 numbering gap with the r6-verdict item-8 candidate
+    (the declared ListState query); the ListStateGet/ListStatePut
+    protobuf message families cross the state-server transport here,
+    next to q189's ValueState and q190's timers.
+
+    Convergence law the gate proves: recency is the GLOBAL (us,
+    event_id) total order, not arrival order — the replay is
+    hash-partitioned (chunks are NOT time-ordered), so equality with
+    the batch window shows the buffer re-sorts on merge and late data
+    displaces its juniors exactly.  Values ride as integer micro
+    (nulls pinned to 0 on both sides), so the converged buffer is
+    hash-exact.
+
+    Readback: update-mode emissions append one buffer snapshot per
+    (user, micro-batch); the monotone per-user ``seen`` counter (a
+    second, independent ValueState in the same processor) selects each
+    user's LAST snapshot via max_by — every (user, pos) slot present
+    earlier is present in the final snapshot, so the group-max is the
+    final buffer.
+
+    Scale shape: state is at most k rows + one counter per USER in the
+    key-partitioned RocksDB store; each micro-batch touches only keys
+    with arrivals, and emission size is bounded by k — the
+    constant-state-per-entity recency operator that windowed
+    aggregation (unbounded ROWS BETWEEN) cannot express at stream
+    scale."""
+    import pyspark.sql.functions as F
+
+    from multi_threaded_mapreduce_framework_spark.streaming import events_stream
+    from multi_threaded_mapreduce_framework_spark.streaming.protoshim import (
+        ensure_protobuf_on_workers,
+    )
+    from multi_threaded_mapreduce_framework_spark.streaming.stateful import (
+        recent_values_tws,
+    )
+    from multi_threaded_mapreduce_framework_spark.streaming.windowed import (
+        replay_events,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir, "tws_list")
+    cached = _MATVIEW_STATE_CACHE.get(key)
+    if cached is None:
+        ensure_protobuf_on_workers(spark)  # vanilla-session safe
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        base = os.path.join(
+            tempfile.gettempdir(),
+            "mtmrf_layout",
+            layout_tag(spark, sf_dir),
+            "tws_list",
+        )
+        replay = os.path.join(base, "replay")
+        replay_events(spark, sf_dir, replay, n_chunks=3)
+        stream = events_stream(spark, replay).selectExpr(
+            "user_id",
+            "unix_micros(ts) AS us",
+            "event_id",
+            f"coalesce({_MICRO_SQL}, 0) AS vm",
+        )
+        table = f"q231_tws_{abs(hash(key)) % 10**9}"
+        q = (
+            recent_values_tws(stream, k=3)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName(table)
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        cached = spark.table(table).localCheckpoint()
+        _MATVIEW_STATE_CACHE[key] = cached
+    return cached.groupBy("user_id", "pos").agg(
+        F.expr("max_by(vm, seen)").cast("bigint").alias("vm")
+    )

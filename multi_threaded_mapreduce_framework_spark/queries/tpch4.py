@@ -106,12 +106,15 @@ def q86_tpch_q8(spark, sf_dir):
     )
     # the semi-join above already enforces r_name='ASIA'; no further
     # nation/region join is needed on the customer side
+    # PROMO part is the most selective broadcast: apply it FIRST so the
+    # supplier/nation broadcast joins see only PROMO line items
+    # (VERDICT r07 item 4 — join reorder inside the one codegen stage)
     vol = (
         o.join(c, o.o_custkey == c.c_custkey)
         .join(li, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n2), s.s_nationkey == F.col("n2_nationkey"))
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .select(
             F.year("o_orderdate").alias("o_year"),
             _rev().alias("volume"),

@@ -80,32 +80,29 @@ def test_driver_priority_names_all_registered():
     assert len(set(_DRIVER_PRIORITY)) == len(_DRIVER_PRIORITY)  # no dupes
     ordered = list(all_queries())
     num = lambda n: int(n[1:].split("_", 1)[0])  # noqa: E731
-    # round-7 rotation (VERDICT r06 item 1): the 7 round-6 debuts the
-    # r6 driver snapshot missed lead the window, then the renamed
-    # q217_packing_first_fit (new driver key after the r7 rename +
-    # hash-gate promotion)...
-    n_old_debuts = 8  # q223..q229 + renamed q217: never driven
-    assert [num(n) for n in ordered[:n_old_debuts]] == list(range(223, 230)) + [
-        217
-    ], ordered[:n_old_debuts]
-    assert ordered[7] == "q217_packing_first_fit"
-    # ...then the 22 names last driven in r01 (q29-q49 + q67)...
-    assert {num(n) for n in ordered[n_old_debuts : n_old_debuts + 22]} == set(
-        range(29, 50)
-    ) | {67}, sorted(num(n) for n in ordered[n_old_debuts : n_old_debuts + 22])
-    # ...then this round's debuts (q230+, never driven) fill the window
-    # tail in ascending numeric order; the 50-row window ends there and
-    # the r03 band queues next
-    n_new_debuts = 6  # bump as round-7 queries land
-    tail = ordered[n_old_debuts + 22 : n_old_debuts + 22 + n_new_debuts]
-    tail_nums = [num(n) for n in tail]
-    assert tail_nums == sorted(tail_nums) and all(x >= 230 for x in tail_nums), (
-        tail
+    # round-8 rotation (VERDICT r07 item 3): this round's debuts lead
+    # the window (never driven; ascending numeric order)...
+    n_new_debuts = 1  # q231; bump as round-8 queries land
+    debut_nums = [num(n) for n in ordered[:n_new_debuts]]
+    assert debut_nums == sorted(debut_nums) and all(
+        x >= 231 for x in debut_nums
+    ), ordered[:n_new_debuts]
+    assert ordered[0] == "q231_tws_liststate_lastk"
+    # ...then the 36 names last driven r03: the q113-q126 band first
+    # (staleness order), then the q01-q22 relational basics...
+    assert {num(n) for n in ordered[n_new_debuts : n_new_debuts + 14]} == set(
+        range(113, 127)
+    ), sorted(num(n) for n in ordered[n_new_debuts : n_new_debuts + 14])
+    assert {
+        num(n) for n in ordered[n_new_debuts + 14 : n_new_debuts + 36]
+    } == set(range(1, 23)), sorted(
+        num(n) for n in ordered[n_new_debuts + 14 : n_new_debuts + 36]
     )
-    r03_head = {76, 77, 78}
-    at = n_old_debuts + 22 + n_new_debuts
-    assert {num(n) for n in ordered[at : at + 3]} == r03_head, (
-        sorted(num(n) for n in ordered[at : at + 3])
+    # ...then the r05-driven q50-q75 band fills the 50-row window tail
+    at = n_new_debuts + 36
+    assert ordered[at] == "q50_mapreduce_wordcount"
+    assert all(50 <= num(n) <= 75 for n in ordered[at : at + 24]), (
+        ordered[at : at + 24]
     )
 
 

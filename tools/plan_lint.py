@@ -128,6 +128,16 @@ ALLOW: dict[str, dict[str, str]] = {
         "GLOBAL-WINDOW": "at-risk running sum over the FIXED 14-row day "
         "grid (bounded by the horizon, not the data)",
     },
+    "q234_doremi_step": {
+        "BNLJ": "1-row weight normalizer (sum of 5 domain ew) broadcast "
+        "into the 5-row domain table (q62's scalar class)"
+    },
+    "q236_rrf_fusion": {
+        "BNLJ": "200x200 full outer fusion join of two TakeOrdered "
+        "candidate lists — both sides LIMIT-bounded, never corpus-sized",
+        "GLOBAL-WINDOW": "rank over the TakeOrdered TOP-200 subsets — "
+        "size pinned by the LIMIT upstream (the q111/q225 bounded class)",
+    },
     "q225_scorer_agreement": {
         "BNLJ": "DSIR vocab/t_en scalars (1 row each) + the 3-row depth "
         "grid broadcast",
