@@ -62,3 +62,30 @@ def compact_parquet_dir(
     os.rename(tmp, path)
     shutil.rmtree(old)
     return CompactionStats(len(files), len(_parquet_files(path)), total)
+
+
+def compact_parquet_dir_rows(
+    spark, path: str, target_rows: int
+) -> "CompactionStats":
+    """Row-targeted variant of :func:`compact_parquet_dir`: rewrite the
+    directory into ``ceil(rows / target_rows)`` files.  Byte targets
+    are the production knob (row-group sizing follows bytes), but the
+    ROW law is deterministic from the data alone, which makes the
+    rewrite's outcome oracle-verifiable (q240): files_after equals the
+    planned count exactly, so an engine-independent SQL replay can
+    gate the real on-disk rewrite.  Same temp+rename reader-atomic
+    swap and shuffle-free ``coalesce`` as the byte-targeted form."""
+    files = _parquet_files(path)
+    total = sum(os.path.getsize(f) for f in files)
+    rows = spark.read.parquet(path).count()
+    n_out = max(1, math.ceil(rows / target_rows))
+    if len(files) <= n_out:
+        return CompactionStats(len(files), len(files), total)
+
+    tmp = f"{path.rstrip('/')}._compact-{uuid.uuid4().hex[:8]}"
+    spark.read.parquet(path).coalesce(n_out).write.mode("overwrite").parquet(tmp)
+    old = f"{path.rstrip('/')}._old-{uuid.uuid4().hex[:8]}"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return CompactionStats(len(files), len(_parquet_files(path)), total)

@@ -57,6 +57,7 @@ _QUERY_MODULES = (
     "multi_threaded_mapreduce_framework_spark.queries.t2_loader",
     "multi_threaded_mapreduce_framework_spark.queries.t2_audit2",
     "multi_threaded_mapreduce_framework_spark.queries.t2_r7",
+    "multi_threaded_mapreduce_framework_spark.queries.t2_r8",
 )
 
 
@@ -87,6 +88,10 @@ _REGISTRY: dict[str, Query] = {}
 _DRIVER_PRIORITY = (
     # --- round-8 debuts (never driven) lead the window ---
     "q231_tws_liststate_lastk",
+    "q237_tws_mapstate_census",
+    "q238_k_anonymity_census",
+    "q239_matryoshka_truncation",
+    "q240_optimize_compaction_census",
     # --- last driver row r03: the 36 remaining stale rows (the r7
     #     window consumed q76-q85/q88/q56/q111/q112 off this band) ---
     "q113_ivf_probe_search",

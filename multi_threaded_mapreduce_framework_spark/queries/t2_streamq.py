@@ -481,3 +481,84 @@ def q231_tws_liststate_lastk(spark, sf_dir):
     return cached.groupBy("user_id", "pos").agg(
         F.expr("max_by(vm, seen)").cast("bigint").alias("vm")
     )
+
+
+@register(
+    "q237_tws_mapstate_census",
+    tier="T2",
+    oracle="""
+SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS cnt
+FROM events GROUP BY user_id, event_type
+""",
+)
+def q237_tws_mapstate_census(spark, sf_dir):
+    """Per-user per-event-type running counts maintained by state-v2
+    MAP STATE (``MapState[event_type -> cnt]`` keyed by user) in a real
+    ``transformWithStateInPandas`` run — the state shape for per-entity
+    categorical censuses whose category domain a fixed-width ValueState
+    cannot hold — hash-gated against the batch group-by.  Completes the
+    oracle-declared state-variable QUARTET: ValueState (q189), timers
+    (q190), ListState (q231), MapState (here); every MapState message
+    family (GetValue, ContainsKey, UpdateValue, Iterator paging)
+    crosses the state-server protobuf transport under the gate.
+
+    Readback law: per-(user, type) counts are MONOTONE nondecreasing
+    across update-mode snapshots, so max(cnt) over all emissions IS the
+    converged census — no auxiliary sequence variable needed (contrast
+    q231, whose buffer values are not monotone and need the ``seen``
+    counter).
+
+    Scale shape: state is |active types| map entries per user in the
+    key-partitioned RocksDB store; each micro-batch touches only keys
+    with arrivals and emits snapshot rows bounded by the per-user
+    category domain — the per-entity census operator behind
+    feature-store counters and rate limiters."""
+    import pyspark.sql.functions as F
+
+    from multi_threaded_mapreduce_framework_spark.streaming import events_stream
+    from multi_threaded_mapreduce_framework_spark.streaming.protoshim import (
+        ensure_protobuf_on_workers,
+    )
+    from multi_threaded_mapreduce_framework_spark.streaming.stateful import (
+        event_type_census_tws,
+    )
+    from multi_threaded_mapreduce_framework_spark.streaming.windowed import (
+        replay_events,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir, "tws_map")
+    cached = _MATVIEW_STATE_CACHE.get(key)
+    if cached is None:
+        ensure_protobuf_on_workers(spark)  # vanilla-session safe
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        base = os.path.join(
+            tempfile.gettempdir(),
+            "mtmrf_layout",
+            layout_tag(spark, sf_dir),
+            "tws_map",
+        )
+        replay = os.path.join(base, "replay")
+        replay_events(spark, sf_dir, replay, n_chunks=3)
+        stream = events_stream(spark, replay).select("user_id", "event_type")
+        table = f"q237_tws_{abs(hash(key)) % 10**9}"
+        q = (
+            event_type_census_tws(stream)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName(table)
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        cached = spark.table(table).localCheckpoint()
+        _MATVIEW_STATE_CACHE[key] = cached
+    return cached.groupBy("user_id", "event_type").agg(
+        F.max("cnt").cast("bigint").alias("cnt")
+    )

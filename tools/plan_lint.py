@@ -128,6 +128,14 @@ ALLOW: dict[str, dict[str, str]] = {
         "GLOBAL-WINDOW": "at-risk running sum over the FIXED 14-row day "
         "grid (bounded by the horizon, not the data)",
     },
+    "q238_k_anonymity_census": {
+        "BNLJ": "1-row total + 3-row k-threshold grid broadcast into the "
+        "quasi-id-domain-bounded group census (q225's depth-grid class)"
+    },
+    "q239_matryoshka_truncation": {
+        "BNLJ": "pinned probe table (5 rows) broadcast into the scan "
+        "(q210/q28's probe-broadcast law)"
+    },
     "q234_doremi_step": {
         "BNLJ": "1-row weight normalizer (sum of 5 domain ew) broadcast "
         "into the 5-row domain table (q62's scalar class)"
