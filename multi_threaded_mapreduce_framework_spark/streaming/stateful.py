@@ -434,3 +434,66 @@ def __getattr__(name):
         globals()[name] = cls
         return cls
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
+def ttl_user_counts_tws(stream: DataFrame, ttl_ms: int) -> DataFrame:
+    """Per-user event counter whose ValueState carries a
+    processing-time TTL — the state-v2 expiry knob (per-VARIABLE, not
+    per-operator: each state variable ages out independently, the
+    feature the q189 docstring advertises).  With a TTL far above the
+    run length the operator IS a running total; with a ~1 ms TTL every
+    micro-batch finds its predecessor's state expired and counts from
+    zero — which makes TTL semantics testable without wall-clock
+    assertions: under expiry each batch's rows are counted exactly
+    once from fresh state, so SUM(emitted batch counts) == the batch
+    total, while under no-expiry MAX(emitted running count) == the
+    batch total (tests/test_streaming.py pins both laws).
+
+    Production shape: TTL is how per-entity state (rate limits,
+    recency buffers, fraud counters) avoids unbounded growth on
+    entities that go quiet — RocksDB evicts lazily at read/maintenance
+    time, so quiet keys cost storage only until their TTL sweep.
+    Requires timeMode='ProcessingTime' (TTL clocks are batch
+    processing timestamps).  Emits (user_id, cnt, batch_rows) per
+    (user, micro-batch)."""
+
+    def make():
+        from pyspark.sql.streaming.stateful_processor import (
+            StatefulProcessor,
+            StatefulProcessorHandle,
+        )
+
+        class TtlCountProcessor(StatefulProcessor):
+            def init(self, handle: StatefulProcessorHandle) -> None:
+                self._cnt = handle.getValueState(
+                    "cnt", "n bigint", ttlDurationMs=ttl_ms
+                )
+
+            def handleInputRows(self, key, rows, timerValues):
+                import pandas as pd
+
+                n = int(self._cnt.get()[0]) if self._cnt.exists() else 0
+                batch = 0
+                for pdf in rows:
+                    batch += len(pdf)
+                n += batch
+                self._cnt.update((n,))
+                yield pd.DataFrame(
+                    {
+                        "user_id": [key[0]],
+                        "cnt": [n],
+                        "batch_rows": [batch],
+                    }
+                )
+
+            def close(self) -> None:
+                pass
+
+        return TtlCountProcessor
+
+    return stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=make()(),
+        outputStructType="user_id bigint, cnt bigint, batch_rows bigint",
+        outputMode="Update",
+        timeMode="ProcessingTime",
+    )

@@ -616,3 +616,88 @@ def test_tws_checkpoint_recovery_resumes_state(spark, tmp_path_factory):
         .collect()
     }
     assert latest == batch
+
+
+def _run_ttl_to_convergence(spark, stream, name, ttl_ms, n_events):
+    """timeMode='ProcessingTime' streams never satisfy
+    processAllAvailable(): once the input drains, Spark keeps
+    scheduling 'no new data but cleaning up state' maintenance batches
+    for TTL eviction indefinitely.  Converge by the DATA invariant
+    instead: every arriving event is counted in exactly one emission's
+    batch_rows (under any TTL), so the memory table is complete when
+    sum(batch_rows) == n_events."""
+    import time
+
+    from multi_threaded_mapreduce_framework_spark.streaming.stateful import (
+        ttl_user_counts_tws,
+    )
+
+    q = (
+        ttl_user_counts_tws(stream, ttl_ms=ttl_ms)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        got = (
+            spark.table(name).agg(F.sum("batch_rows").alias("s")).collect()[0].s
+        )
+        if got == n_events:
+            return q
+        time.sleep(0.5)
+    q.stop()
+    raise AssertionError(f"{name}: stream never converged to {n_events} rows")
+
+
+def test_tws_value_state_ttl_expiry_laws(spark, replay_dir):
+    """State-v2 per-variable TTL, pinned WITHOUT wall-clock
+    assertions: with a ~1 ms TTL every micro-batch finds the previous
+    batch's ValueState expired, so each batch counts from zero and the
+    SUM of emitted per-batch counts equals the batch total; with an
+    hour-long TTL nothing expires and the MAX emitted running count
+    equals the batch total.  Drives the TTL-config path of the
+    state-server transport end to end (RocksDB lazy eviction)."""
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    batch_totals = {
+        r.user_id: r.n
+        for r in spark.read.parquet(replay_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    n_events = sum(batch_totals.values())
+    stream = events_stream(spark, replay_dir).select("user_id")
+
+    q = _run_ttl_to_convergence(
+        spark, stream, "stream_ttl_long", 3_600_000, n_events
+    )
+    try:
+        rows = spark.table("stream_ttl_long").collect()
+        got_max: dict = {}
+        for r in rows:
+            got_max[r.user_id] = max(got_max.get(r.user_id, 0), r.cnt)
+            assert r.cnt >= r.batch_rows >= 1
+        assert got_max == batch_totals  # no expiry: running totals converge
+    finally:
+        q.stop()
+
+    q = _run_ttl_to_convergence(spark, stream, "stream_ttl_short", 1, n_events)
+    try:
+        rows = spark.table("stream_ttl_short").collect()
+        got_sum: dict = {}
+        emissions = 0
+        for r in rows:
+            # expired predecessor: every batch counts from fresh state
+            assert r.cnt == r.batch_rows
+            got_sum[r.user_id] = got_sum.get(r.user_id, 0) + r.batch_rows
+            emissions += 1
+        assert got_sum == batch_totals  # each row counted exactly once
+        # the law is only interesting if some user really spanned batches
+        assert emissions > len(batch_totals)
+    finally:
+        q.stop()
