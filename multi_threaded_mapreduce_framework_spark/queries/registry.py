@@ -92,6 +92,9 @@ _DRIVER_PRIORITY = (
     "q238_k_anonymity_census",
     "q239_matryoshka_truncation",
     "q240_optimize_compaction_census",
+    "q241_pipe_syntax_census",
+    "q242_tws_initial_state",
+    "q243_jaccard_threshold_curve",
     # --- last driver row r03: the 36 remaining stale rows (the r7
     #     window consumed q76-q85/q88/q56/q111/q112 off this band) ---
     "q113_ivf_probe_search",

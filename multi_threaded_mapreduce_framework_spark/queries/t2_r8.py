@@ -337,3 +337,152 @@ def q240_optimize_compaction_census(spark, sf_dir):
     ).localCheckpoint()
     _OPT_CACHE[key] = cached
     return cached
+
+
+# ------------------------------------------------------------------ q241
+_PIPE_SQL = """
+FROM documents
+|> WHERE n_chars >= 100
+|> EXTEND size(split(text, ' ')) AS toks
+|> AGGREGATE count(*) AS docs, sum(toks) AS tokens, sum(n_chars) AS chars
+   GROUP BY lang, source
+|> EXTEND CAST(1000 * chars div tokens AS BIGINT) AS chars_per_kilotoken
+|> WHERE docs >= 2
+|> SELECT lang, source, CAST(docs AS BIGINT) AS docs,
+          CAST(tokens AS BIGINT) AS tokens, chars_per_kilotoken
+"""
+
+
+@register(
+    "q241_pipe_syntax_census",
+    tier="T2",
+    oracle="""
+WITH f AS (SELECT lang, source, len(string_split(text, ' ')) AS toks,
+                  n_chars
+           FROM documents WHERE n_chars >= 100),
+a AS (SELECT lang, source,
+             CAST(count(*) AS BIGINT) AS docs,
+             CAST(sum(toks) AS BIGINT) AS tokens,
+             CAST(sum(n_chars) AS BIGINT) AS chars
+      FROM f GROUP BY lang, source)
+SELECT lang, source, docs, tokens,
+       CAST(1000 * chars // tokens AS BIGINT) AS chars_per_kilotoken
+FROM a WHERE docs >= 2
+""",
+)
+def q241_pipe_syntax_census(spark, sf_dir):
+    """A multi-stage corpus census written in Spark 4's SQL PIPE
+    syntax (SPARK-49555: `FROM t |> WHERE ... |> EXTEND ... |>
+    AGGREGATE ... GROUP BY ... |> SELECT`): filter short docs, derive
+    token counts, aggregate per (lang, source), derive a post-agg
+    metric, filter small groups, project.  The declared claim is
+    frontend equivalence: the pipe program must parse to the SAME
+    Catalyst plan semantics as the nested-CTE formulation the DuckDB
+    oracle runs — a hash match proves the new syntax is a pure
+    rewrite, not a new evaluator.  Pipe syntax is how multi-stage
+    curation pipelines read top-to-bottom (each |> stage is one
+    pipeline step) instead of inside-out.
+
+    Plan: identical to the hand-written census — predicate pushdown
+    into the scan, one partial-agg shuffle on (lang, source),
+    group-count filter after the agg; all-integer output, hash-exact.
+    """
+    from multi_threaded_mapreduce_framework_spark.sources import register_views
+
+    register_views(spark, sf_dir, tables=("documents",))
+    return spark.sql(_PIPE_SQL)
+
+
+# ------------------------------------------------------------------ q243
+_JT_GRID = (300, 500, 700)  # Jaccard thresholds, milli
+_JT_CAP = 500  # q27's declared doc_id cap (exact tier is volume-bound)
+
+
+@register(
+    "q243_jaccard_threshold_curve",
+    tier="T2",
+    oracle=f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+  FROM documents WHERE doc_id < {_JT_CAP}),
+sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+  FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id),
+pairs AS (
+  SELECT CAST(1000 * i // (s1.n + s2.n - i) AS BIGINT) AS j_milli
+  FROM inter
+  JOIN sz s1 ON s1.doc_id = d1
+  JOIN sz s2 ON s2.doc_id = d2
+  WHERE 1000 * least(s1.n, s2.n) >= {min(_JT_GRID)} * greatest(s1.n, s2.n)),
+g AS (SELECT unnest([{", ".join(str(t) for t in _JT_GRID)}]) AS t_milli)
+SELECT CAST(t_milli AS BIGINT) AS t_milli,
+       CAST(count(*) FILTER (WHERE j_milli >= t_milli) AS BIGINT) AS n_pairs,
+       CAST(coalesce(sum(j_milli) FILTER (WHERE j_milli >= t_milli), 0)
+            // greatest(count(*) FILTER (WHERE j_milli >= t_milli), 1)
+            AS BIGINT) AS mean_j_milli
+FROM pairs, g GROUP BY t_milli
+""",
+)
+def q243_jaccard_threshold_curve(spark, sf_dir):
+    """Near-dup THRESHOLD SENSITIVITY curve: qualifying pair count and
+    mean Jaccard (milli) at thresholds {0.3, 0.5, 0.7} from ONE
+    inverted-index pass — the tuning evidence for choosing q27's 0.5
+    cutoff and q35's LSH band threshold (q222 measured the SKETCH's
+    error; this measures the DECISION's sensitivity: a cliff between
+    two thresholds means the corpus has a near-dup band there).
+
+    One pass, three thresholds: the inverted-index join runs ONCE with
+    the size-band block relaxed to the LOWEST threshold (lossless for
+    every t >= min(grid): J = i/(n1+n2-i) <= min/max, so
+    1000*min(n1,n2) >= t_min*greatest prunes nothing that any grid
+    point needs); the bounded pair relation then folds against the
+    3-row grid.  Jaccard is integer milli (1000*i div union) — exact
+    both engines.  Shares q27's declared doc_id cap: the exact tier is
+    candidate-volume-bound by construction; q35/q213 are the scale
+    path.  Monotone-in-threshold laws pinned by test."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _JT_CAP)
+        .select("doc_id", F.array_distinct(F.split("text", " ")).alias("toks"))
+        .select("doc_id", F.size("toks").alias("n"), F.explode("toks").alias("w"))
+    )
+    a, b = docs.alias("a"), docs.alias("b")
+    tmin = min(_JT_GRID)
+    inter = (
+        a.join(
+            b,
+            (F.col("a.w") == F.col("b.w"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                F.least("a.n", "b.n") * 1000
+                >= F.greatest("a.n", "b.n") * F.lit(tmin)
+            ),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            F.col("a.n").alias("n1"),
+            F.col("b.n").alias("n2"),
+        )
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    pairs = inter.select(
+        F.expr("CAST(1000 * i div (n1 + n2 - i) AS BIGINT)").alias("j_milli")
+    )
+    grid = spark.createDataFrame([(int(t),) for t in _JT_GRID], "t_milli bigint")
+    return (
+        pairs.crossJoin(F.broadcast(grid))
+        .groupBy("t_milli")
+        .agg(
+            F.sum(F.when(F.col("j_milli") >= F.col("t_milli"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_pairs"),
+            F.expr(
+                "CAST(coalesce(sum(CASE WHEN j_milli >= t_milli THEN j_milli END), 0)"
+                " div greatest(sum(CASE WHEN j_milli >= t_milli THEN 1 ELSE 0 END), 1)"
+                " AS BIGINT)"
+            ).alias("mean_j_milli"),
+        )
+    )

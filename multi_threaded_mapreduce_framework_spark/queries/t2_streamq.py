@@ -562,3 +562,104 @@ def q237_tws_mapstate_census(spark, sf_dir):
     return cached.groupBy("user_id", "event_type").agg(
         F.max("cnt").cast("bigint").alias("cnt")
     )
+
+
+@register(
+    "q242_tws_initial_state",
+    tier="T2",
+    oracle=f"""
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS cnt,
+       CAST(coalesce(sum({_MICRO_SQL}), 0) AS BIGINT) AS sum_micro
+FROM events
+WHERE user_id IN (SELECT user_id FROM events WHERE event_id % 2 = 1)
+GROUP BY user_id
+""",
+)
+def q242_tws_initial_state(spark, sf_dir):
+    """State BOOTSTRAP for a stateful stream
+    (``transformWithStateInPandas(initialState=...)``): per-user
+    totals over the even-event_id HALF of the fixture are aggregated
+    BATCH-side into a snapshot, the odd half replays as the live
+    stream, and ``handleInitialState`` seeds each user's ValueState
+    from the snapshot before the first micro-batch — the
+    state-migration / backfill pattern every production cutover needs
+    (start a new streaming job from a batch table, do NOT replay
+    history).  Hash-gated against the FULL batch aggregate over all
+    events: bootstrap + increments == full recompute, exactly.
+
+    Contract detail the oracle encodes: update-mode emits only keys
+    that received stream increments, so the declared result covers
+    users with >= 1 odd event (snapshot-only users keep state
+    server-side but never emit; the oracle's IN-filter states this).
+    Integer micro units end to end — the converged answer is
+    hash-exact regardless of micro-batch boundaries.
+
+    Scale shape: the snapshot is a batch partial-agg (one shuffle)
+    handed to the state store ALREADY KEYED by the grouping column —
+    at production scale the bootstrap is a co-partitioned write into
+    RocksDB, not a replay of history; per-key state stays 16 bytes +
+    key."""
+    import pyspark.sql.functions as F
+
+    from multi_threaded_mapreduce_framework_spark.streaming import events_stream
+    from multi_threaded_mapreduce_framework_spark.streaming.protoshim import (
+        ensure_protobuf_on_workers,
+    )
+    from multi_threaded_mapreduce_framework_spark.streaming.stateful import (
+        bootstrapped_user_totals_tws,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir, "tws_init")
+    cached = _MATVIEW_STATE_CACHE.get(key)
+    if cached is None:
+        from multi_threaded_mapreduce_framework_spark.sources import load_table
+
+        ensure_protobuf_on_workers(spark)  # vanilla-session safe
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        base = os.path.join(
+            tempfile.gettempdir(),
+            "mtmrf_layout",
+            layout_tag(spark, sf_dir),
+            "tws_init",
+        )
+        ev = load_table(spark, sf_dir, "events")
+        snapshot = (
+            ev.filter(F.expr("event_id % 2 = 0"))
+            .select("user_id", F.expr(_MICRO_SQL).alias("vm"))
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("cnt"),
+                F.coalesce(F.sum("vm"), F.lit(0)).cast("bigint").alias("sum_micro"),
+            )
+        )
+        replay = os.path.join(base, "replay")
+        ev.filter(F.expr("event_id % 2 = 1")).repartition(3).write.mode(
+            "overwrite"
+        ).parquet(replay)
+        stream = events_stream(spark, replay).select(
+            "user_id", F.expr(_MICRO_SQL).alias("vm")
+        )
+        table = f"q242_tws_{abs(hash(key)) % 10**9}"
+        q = (
+            bootstrapped_user_totals_tws(stream, snapshot.groupBy("user_id"))
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName(table)
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        cached = spark.table(table).localCheckpoint()
+        _MATVIEW_STATE_CACHE[key] = cached
+    return cached.groupBy("user_id").agg(
+        F.max("cnt").cast("bigint").alias("cnt"),
+        F.expr("max_by(sum_micro, cnt)").cast("bigint").alias("sum_micro"),
+    )

@@ -497,3 +497,64 @@ def ttl_user_counts_tws(stream: DataFrame, ttl_ms: int) -> DataFrame:
         outputMode="Update",
         timeMode="ProcessingTime",
     )
+
+
+def bootstrapped_user_totals_tws(stream: DataFrame, init_grouped) -> DataFrame:
+    """Per-user running totals whose state is BOOTSTRAPPED from a
+    batch snapshot (``transformWithStateInPandas(initialState=...)``):
+    before the first micro-batch, ``handleInitialState`` seeds each
+    key's ValueState from the snapshot row, and subsequent batches
+    increment it — the state-migration / backfill pattern (cut a new
+    streaming job over from a batch table without replaying history).
+
+    Input needs columns (user_id, vm); ``init_grouped`` is
+    ``snapshot_df.groupBy("user_id")`` with columns (user_id, cnt,
+    sum_micro).  Emits (user_id, cnt, sum_micro) per updated key per
+    micro-batch; update-mode sinks see only keys that received
+    increments (snapshot-only keys keep their state server-side but
+    never emit — the reader's contract, q242)."""
+
+    def make():
+        from pyspark.sql.streaming.stateful_processor import (
+            StatefulProcessor,
+            StatefulProcessorHandle,
+        )
+
+        class BootstrappedTotalsProcessor(StatefulProcessor):
+            def init(self, handle: StatefulProcessorHandle) -> None:
+                self._tot = handle.getValueState(
+                    "tot", "cnt bigint, sum_micro bigint"
+                )
+
+            def handleInitialState(self, key, initialState, timerValues):
+                row = initialState.iloc[0]
+                self._tot.update((int(row["cnt"]), int(row["sum_micro"])))
+
+            def handleInputRows(self, key, rows, timerValues):
+                import pandas as pd
+
+                cnt, sm = (
+                    (int(self._tot.get()[0]), int(self._tot.get()[1]))
+                    if self._tot.exists()
+                    else (0, 0)
+                )
+                for pdf in rows:
+                    cnt += len(pdf)
+                    sm += int(pdf["vm"].fillna(0).astype("int64").sum())
+                self._tot.update((cnt, sm))
+                yield pd.DataFrame(
+                    {"user_id": [key[0]], "cnt": [cnt], "sum_micro": [sm]}
+                )
+
+            def close(self) -> None:
+                pass
+
+        return BootstrappedTotalsProcessor
+
+    return stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=make()(),
+        outputStructType="user_id bigint, cnt bigint, sum_micro bigint",
+        outputMode="Update",
+        timeMode="None",
+        initialState=init_grouped,
+    )

@@ -192,3 +192,84 @@ def test_q240_census_matches_plan_law(spark, sf_dir):
         target = math.ceil(r.n_rows / _OPT_FILES_PER_PART)
         assert r.files_after == math.ceil(r.n_rows / target)
         assert 1 <= r.files_after <= _OPT_FILES_PER_PART
+
+
+def test_q241_pipe_stages_decompose(spark, sf_dir):
+    """The pipe program must equal its stage-wise DataFrame
+    decomposition computed independently (filter -> tokenize ->
+    group -> derive -> group-filter), and every surviving group obeys
+    the stage predicates (docs >= 2, only docs with n_chars >= 100
+    counted)."""
+    rows = {
+        (r.lang, r.source): r
+        for r in QUERIES["q241_pipe_syntax_census"](spark, sf_dir).collect()
+    }
+    agg: dict = {}
+    for r in load_table(spark, sf_dir, "documents").collect():
+        if r.n_chars < 100:
+            continue
+        a = agg.setdefault((r.lang, r.source), [0, 0, 0])
+        a[0] += 1
+        a[1] += len(r.text.split(" "))
+        a[2] += r.n_chars
+    expect = {
+        k: (docs, toks, 1000 * chars // toks)
+        for k, (docs, toks, chars) in agg.items()
+        if docs >= 2
+    }
+    assert {
+        k: (r.docs, r.tokens, r.chars_per_kilotoken) for k, r in rows.items()
+    } == expect
+    assert all(r.docs >= 2 for r in rows.values())
+
+
+def test_q242_bootstrap_seed_and_increment_laws(spark, sf_dir):
+    """Bootstrap + increments == full recompute, decomposed: for every
+    emitted user, cnt == even-half count + odd-half count and
+    sum_micro == even-half sum + odd-half sum (each half computed
+    independently); users with no odd events never emit (the
+    update-mode contract); and at least one emitted user's FIRST
+    emission already exceeds its own batch rows (proof the seed was
+    read, not recomputed from the stream)."""
+    out = {r.user_id: r for r in QUERIES["q242_tws_initial_state"](spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        "user_id",
+        "event_id",
+        "CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS vm",
+    ).collect()
+    even: dict = {}
+    odd: dict = {}
+    for r in ev:
+        side = even if r.event_id % 2 == 0 else odd
+        c, s = side.get(r.user_id, (0, 0))
+        side[r.user_id] = (c + 1, s + (r.vm or 0))
+    assert set(out) == set(odd)  # only stream-incremented users emit
+    for uid, r in out.items():
+        ec, es = even.get(uid, (0, 0))
+        oc, os_ = odd[uid]
+        assert r.cnt == ec + oc
+        assert r.sum_micro == es + os_
+    # seed proof: some user's converged cnt exceeds its odd-half count
+    assert any(out[u].cnt > odd[u][0] for u in out)
+
+
+def test_q243_threshold_curve_laws(spark, sf_dir):
+    """Monotonicity in the threshold (pair count nonincreasing, mean
+    of the surviving pairs nondecreasing), grid completeness, and
+    agreement with q27 at the shared 0.5 point (same cap, same
+    tokenization: q243's n_pairs at t=500 counts exactly q27's
+    output rows)."""
+    rows = {r.t_milli: r for r in QUERIES["q243_jaccard_threshold_curve"](spark, sf_dir).collect()}
+    from multi_threaded_mapreduce_framework_spark.queries.t2_r8 import _JT_GRID
+
+    assert set(rows) == set(_JT_GRID)
+    ts = sorted(_JT_GRID)
+    for a, b in zip(ts, ts[1:]):
+        assert rows[a].n_pairs >= rows[b].n_pairs
+        if rows[a].n_pairs and rows[b].n_pairs:
+            assert rows[a].mean_j_milli <= rows[b].mean_j_milli
+    for t in ts:
+        if rows[t].n_pairs:
+            assert rows[t].mean_j_milli >= t
+    q27_pairs = QUERIES["q27_jaccard_neardup"](spark, sf_dir).count()
+    assert rows[500].n_pairs == q27_pairs

@@ -128,6 +128,10 @@ ALLOW: dict[str, dict[str, str]] = {
         "GLOBAL-WINDOW": "at-risk running sum over the FIXED 14-row day "
         "grid (bounded by the horizon, not the data)",
     },
+    "q243_jaccard_threshold_curve": {
+        "BNLJ": "3-row threshold grid broadcast into the size-band-bounded "
+        "pair relation (q225/q238's grid class)"
+    },
     "q238_k_anonymity_census": {
         "BNLJ": "1-row total + 3-row k-threshold grid broadcast into the "
         "quasi-id-domain-bounded group census (q225's depth-grid class)"
