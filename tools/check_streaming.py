@@ -349,6 +349,141 @@ def tws_timer_sessionization_vs_batch(spark, sf_dir, replay_dir, work):
 
 
 @scenario
+def tws_value_state_ttl_expiry(spark, sf_dir, replay_dir, work):
+    """Per-variable TTL (state-v2): ~1 ms TTL => every batch counts
+    from fresh state (sum of per-batch counts == batch total); 1 h TTL
+    => running totals converge (max == batch total).  ProcessingTime
+    streams never satisfy processAllAvailable (endless state-cleanup
+    maintenance batches), so convergence is polled on the data
+    invariant sum(batch_rows) == n_events."""
+    import time
+
+    import pyspark.sql.functions as F
+
+    from multi_threaded_mapreduce_framework_spark.streaming.stateful import (
+        ttl_user_counts_tws,
+    )
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    batch = {
+        r.user_id: r.n
+        for r in spark.read.parquet(replay_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    n_events = sum(batch.values())
+    stream = events_stream(spark, replay_dir).select("user_id")
+
+    def converge(name, ttl_ms):
+        q = (
+            ttl_user_counts_tws(stream, ttl_ms=ttl_ms)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            got = spark.table(name).agg(F.sum("batch_rows").alias("s")).collect()[0].s
+            if got == n_events:
+                return q
+            time.sleep(0.5)
+        q.stop()
+        raise AssertionError(f"{name} never converged")
+
+    q = converge("cs_ttl_long", 3_600_000)
+    try:
+        mx = {}
+        for r in spark.table("cs_ttl_long").collect():
+            mx[r.user_id] = max(mx.get(r.user_id, 0), r.cnt)
+        _check(mx == batch, "long-TTL running totals diverge from batch")
+    finally:
+        q.stop()
+    q = converge("cs_ttl_short", 1)
+    try:
+        sm = {}
+        for r in spark.table("cs_ttl_short").collect():
+            _check(r.cnt == r.batch_rows, "short-TTL state survived a batch gap")
+            sm[r.user_id] = sm.get(r.user_id, 0) + r.batch_rows
+        _check(sm == batch, "short-TTL per-batch counts do not partition events")
+    finally:
+        q.stop()
+    return len(batch)
+
+
+@scenario
+def tws_initial_state_bootstrap(spark, sf_dir, replay_dir, work):
+    """initialState bootstrap (q242's law on the shared replay): seed
+    per-user totals from the even-event_id half batch-side, stream the
+    odd half, converged totals == full-replay batch totals for every
+    user that received an increment."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from multi_threaded_mapreduce_framework_spark.streaming.stateful import (
+        bootstrapped_user_totals_tws,
+    )
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    ev = spark.read.parquet(replay_dir)
+    micro = "CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)"
+    snapshot = (
+        ev.filter("event_id % 2 = 0")
+        .selectExpr("user_id", f"{micro} AS vm")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            F.coalesce(F.sum("vm"), F.lit(0)).cast("bigint").alias("sum_micro"),
+        )
+    )
+    odd_dir = os.path.join(work, "bootstrap_odd")
+    ev.filter("event_id % 2 = 1").repartition(3).write.mode("overwrite").parquet(
+        odd_dir
+    )
+    stream = events_stream(spark, odd_dir).selectExpr(
+        "user_id", f"{micro} AS vm"
+    )
+    q = run_to_convergence(
+        bootstrapped_user_totals_tws(stream, snapshot.groupBy("user_id")),
+        "cs_bootstrap",
+        output_mode="update",
+    )
+    try:
+        latest = {}
+        for r in spark.table("cs_bootstrap").collect():
+            if r.user_id not in latest or r.cnt > latest[r.user_id][0]:
+                latest[r.user_id] = (r.cnt, r.sum_micro)
+    finally:
+        q.stop()
+    full = {
+        r.user_id: (r.cnt, r.sm)
+        for r in ev.selectExpr("user_id", "event_id", f"{micro} AS vm")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            F.coalesce(F.sum("vm"), F.lit(0)).cast("bigint").alias("sm"),
+        )
+        .join(
+            ev.filter("event_id % 2 = 1").select("user_id").distinct(),
+            "user_id",
+            "left_semi",
+        )
+        .collect()
+    }
+    _check(set(latest) == set(full), "emitted-user set != odd-half users")
+    _check(latest == full, "bootstrap + increments != full recompute")
+    return len(latest)
+
+
+@scenario
 def dedup_first_wins(spark, sf_dir, replay_dir, work):
     s = stream_dedup(events_stream(spark, replay_dir), ["user_id", "event_type"])
     q = run_to_convergence(s, "cs_dedup", output_mode="append")
