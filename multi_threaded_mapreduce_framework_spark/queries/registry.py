@@ -95,6 +95,9 @@ _DRIVER_PRIORITY = (
     "q241_pipe_syntax_census",
     "q242_tws_initial_state",
     "q243_jaccard_threshold_curve",
+    "q244_stream_dedup_readback",
+    "q245_l_diversity_census",
+    "q246_packing_efficiency_curve",
     # --- last driver row r03: the 36 remaining stale rows (the r7
     #     window consumed q76-q85/q88/q56/q111/q112 off this band) ---
     "q113_ivf_probe_search",

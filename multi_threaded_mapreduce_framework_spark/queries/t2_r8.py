@@ -486,3 +486,166 @@ def q243_jaccard_threshold_curve(spark, sf_dir):
             ).alias("mean_j_milli"),
         )
     )
+
+
+# ------------------------------------------------------------------ q245
+_LDIV_GRID = (2, 3)
+
+
+@register(
+    "q245_l_diversity_census",
+    tier="T2",
+    oracle=f"""
+WITH g AS (SELECT source, n_chars // 100 AS b,
+                  CAST(count(*) AS BIGINT) AS grp,
+                  CAST(count(DISTINCT lang) AS BIGINT) AS l
+           FROM documents GROUP BY 1, 2),
+t AS (SELECT CAST(sum(grp) AS BIGINT) AS total,
+             CAST(count(*) AS BIGINT) AS n_groups FROM g),
+k AS (SELECT unnest([{", ".join(str(x) for x in _LDIV_GRID)}]) AS l_min)
+SELECT CAST(l_min AS BIGINT) AS l_min,
+       CAST(count(*) FILTER (WHERE l < l_min) AS BIGINT) AS groups_below_l,
+       CAST(coalesce(sum(grp) FILTER (WHERE l < l_min), 0) AS BIGINT)
+         AS rows_below_l,
+       CAST(1000 * coalesce(sum(grp) FILTER (WHERE l < l_min), 0)
+            // max(total) AS BIGINT) AS at_risk_milli,
+       max(n_groups) AS n_groups
+FROM g, t, k GROUP BY l_min
+""",
+)
+def q245_l_diversity_census(spark, sf_dir):
+    """l-diversity census (Machanavajjhala et al. 2007) — k-anonymity's
+    (q238's) standard companion: a quasi-identifier group can be large
+    (k-anonymous) yet still leak its SENSITIVE attribute if every
+    member shares the same value.  Per diversity floor l in {2, 3}:
+    groups of the quasi-id tuple (source, 100-char length bucket)
+    whose distinct-count of the sensitive attribute (lang) is below l,
+    the rows in them, and the at-risk share — together with q238 the
+    two numbers a release's privacy review states.
+
+    Plan: one partial-agg shuffle to the quasi-id census (count +
+    count-distinct-sensitive per group; the distinct is bounded by the
+    sensitive domain); 2-row l-grid + 1-row total broadcast into the
+    domain-bounded group table; all-integer — hash-exact at any
+    scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.groupBy(
+        "source", F.expr("n_chars div 100").alias("b")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("grp"),
+        F.countDistinct("lang").cast("bigint").alias("l"),
+    )
+    t = g.agg(
+        F.sum("grp").cast("bigint").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+    )
+    grid = spark.createDataFrame([(int(x),) for x in _LDIV_GRID], "l_min bigint")
+    return (
+        g.crossJoin(F.broadcast(t))
+        .crossJoin(F.broadcast(grid))
+        .groupBy("l_min")
+        .agg(
+            F.sum(F.when(F.col("l") < F.col("l_min"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("groups_below_l"),
+            F.sum(F.when(F.col("l") < F.col("l_min"), F.col("grp")).otherwise(0))
+            .cast("bigint")
+            .alias("rows_below_l"),
+            F.expr(
+                "CAST(1000 * sum(CASE WHEN l < l_min THEN grp ELSE 0 END)"
+                " div max(total) AS BIGINT)"
+            ).alias("at_risk_milli"),
+            F.max("n_groups").alias("n_groups"),
+        )
+    )
+
+
+# ------------------------------------------------------------------ q246
+_PACK_GRID = (128, 256, 512)
+
+
+@register(
+    "q246_packing_efficiency_curve",
+    tier="T2",
+    oracle=f"""
+WITH d AS (SELECT lang, doc_id,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS t
+           FROM documents),
+c AS (SELECT lang, doc_id, t,
+             CAST(coalesce(sum(t) OVER (PARTITION BY lang ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS start
+      FROM d),
+g AS (SELECT unnest([{", ".join(str(x) for x in _PACK_GRID)}]) AS L),
+per_lang AS (
+  SELECT L, lang,
+         CAST(sum(t) AS BIGINT) AS toks,
+         CAST((sum(t) + L - 1) // L AS BIGINT) AS n_seqs,
+         CAST(sum(CASE WHEN start // L <> (start + t - 1) // L
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_split
+  FROM c, g GROUP BY L, lang)
+SELECT CAST(L AS BIGINT) AS seq_len,
+       CAST(sum(n_seqs) AS BIGINT) AS n_seqs,
+       CAST(sum(n_split) AS BIGINT) AS n_split_docs,
+       CAST(sum(n_seqs * L - toks) AS BIGINT) AS waste_tokens,
+       CAST(1000 * sum(n_seqs * L - toks) // sum(n_seqs * L) AS BIGINT)
+         AS waste_milli
+FROM per_lang GROUP BY L
+""",
+)
+def q246_packing_efficiency_curve(spark, sf_dir):
+    """Context-length tuning curve for the q204 packing law: for L in
+    {128, 256, 512}, the corpus-wide packed-sequence count,
+    boundary-split doc count, and padding waste (absolute + milli
+    share) — the measured trade a loader team reads before fixing the
+    training context length (longer L: fewer sequences but more
+    last-sequence padding per language and more cross-boundary
+    splits).  q204 reports ONE L per language; this is the decision
+    curve above it (q243's threshold-sensitivity discipline applied to
+    the packing knob).
+
+    One window pass, three grid points: the lang-ordered token prefix
+    sum (q204's closed-form law, lang-bounded window with the
+    q197/q111 caveat) is computed ONCE; the 3-row L-grid broadcasts
+    into the per-doc relation and every per-L statistic folds with
+    integer arithmetic — hash-exact; grid-monotonicity laws pinned by
+    test."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = docs.select(
+        "lang",
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("t"),
+    ).select(
+        "lang",
+        "t",
+        F.coalesce(F.sum("t").over(w), F.lit(0)).cast("bigint").alias("start"),
+    )
+    grid = spark.createDataFrame([(int(x),) for x in _PACK_GRID], "L bigint")
+    per_lang = (
+        c.crossJoin(F.broadcast(grid))
+        .groupBy("L", "lang")
+        .agg(
+            F.sum("t").cast("bigint").alias("toks"),
+            F.expr("CAST((sum(t) + L - 1) div L AS BIGINT)").alias("n_seqs"),
+            F.sum(
+                F.when(
+                    F.expr("start div L <> (start + t - 1) div L"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_split"),
+        )
+    )
+    return per_lang.groupBy(F.col("L").alias("seq_len")).agg(
+        F.sum("n_seqs").cast("bigint").alias("n_seqs"),
+        F.sum("n_split").cast("bigint").alias("n_split_docs"),
+        F.expr("CAST(sum(n_seqs * L - toks) AS BIGINT)").alias("waste_tokens"),
+        F.expr(
+            "CAST(1000 * sum(n_seqs * L - toks) div sum(n_seqs * L) AS BIGINT)"
+        ).alias("waste_milli"),
+    )

@@ -663,3 +663,82 @@ def q242_tws_initial_state(spark, sf_dir):
         F.max("cnt").cast("bigint").alias("cnt"),
         F.expr("max_by(sum_micro, cnt)").cast("bigint").alias("sum_micro"),
     )
+
+
+@register(
+    "q244_stream_dedup_readback",
+    tier="T2",
+    oracle="""
+SELECT event_type, CAST(count(*) AS BIGINT) AS cnt
+FROM events GROUP BY event_type
+""",
+)
+def q244_stream_dedup_readback(spark, sf_dir):
+    """Exactly-once ingest under AT-LEAST-ONCE delivery: the events
+    fixture replays TWICE (every row delivered two times, in different
+    micro-batches — the duplicated-delivery shape of a crashed
+    producer or a replayed Kafka offset range), a streaming
+    ``dropDuplicates`` on the natural key (event_id) keeps first
+    occurrences in its state store, and the readback census per
+    event_type is hash-gated against the batch census over the
+    UN-duplicated fixture: the gate proves the dedup state absorbed
+    exactly the duplicate half, no more, no less.  Promotes the
+    dedup-within-stream family (check_streaming's dedup scenarios) to
+    the oracle-declared inventory — the ingest-side sibling of q25's
+    batch dedup and the ninth streaming-backed declared row.
+
+    Scale shape: dedup state is one entry per distinct key in the
+    key-partitioned store; this unbounded variant fits while distinct
+    keys fit state (the fixture's shape), and
+    ``dropDuplicatesWithinWatermark`` (same module) is the declared
+    bounded-state production variant — state O(keys per watermark
+    window), the documented swap-in when the key universe grows with
+    time."""
+    import pyspark.sql.functions as F
+
+    from multi_threaded_mapreduce_framework_spark.streaming import events_stream
+    from multi_threaded_mapreduce_framework_spark.streaming.windowed import (
+        replay_events,
+        stream_dedup,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir, "dedup_readback")
+    cached = _MATVIEW_STATE_CACHE.get(key)
+    if cached is None:
+        import time as _t
+
+        from multi_threaded_mapreduce_framework_spark.sources import load_table
+
+        base = os.path.join(
+            tempfile.gettempdir(),
+            "mtmrf_layout",
+            layout_tag(spark, sf_dir),
+            "dedup_readback",
+        )
+        replay = os.path.join(base, "replay")
+        replay_events(spark, sf_dir, replay, n_chunks=3)
+        _t.sleep(0.05)  # distinct mtime: the duplicate wave replays after
+        load_table(spark, sf_dir, "events").repartition(3).write.mode(
+            "append"
+        ).parquet(replay)
+        stream = stream_dedup(
+            events_stream(spark, replay).select("event_id", "event_type"),
+            ["event_id"],
+        )
+        table = f"q244_dedup_{abs(hash(key)) % 10**9}"
+        q = (
+            stream.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(table)
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        cached = spark.table(table).localCheckpoint()
+        _MATVIEW_STATE_CACHE[key] = cached
+    return cached.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )

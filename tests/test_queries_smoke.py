@@ -82,7 +82,7 @@ def test_driver_priority_names_all_registered():
     num = lambda n: int(n[1:].split("_", 1)[0])  # noqa: E731
     # round-8 rotation (VERDICT r07 item 3): this round's debuts lead
     # the window (never driven; ascending numeric order)...
-    n_new_debuts = 8  # q231 + q237-q243; bump as round-8 queries land
+    n_new_debuts = 11  # q231 + q237-q246; bump as round-8 queries land
     debut_nums = [num(n) for n in ordered[:n_new_debuts]]
     assert debut_nums == sorted(debut_nums) and all(
         x >= 231 for x in debut_nums

@@ -273,3 +273,85 @@ def test_q243_threshold_curve_laws(spark, sf_dir):
             assert rows[t].mean_j_milli >= t
     q27_pairs = QUERIES["q27_jaccard_neardup"](spark, sf_dir).count()
     assert rows[500].n_pairs == q27_pairs
+
+
+def test_q244_duplicate_absorption_law(spark, sf_dir):
+    """The dedup readback equals the batch census over the
+    UN-duplicated fixture; the raw deduped sink holds exactly one row
+    per event_id even though every event was delivered twice."""
+    from multi_threaded_mapreduce_framework_spark.queries.t2_streamq import (
+        _MATVIEW_STATE_CACHE,
+    )
+
+    out = {
+        r.event_type: r.cnt
+        for r in QUERIES["q244_stream_dedup_readback"](spark, sf_dir).collect()
+    }
+    batch = {
+        r.event_type: r.n
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert out == batch
+    raw = _MATVIEW_STATE_CACHE[
+        (spark.sparkContext.applicationId, sf_dir, "dedup_readback")
+    ]
+    n_events = sum(batch.values())
+    assert raw.count() == n_events  # one survivor per event
+    assert raw.select("event_id").distinct().count() == n_events
+
+
+def test_q245_census_vs_python(spark, sf_dir):
+    """Python replay of the l-diversity census plus monotonicity in l
+    and the q238 relationship: a group below l=2 diversity is a
+    single-sensitive-value group regardless of its size."""
+    from multi_threaded_mapreduce_framework_spark.queries.t2_r8 import _LDIV_GRID
+
+    rows = {r.l_min: r for r in QUERIES["q245_l_diversity_census"](spark, sf_dir).collect()}
+    assert set(rows) == set(_LDIV_GRID)
+    groups: dict = {}
+    total = 0
+    for r in load_table(spark, sf_dir, "documents").select(
+        "source", "n_chars", "lang"
+    ).collect():
+        key = (r.source, r.n_chars // 100)
+        g = groups.setdefault(key, [0, set()])
+        g[0] += 1
+        g[1].add(r.lang)
+        total += 1
+    prev = (-1, -1)
+    for l in sorted(_LDIV_GRID):
+        r = rows[l]
+        gb = sum(1 for n, s in groups.values() if len(s) < l)
+        rb = sum(n for n, s in groups.values() if len(s) < l)
+        assert (r.groups_below_l, r.rows_below_l) == (gb, rb)
+        assert r.n_groups == len(groups)
+        assert r.at_risk_milli == 1000 * rb // total
+        assert (r.groups_below_l, r.rows_below_l) >= prev
+        prev = (r.groups_below_l, r.rows_below_l)
+
+
+def test_q246_grid_monotonicity_and_q204_consistency(spark, sf_dir):
+    """Packing-curve laws: sequences decrease and waste increases with
+    L; waste_milli matches its components; and the L=256 grid point
+    agrees with q204's per-language census summed."""
+    from multi_threaded_mapreduce_framework_spark.queries.t2_r8 import _PACK_GRID
+
+    rows = {r.seq_len: r for r in QUERIES["q246_packing_efficiency_curve"](spark, sf_dir).collect()}
+    assert set(rows) == set(_PACK_GRID)
+    ls = sorted(_PACK_GRID)
+    for a, b in zip(ls, ls[1:]):
+        assert rows[a].n_seqs >= rows[b].n_seqs
+        assert rows[a].waste_tokens <= rows[b].waste_tokens
+    for L in ls:
+        r = rows[L]
+        assert r.waste_milli == 1000 * r.waste_tokens // (r.n_seqs * L)
+        assert 0 <= r.n_split_docs
+    q204 = QUERIES["q204_sequence_packing"](spark, sf_dir).collect()
+    assert rows[256].n_seqs == sum(r.n_seqs for r in q204)
+    assert rows[256].n_split_docs == sum(r.n_split_docs for r in q204)
+    assert rows[256].waste_tokens == sum(
+        256 * r.n_seqs - r.total_tokens for r in q204
+    )

@@ -128,6 +128,14 @@ ALLOW: dict[str, dict[str, str]] = {
         "GLOBAL-WINDOW": "at-risk running sum over the FIXED 14-row day "
         "grid (bounded by the horizon, not the data)",
     },
+    "q245_l_diversity_census": {
+        "BNLJ": "1-row total + 2-row l-grid broadcast into the "
+        "quasi-id-domain-bounded group census (q238's class)"
+    },
+    "q246_packing_efficiency_curve": {
+        "BNLJ": "3-row context-length grid broadcast into the per-doc "
+        "relation (q243's grid class; the window pass runs once)"
+    },
     "q243_jaccard_threshold_curve": {
         "BNLJ": "3-row threshold grid broadcast into the size-band-bounded "
         "pair relation (q225/q238's grid class)"
