@@ -1,5 +1,6 @@
-"""Tier T2 — round-8 band: privacy audit, embedding truncation
-fidelity, lakehouse OPTIMIZE verification.
+"""Tier T2 — round-8 band: privacy audits, embedding truncation
+fidelity, lakehouse OPTIMIZE verification, the Spark-4 SQL pipe
+frontend, and two decision-curve censuses.
 
 - q238: k-anonymity census over quasi-identifiers — the re-identification
   audit a corpus release runs before publishing (Sweeney 2002): how many
@@ -17,6 +18,18 @@ fidelity, lakehouse OPTIMIZE verification.
   on-disk state — hash-gated against the pure row-law plan, so the
   oracle proves the rewrite produced exactly the planned file count and
   lost zero rows.
+- q241: a multi-stage census written in Spark 4's SQL PIPE syntax
+  (SPARK-49555), hash-proven a pure frontend rewrite of the nested-CTE
+  formulation.
+- q243: near-dup threshold sensitivity curve — qualifying-pair census
+  at a Jaccard-threshold grid from one inverted-index pass.
+- q245: l-diversity census (Machanavajjhala et al. 2007), k-anonymity's
+  standard companion over a sensitive attribute.
+- q246: packing-efficiency curve — q204's closed-form packing law over
+  a context-length grid (the loader's L decision evidence).
+
+(The streaming members of the band — q237 MapState, q242 initialState
+bootstrap, q244 stream dedup — live in t2_streamq.py.)
 
 Reference note: beyond-reference capabilities (the reference,
 MapReduceFramework.cpp:1-377, is a single-shape map/sort/shuffle/reduce
