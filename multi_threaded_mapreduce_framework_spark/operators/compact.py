@@ -11,12 +11,25 @@ statistics.  Compaction rewrites the directory into
 - output file count is computed from the ACTUAL on-disk bytes, not a
   guessed ``coalesce(n)``;
 - the rewrite goes to a temp sibling directory first and is swapped in
-  with directory renames, so readers never observe a half-written
-  state (same temp+rename discipline as the jsonl sink's two-phase
-  commit, ``sources/pydatasource.py``);
-- ``coalesce`` (not ``repartition``) does the merge: no shuffle, each
-  output task concatenates whole input splits, preserving any
-  within-file sort the layout had.
+  with directory renames (same temp+rename discipline as the jsonl
+  sink's two-phase commit, ``sources/pydatasource.py``).  Each rename
+  is atomic, but the swap as a whole is not: between the two renames
+  the directory briefly does not exist, and a crash in that window
+  leaves the data under the ``._old-*`` suffix — recoverable, never
+  half-written, but readers racing the swap can see ENOENT.  True
+  reader atomicity needs a pointer/manifest indirection (what Delta /
+  Iceberg's metadata layer provides);
+- ``coalesce`` (not ``repartition``) does the merge when the scan has
+  enough partitions: no shuffle, each output task concatenates whole
+  input splits, preserving any within-file sort the layout had.
+  ``coalesce`` can only REDUCE partition count, and the scan's
+  partition count over many tiny files depends on file bin-packing
+  (``maxPartitionBytes`` / ``openCostInBytes`` / default parallelism)
+  — on a low-core executor a 32-small-file directory may scan as
+  fewer partitions than the planned output count, silently emitting
+  fewer files.  When that happens the merge falls back to
+  ``repartition(n_out)`` (one round-robin shuffle) so the planned
+  file count is always produced.
 """
 
 from __future__ import annotations
@@ -43,6 +56,30 @@ def _parquet_files(path: str) -> list[str]:
     ]
 
 
+def _merged(df, n_out: int):
+    """Merge ``df`` down/up to exactly ``n_out`` partitions.
+
+    ``coalesce`` is the fast path (no shuffle) but can only reduce the
+    partition count; when the scan bin-packed the small files into
+    FEWER partitions than the planned output (low-core machines, large
+    ``maxPartitionBytes``), fall back to ``repartition`` so the
+    rewrite emits exactly the planned file count."""
+    n_scan = df.rdd.getNumPartitions()
+    return df.coalesce(n_out) if n_scan >= n_out else df.repartition(n_out)
+
+
+def _swap_in(spark, path: str, df, n_out: int) -> None:
+    """Write ``df`` as ``n_out`` files to a temp sibling, then swap it
+    in with two renames (atomic per rename, not per swap — see module
+    docstring)."""
+    tmp = f"{path.rstrip('/')}._compact-{uuid.uuid4().hex[:8]}"
+    _merged(df, n_out).write.mode("overwrite").parquet(tmp)
+    old = f"{path.rstrip('/')}._old-{uuid.uuid4().hex[:8]}"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+
+
 def compact_parquet_dir(
     spark, path: str, target_file_bytes: int = 128 * 1024 * 1024
 ) -> CompactionStats:
@@ -55,12 +92,7 @@ def compact_parquet_dir(
     if len(files) <= n_out:
         return CompactionStats(len(files), len(files), total)
 
-    tmp = f"{path.rstrip('/')}._compact-{uuid.uuid4().hex[:8]}"
-    spark.read.parquet(path).coalesce(n_out).write.mode("overwrite").parquet(tmp)
-    old = f"{path.rstrip('/')}._old-{uuid.uuid4().hex[:8]}"
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old)
+    _swap_in(spark, path, spark.read.parquet(path), n_out)
     return CompactionStats(len(files), len(_parquet_files(path)), total)
 
 
@@ -73,8 +105,10 @@ def compact_parquet_dir_rows(
     ROW law is deterministic from the data alone, which makes the
     rewrite's outcome oracle-verifiable (q240): files_after equals the
     planned count exactly, so an engine-independent SQL replay can
-    gate the real on-disk rewrite.  Same temp+rename reader-atomic
-    swap and shuffle-free ``coalesce`` as the byte-targeted form."""
+    gate the real on-disk rewrite.  Same temp+rename swap (atomic per
+    rename) and shuffle-free ``coalesce`` (with the ``repartition``
+    fallback when the scan under-partitions) as the byte-targeted
+    form."""
     files = _parquet_files(path)
     total = sum(os.path.getsize(f) for f in files)
     rows = spark.read.parquet(path).count()
@@ -82,10 +116,5 @@ def compact_parquet_dir_rows(
     if len(files) <= n_out:
         return CompactionStats(len(files), len(files), total)
 
-    tmp = f"{path.rstrip('/')}._compact-{uuid.uuid4().hex[:8]}"
-    spark.read.parquet(path).coalesce(n_out).write.mode("overwrite").parquet(tmp)
-    old = f"{path.rstrip('/')}._old-{uuid.uuid4().hex[:8]}"
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old)
+    _swap_in(spark, path, spark.read.parquet(path), n_out)
     return CompactionStats(len(files), len(_parquet_files(path)), total)

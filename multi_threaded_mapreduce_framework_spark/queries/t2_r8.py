@@ -296,15 +296,22 @@ def q240_optimize_compaction_census(spark, sf_dir):
     planned file count and lost zero rows; any half-written state,
     dropped row, or off-by-one in the plan breaks the hash.
 
-    Scale shape: compaction lists and rewrites one partition
-    directory at a time (at 100 TB each partition's rewrite is an
-    independent shuffle-free coalesce job over that partition's files
-    only — exactly Delta/Iceberg OPTIMIZE's per-partition bin-packing
-    unit); the census the driver hashes is |event_type| rows.  The
-    builder raises loudly if the small-file layout has fewer files
-    than the plan needs (cannot-compact-upward guard) rather than
-    returning a census the oracle would rightly fail."""
+    Scale shape: each partition's rewrite is an independent
+    shuffle-free coalesce job over that partition's files only —
+    exactly Delta/Iceberg OPTIMIZE's per-partition bin-packing unit —
+    and the per-partition jobs are submitted CONCURRENTLY from a
+    bounded thread pool (Spark's scheduler interleaves jobs from
+    multiple submitter threads), so OPTIMIZE wall time stays ~flat as
+    the partition count grows instead of serializing thousands of
+    small jobs through the driver; the census the driver hashes is
+    |event_type| rows.  Partition values are hive/URI-escaped in the
+    directory name, so the census key is unquoted before compare.
+    The builder raises loudly if the small-file layout has fewer
+    files than the plan needs (cannot-compact-upward guard) rather
+    than returning a census the oracle would rightly fail."""
     import math as _math
+    import urllib.parse as _urlparse
+    from concurrent.futures import ThreadPoolExecutor
 
     from multi_threaded_mapreduce_framework_spark.operators.compact import (
         _parquet_files,
@@ -327,12 +334,10 @@ def q240_optimize_compaction_census(spark, sf_dir):
     ev.repartition(_OPT_SMALL_FILES).write.mode("overwrite").partitionBy(
         "event_type"
     ).parquet(base)
-    rows_out = []
-    for d in sorted(os.listdir(base)):
-        if not d.startswith("event_type="):
-            continue
+
+    def _optimize_one(d: str) -> tuple:
         part_dir = os.path.join(base, d)
-        et = d.split("=", 1)[1]
+        et = _urlparse.unquote(d.split("=", 1)[1])
         n = spark.read.parquet(part_dir).count()
         target = _math.ceil(n / _OPT_FILES_PER_PART)
         planned = _math.ceil(n / target)
@@ -344,7 +349,13 @@ def q240_optimize_compaction_census(spark, sf_dir):
         compact_parquet_dir_rows(spark, part_dir, target_rows=target)
         n_after = spark.read.parquet(part_dir).count()
         files_after = len(_parquet_files(part_dir))
-        rows_out.append((et, int(n_after), int(files_after)))
+        return (et, int(n_after), int(files_after))
+
+    parts = sorted(
+        d for d in os.listdir(base) if d.startswith("event_type=")
+    )
+    with ThreadPoolExecutor(max_workers=min(8, max(1, len(parts)))) as pool:
+        rows_out = list(pool.map(_optimize_one, parts))
     cached = spark.createDataFrame(
         rows_out, "event_type string, n_rows bigint, files_after bigint"
     ).localCheckpoint()
