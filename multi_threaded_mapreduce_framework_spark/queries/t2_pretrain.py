@@ -187,26 +187,60 @@ def q205_duplicate_span_census(spark, sf_dir):
 # ------------------------------------------------------------------ q206
 _DSIR_TOPK = 20
 
+# The per-token log-ratio, quantized to integer micro.  ONE string used
+# verbatim on the Spark side and in the oracle SQL, over the portable-ln
+# columns (lnl = ln(c_en+1), lnr = ln(c_all+1), lndl = ln(t_en+vocab),
+# lndr = ln(t_all+vocab)) — all four bit-identical across engines, so
+# the floor is boundary-safe: both engines floor the SAME double.
+_LR_MICRO = (
+    "CAST(floor(1000000.0 * ((lnl - lndl) - (lnr - lndr)) + 0.5) AS BIGINT)"
+)
+_DSIR_LNS = {"lnl": "kl", "lnr": "kr", "lndl": "kdl", "lndr": "kdr"}
+
+
+def dsir_imp_micro_ctes() -> str:
+    """DuckDB CTE block ending in ``imp(doc_id, lang, imp_micro)`` —
+    the oracle mirror of :func:`dsir_doc_scores` (same portable-ln
+    stages, same ``_LR_MICRO`` quantization, same integer sum).  Shared
+    by the q206 / q225 / q236 oracles so the three gates rank by the
+    exact same scorer."""
+    from multi_threaded_mapreduce_framework_spark.functions.portable_math import (
+        apply_stages_sql,
+        ln_stages,
+    )
+
+    r0 = (
+        "SELECT dsir_allc.tok AS tok, COALESCE(c_en, 0) + 1 AS kl, "
+        "c_all + 1 AS kr, t_en + vocab AS kdl, t_all + vocab AS kdr "
+        "FROM dsir_allc LEFT JOIN dsir_enc ON dsir_allc.tok = dsir_enc.tok, "
+        "dsir_v, dsir_te"
+    )
+    rln = apply_stages_sql(r0, ln_stages(_DSIR_LNS))
+    return f"""
+dsir_t AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+           FROM documents),
+dsir_allc AS (SELECT tok, CAST(count(*) AS BIGINT) AS c_all
+              FROM dsir_t GROUP BY tok),
+dsir_enc AS (SELECT tok, CAST(count(*) AS BIGINT) AS c_en
+             FROM dsir_t WHERE lang = 'en' GROUP BY tok),
+dsir_v AS (SELECT CAST(count(*) AS BIGINT) AS vocab,
+                  CAST(sum(c_all) AS BIGINT) AS t_all FROM dsir_allc),
+dsir_te AS (SELECT CAST(coalesce(sum(c_en), 0) AS BIGINT) AS t_en
+            FROM dsir_enc),
+dsir_r AS (SELECT tok, {_LR_MICRO} AS lr_micro FROM ({rln})),
+imp AS (SELECT doc_id, min(dsir_t.lang) AS lang,
+               CAST(sum(lr_micro) AS BIGINT) AS imp_micro
+        FROM dsir_t JOIN dsir_r ON dsir_t.tok = dsir_r.tok
+        GROUP BY doc_id)"""
+
 
 @register(
     "q206_dsir_importance",
     tier="T2",
     oracle=f"""
-WITH t AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
-           FROM documents),
-allc AS (SELECT tok, CAST(count(*) AS BIGINT) AS c_all FROM t GROUP BY tok),
-enc AS (SELECT tok, CAST(count(*) AS BIGINT) AS c_en
-        FROM t WHERE lang = 'en' GROUP BY tok),
-v AS (SELECT CAST(count(*) AS BIGINT) AS vocab,
-             CAST(sum(c_all) AS BIGINT) AS t_all FROM allc),
-te AS (SELECT CAST(coalesce(sum(c_en), 0) AS BIGINT) AS t_en FROM enc),
-r AS (SELECT allc.tok,
-        ln((coalesce(c_en, 0) + 1.0) / (t_en + vocab))
-        - ln((c_all + 1.0) / (t_all + vocab)) AS lr
-      FROM allc LEFT JOIN enc ON allc.tok = enc.tok, v, te),
-s AS (SELECT doc_id, min(t.lang) AS lang, round(sum(lr), 4) AS imp
-      FROM t JOIN r ON t.tok = r.tok GROUP BY doc_id)
-SELECT doc_id, lang, imp FROM s ORDER BY imp DESC, doc_id LIMIT {_DSIR_TOPK}
+WITH {dsir_imp_micro_ctes()}
+SELECT doc_id, lang, imp_micro FROM imp
+ORDER BY imp_micro DESC, doc_id LIMIT {_DSIR_TOPK}
 """,
 )
 def q206_dsir_importance(spark, sf_dir):
@@ -227,25 +261,35 @@ def q206_dsir_importance(spark, sf_dir):
     with the corpus); the two 1-row totals broadcast.  The per-doc sum
     is one partial-aggregated shuffle on doc_id, and the top-20 is a
     TakeOrderedAndProject over per-doc rows — never a global sort of
-    the corpus.  Tiebreak doc_id; imp rounded 4 dp after the sum
-    (q62's ln discipline — both engines' ln is within 1 ulp, far from
-    any 4 dp boundary on transcendental sums).
+    the corpus.  Tiebreak doc_id.  The score is an INTEGER (micro
+    units): each token's log-ratio is computed with the portable ln
+    (functions/portable_math.py — bit-identical across engines, no
+    libm in the gate), quantized to micro, and summed in integer
+    arithmetic, so the ranking key is order-free and hash-exact.
     """
-    s = dsir_doc_scores(spark, sf_dir).select(
-        "doc_id", "lang", F.round("imp_raw", 4).alias("imp")
-    )
     return (
-        s.orderBy(F.desc("imp"), F.asc("doc_id"))
+        dsir_doc_scores(spark, sf_dir)
+        .orderBy(F.desc("imp_micro"), F.asc("doc_id"))
         .limit(_DSIR_TOPK)
-        .select("doc_id", "lang", "imp")
+        .select("doc_id", "lang", "imp_micro")
     )
 
 
 def dsir_doc_scores(spark, sf_dir):
-    """Shared DSIR scorer: every document with its UNROUNDED importance
-    sum (columns: doc_id, lang, imp_raw).  One definition used by q206
-    AND the q225 scorer-agreement audit, so the ranking q225 audits is
-    exactly the one q206 selects from."""
+    """Shared DSIR scorer: every document with its integer-micro
+    importance sum (columns: doc_id, lang, imp_micro).  One definition
+    used by q206, the q225 scorer-agreement audit, AND q236's RRF
+    fusion, so all three rank by exactly the same scorer.  ln is the
+    portable fixed-expression form (functions/portable_math.py): both
+    engines evaluate the identical IEEE +,-,*,/ tree, so the per-token
+    micro quantization in ``_LR_MICRO`` floors the same double — the
+    gate no longer depends on any libm call agreeing bitwise (the r8
+    verdict's remaining-risk item)."""
+    from multi_threaded_mapreduce_framework_spark.functions.portable_math import (
+        apply_stages_spark,
+        ln_stages,
+    )
+
     docs = spread_small_scan(load_table(spark, sf_dir, "documents"))
     t = docs.select(
         "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
@@ -261,20 +305,28 @@ def dsir_doc_scores(spark, sf_dir):
         F.sum("c_all").cast("bigint").alias("t_all"),
     )
     te = enc.agg(F.coalesce(F.sum("c_en"), F.lit(0)).cast("bigint").alias("t_en"))
-    lr = F.log(
-        (F.coalesce(F.col("c_en"), F.lit(0)) + 1.0)
-        / (F.col("t_en") + F.col("vocab"))
-    ) - F.log((F.col("c_all") + 1.0) / (F.col("t_all") + F.col("vocab")))
-    r = (
+    r0 = (
         allc.join(enc, "tok", "left")
         .crossJoin(F.broadcast(v))
         .crossJoin(F.broadcast(te))
-        .select("tok", lr.alias("lr"))
+        .select(
+            "tok",
+            F.expr("COALESCE(c_en, 0) + 1").alias("kl"),
+            F.expr("c_all + 1").alias("kr"),
+            F.expr("t_en + vocab").alias("kdl"),
+            F.expr("t_all + vocab").alias("kdr"),
+        )
+    )
+    r = apply_stages_spark(r0, ln_stages(_DSIR_LNS)).select(
+        "tok", F.expr(_LR_MICRO).alias("lr_micro")
     )
     return (
         t.join(r, "tok")
         .groupBy("doc_id")
-        .agg(F.min("lang").alias("lang"), F.sum("lr").alias("imp_raw"))
+        .agg(
+            F.min("lang").alias("lang"),
+            F.sum("lr_micro").cast("bigint").alias("imp_micro"),
+        )
     )
 
 

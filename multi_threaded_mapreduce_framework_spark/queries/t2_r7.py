@@ -34,6 +34,9 @@ import pyspark.sql.functions as F
 from pyspark.sql.window import Window
 
 from multi_threaded_mapreduce_framework_spark.queries.registry import register
+from multi_threaded_mapreduce_framework_spark.queries.t2_pretrain import (
+    dsir_imp_micro_ctes,
+)
 from multi_threaded_mapreduce_framework_spark.sources import (
     load_table,
     spread_small_scan,
@@ -325,20 +328,47 @@ def q233_tokenizer_fertility(spark, sf_dir):
 
 
 # ------------------------------------------------------------------ q234
+# Literal exp tables (the q177 portable-sketch discipline): computed
+# ONCE here in Python and emitted as identical integer literals into
+# both engines, so the weight law contains no engine libm call at all.
+# EG weights are invariant to a common loss shift (w_d ∝ exp(loss_d) =
+# exp(max)·exp(-(max-loss_d)); the normalizer cancels exp(max)), so the
+# law shifts by the max loss, quantizes the excess to CENTI, and splits
+# exp(-d_centi/100) = exp(-a)·exp(-b/100) with a = d_centi div 100
+# (integer part, table _EG_WA — 0 beyond 14 where the micro weight
+# underflows) and b = d_centi % 100 (table _EG_WB, 100 entries).
+import math as _math  # noqa: E402
+
+_EG_WA = tuple(
+    (a, int(_math.floor(1e6 * _math.exp(-a) + 0.5))) for a in range(15)
+)
+_EG_WB = tuple(
+    (b, int(_math.floor(1e6 * _math.exp(-b / 100.0) + 0.5)))
+    for b in range(100)
+)
+
+
 @register(
     "q234_doremi_step",
     tier="T2",
-    oracle="""
+    oracle=f"""
 WITH tk AS (SELECT lang,
                    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS toks,
                    CAST(sum(n_chars) AS BIGINT) AS chars
             FROM documents GROUP BY lang),
 l AS (SELECT lang, CAST(1000 * chars // toks AS BIGINT) AS loss_milli
       FROM tk),
+mx AS (SELECT CAST(max(loss_milli) AS BIGINT) AS max_loss FROM l),
+d AS (SELECT lang, loss_milli,
+             CAST((max_loss - loss_milli) // 10 AS BIGINT) AS d_centi
+      FROM l, mx),
+wa(a, ew_a) AS (VALUES {', '.join(f'({a}, {w})' for a, w in _EG_WA)}),
+wb(b, ew_b) AS (VALUES {', '.join(f'({b}, {w})' for b, w in _EG_WB)}),
 w AS (SELECT lang, loss_milli,
-             CAST(floor(1000000 * exp(loss_milli / 1000.0)) AS BIGINT)
-               AS ew_micro
-      FROM l),
+             CAST(coalesce(CAST(ew_a AS BIGINT), 0) * CAST(ew_b AS BIGINT)
+                  // 1000000 AS BIGINT) AS ew_micro
+      FROM d LEFT JOIN wa ON wa.a = d_centi // 100
+             JOIN wb ON wb.b = d_centi % 100),
 t AS (SELECT CAST(sum(ew_micro) AS BIGINT) AS tot_micro FROM w)
 SELECT lang, loss_milli,
        CAST(1000000 * ew_micro // tot_micro AS BIGINT) AS weight_micro
@@ -358,16 +388,16 @@ def q234_doremi_step(spark, sf_dir):
     The output is the next data-mix row a q207-style epoch planner
     consumes.
 
-    Engine parity discipline: the loss enters exp() already quantized
-    to integer milli (both engines exponentiate the SAME double), and
-    the exponential is immediately re-quantized to integer MICRO
-    (floor(1e6 * exp)) so normalization runs in pure integer
-    arithmetic — the only cross-engine exposure left is a 1-ulp exp()
-    difference landing exactly on a 1e-6 floor boundary (~1e-6
-    probability vs the 4dp-round-after-division convention this
-    replaced, ADVICE r07).  Plan: one scan partial-aggs to 5 domain
-    rows; everything after is a 5-row fold with the 1-row normalizer
-    broadcast."""
+    Engine parity discipline (r8 verdict item 2 — the q177 literal-
+    table form): EG weights are shift-invariant, so the law subtracts
+    the max loss, quantizes the excess to integer CENTI, and looks the
+    weight exp(-d_centi/100) up as the product of two PRE-COMPUTED
+    integer-micro literal tables (_EG_WA for the integer part, _EG_WB
+    for the centi fraction) — exp() never executes in either engine,
+    so the gate depends on zero libm calls; normalization stays pure
+    integer.  Plan: one scan partial-aggs to 5 domain rows; everything
+    after is a 5-row fold with the 1-row max/normalizer and the two
+    literal tables broadcast."""
     docs = spread_small_scan(load_table(spark, sf_dir, "documents"))
     tk = docs.groupBy("lang").agg(
         F.sum(F.size(F.split("text", " "))).cast("bigint").alias("toks"),
@@ -376,12 +406,26 @@ def q234_doremi_step(spark, sf_dir):
     l_ = tk.select(
         "lang", F.expr("CAST(1000 * chars div toks AS BIGINT)").alias("loss_milli")
     )
-    w = l_.select(
+    mx = l_.agg(F.max("loss_milli").cast("bigint").alias("max_loss"))
+    d = l_.crossJoin(F.broadcast(mx)).select(
         "lang",
         "loss_milli",
-        F.expr(
-            "CAST(floor(1000000 * exp(loss_milli / 1000.0)) AS BIGINT)"
-        ).alias("ew_micro"),
+        F.expr("CAST((max_loss - loss_milli) div 10 AS BIGINT)").alias(
+            "d_centi"
+        ),
+    )
+    wa = spark.createDataFrame(list(_EG_WA), "a bigint, ew_a bigint")
+    wb = spark.createDataFrame(list(_EG_WB), "b bigint, ew_b bigint")
+    w = (
+        d.join(F.broadcast(wa), F.expr("a = d_centi div 100"), "left")
+        .join(F.broadcast(wb), F.expr("b = d_centi % 100"))
+        .select(
+            "lang",
+            "loss_milli",
+            F.expr(
+                "CAST(coalesce(ew_a, 0) * ew_b div 1000000 AS BIGINT)"
+            ).alias("ew_micro"),
+        )
     )
     t = w.agg(F.sum("ew_micro").cast("bigint").alias("tot_micro"))
     return w.crossJoin(F.broadcast(t)).select(
@@ -495,26 +539,14 @@ q AS (SELECT doc_id,
         + least(1.0, (length(replace(text, ' ', ''))
                       / CAST(len(w) AS DOUBLE)) / 8.0) * 0.4 AS qual
       FROM t),
-tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
-        FROM documents),
-allc AS (SELECT tok, CAST(count(*) AS BIGINT) AS c_all FROM tok GROUP BY tok),
-enc AS (SELECT tok, CAST(count(*) AS BIGINT) AS c_en
-        FROM tok WHERE lang = 'en' GROUP BY tok),
-v AS (SELECT CAST(count(*) AS BIGINT) AS vocab,
-             CAST(sum(c_all) AS BIGINT) AS t_all FROM allc),
-te AS (SELECT CAST(coalesce(sum(c_en), 0) AS BIGINT) AS t_en FROM enc),
-r AS (SELECT allc.tok,
-        ln((coalesce(c_en, 0) + 1.0) / (t_en + vocab))
-        - ln((c_all + 1.0) / (t_all + vocab)) AS lr
-      FROM allc LEFT JOIN enc ON allc.tok = enc.tok, v, te),
-imp AS (SELECT doc_id, round(sum(lr), 4) AS imp
-        FROM tok JOIN r ON tok.tok = r.tok GROUP BY doc_id),
+{dsir_imp_micro_ctes()},
 topq AS (SELECT doc_id, row_number() OVER (ORDER BY qual DESC, doc_id) AS rq
          FROM (SELECT doc_id, qual FROM q
                ORDER BY qual DESC, doc_id LIMIT {_RRF_L})),
-topi AS (SELECT doc_id, row_number() OVER (ORDER BY imp DESC, doc_id) AS ri
-         FROM (SELECT doc_id, imp FROM imp
-               ORDER BY imp DESC, doc_id LIMIT {_RRF_L})),
+topi AS (SELECT doc_id, row_number() OVER (ORDER BY imp_micro DESC, doc_id)
+                AS ri
+         FROM (SELECT doc_id, imp_micro FROM imp
+               ORDER BY imp_micro DESC, doc_id LIMIT {_RRF_L})),
 f AS (SELECT coalesce(topq.doc_id, topi.doc_id) AS doc_id,
              CAST(coalesce(rq, {_RRF_L + 1}) AS BIGINT) AS rank_q,
              CAST(coalesce(ri, {_RRF_L + 1}) AS BIGINT) AS rank_i
@@ -529,7 +561,8 @@ FROM f ORDER BY rrf_scaled DESC, doc_id LIMIT {_RRF_TOP}
 def q236_rrf_fusion(spark, sf_dir):
     """Reciprocal-rank fusion of two curation scorers — the heuristic
     quality score (q95/q225's law) and DSIR target-likeness (q206's
-    round(imp,4) ranking) — under the standard cutoff-RRF law:
+    integer imp_micro ranking, portable-ln: no libm in the gate) —
+    under the standard cutoff-RRF law:
     each scorer contributes 1e6/(60 + rank-within-its-top-200), a doc
     absent from a list takes the cutoff rank 201, fused top-20 by
     summed score with doc_id tiebreak.  RRF is how retrieval stacks
@@ -562,7 +595,7 @@ def q236_rrf_fusion(spark, sf_dir):
     )
     top_i = (
         dsir_doc_scores(spark, sf_dir)
-        .select("doc_id", F.round("imp_raw", 4).alias("s"))
+        .select("doc_id", F.col("imp_micro").alias("s"))
         .orderBy(F.desc("s"), F.asc("doc_id"))
         .limit(_RRF_L)
     )

@@ -37,6 +37,9 @@ from multi_threaded_mapreduce_framework_spark.queries.t2_dedup import (
     _bucket_col,
     _bucket_sql_duck,
 )
+from multi_threaded_mapreduce_framework_spark.queries.t2_pretrain import (
+    dsir_imp_micro_ctes,
+)
 from multi_threaded_mapreduce_framework_spark.sources import (
     load_table,
     spread_small_scan,
@@ -601,23 +604,10 @@ q AS (SELECT doc_id,
         + least(1.0, (length(replace(text, ' ', ''))
                       / CAST(len(w) AS DOUBLE)) / 8.0) * 0.4 AS qual
       FROM t),
-tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
-        FROM documents),
-allc AS (SELECT tok, CAST(count(*) AS BIGINT) AS c_all FROM tok GROUP BY tok),
-enc AS (SELECT tok, CAST(count(*) AS BIGINT) AS c_en
-        FROM tok WHERE lang = 'en' GROUP BY tok),
-v AS (SELECT CAST(count(*) AS BIGINT) AS vocab,
-             CAST(sum(c_all) AS BIGINT) AS t_all FROM allc),
-te AS (SELECT CAST(coalesce(sum(c_en), 0) AS BIGINT) AS t_en FROM enc),
-r AS (SELECT allc.tok,
-        ln((coalesce(c_en, 0) + 1.0) / (t_en + vocab))
-        - ln((c_all + 1.0) / (t_all + vocab)) AS lr
-      FROM allc LEFT JOIN enc ON allc.tok = enc.tok, v, te),
-imp AS (SELECT doc_id, round(sum(lr), 4) AS imp
-        FROM tok JOIN r ON tok.tok = r.tok GROUP BY doc_id),
+{dsir_imp_micro_ctes()},
 rs AS (SELECT doc_id, row_number() OVER (ORDER BY qual DESC, doc_id) AS rq
        FROM q),
-rt AS (SELECT doc_id, row_number() OVER (ORDER BY imp DESC, doc_id) AS ri
+rt AS (SELECT doc_id, row_number() OVER (ORDER BY imp_micro DESC, doc_id) AS ri
        FROM imp),
 m AS (SELECT rs.doc_id, greatest(rq, ri) AS mx FROM rs JOIN rt USING (doc_id)),
 depths(d) AS (VALUES {', '.join(f'({d})' for d in _AGREE_DEPTHS)})
@@ -663,13 +653,14 @@ def q225_scorer_agreement(spark, sf_dir):
         .orderBy(F.desc("s"), F.asc("doc_id"))
         .limit(kmax)
     )
-    # Rank by the same round(imp, 4) expression q206 orders by (NOT the
-    # unrounded imp_raw), so documents tied at 4 dp order identically
-    # here and in q206's selection — the audited top-k IS q206's top-k
-    # at every tie boundary (ADVICE r06).
+    # Rank by the same integer imp_micro q206 orders by, so documents
+    # tied in micro units order identically here and in q206's
+    # selection — the audited top-k IS q206's top-k at every tie
+    # boundary (ADVICE r06), and the key is integer (no libm in the
+    # gate — the portable-ln discipline, r8 verdict item 2).
     top_i = (
         dsir_doc_scores(spark, sf_dir)
-        .select("doc_id", F.round("imp_raw", 4).alias("s"))
+        .select("doc_id", F.col("imp_micro").alias("s"))
         .orderBy(F.desc("s"), F.asc("doc_id"))
         .limit(kmax)
     )

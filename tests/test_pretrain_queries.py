@@ -88,7 +88,7 @@ def test_q206_dsir_orders_target_like_docs_first(spark, tmp_path):
         "doc_id bigint, text string, lang string, source string, n_chars bigint",
     ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
     out = QUERIES["q206_dsir_importance"](spark, d).collect()
-    imp = {r.doc_id: r.imp for r in out}
+    imp = {r.doc_id: r.imp_micro for r in out}
     assert imp[0] > imp[3] > imp[2]  # en-exclusive > mixed > en-absent
     assert out[0].doc_id == 0  # ordered head is the most target-like
 

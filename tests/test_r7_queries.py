@@ -167,9 +167,21 @@ def test_q233_fertility_census_vs_python(spark, sf_dir):
 
 def test_q234_update_laws(spark, sf_dir):
     """The exponentiated-gradient step's laws: loss_milli replays from
-    an independent token/char census; weights are a valid distribution
-    (sum within the integer-floor loss of 1e6); the update is strictly
-    monotone — a higher-loss domain gets a strictly larger weight."""
+    an independent token/char census; the weight replays from the
+    literal exp tables (the shift + centi-quantize + table-product
+    law — no libm in the gate); weights are a valid distribution (sum
+    within the integer-floor loss of 1e6); the update is monotone —
+    a higher-loss domain never gets a smaller weight, strictly larger
+    once the excess differs at centi resolution."""
+    from multi_threaded_mapreduce_framework_spark.queries.t2_r7 import (
+        _EG_WA,
+        _EG_WB,
+    )
+
+    wa, wb = dict(_EG_WA), dict(_EG_WB)
+    # the tables ARE the (micro-rounded) exponential, by construction
+    assert wa[0] == wb[0] == 1_000_000
+    assert all(wa[a] == round(1e6 * math.exp(-a)) for a in wa)
     rows = QUERIES["q234_doremi_step"](spark, sf_dir).collect()
     docs = load_table(spark, sf_dir, "documents").select("lang", "text", "n_chars").collect()
     agg: dict[str, list[int]] = {}
@@ -178,20 +190,23 @@ def test_q234_update_laws(spark, sf_dir):
         a[0] += len(r.text.split(" "))
         a[1] += r.n_chars
     assert {r.lang for r in rows} == set(agg)
+    max_loss = max(1000 * c // t for t, c in agg.values())
+
+    def ew_micro(loss: int) -> int:
+        d_centi = (max_loss - loss) // 10
+        return wa.get(d_centi // 100, 0) * wb[d_centi % 100] // 1_000_000
+
+    tot = sum(ew_micro(1000 * c // t) for t, c in agg.values())
     for r in rows:
         toks, chars = agg[r.lang]
         assert r.loss_milli == 1000 * chars // toks
-        ew = math.floor(1e6 * math.exp(r.loss_milli / 1000.0))
-        tot = sum(
-            math.floor(1e6 * math.exp((1000 * c // t) / 1000.0))
-            for t, c in agg.values()
-        )
-        assert r.weight_micro == 1_000_000 * ew // tot
+        assert r.weight_micro == 1_000_000 * ew_micro(r.loss_milli) // tot
     total = sum(r.weight_micro for r in rows)
     assert 1_000_000 - len(rows) <= total <= 1_000_000
     by_loss = sorted(rows, key=lambda r: r.loss_milli)
     for a, b in zip(by_loss, by_loss[1:]):
-        if a.loss_milli < b.loss_milli:
+        assert a.weight_micro <= b.weight_micro
+        if (max_loss - a.loss_milli) // 10 != (max_loss - b.loss_milli) // 10:
             assert a.weight_micro < b.weight_micro
 
 
@@ -266,9 +281,9 @@ def test_q236_cutoff_rank_law(spark, sf_dir):
     )
 
     imp = [
-        (r.doc_id, r.imp)
+        (r.doc_id, r.imp_micro)
         for r in dsir_doc_scores(spark, sf_dir)
-        .select("doc_id", F.round("imp_raw", 4).alias("imp"))
+        .select("doc_id", "imp_micro")
         .collect()
     ]
     top_i = [d for d, _ in sorted(imp, key=lambda kv: (-kv[1], kv[0]))[:_RRF_L]]
