@@ -716,3 +716,81 @@ def sample_frames(df: DataFrame, every_ms: int = 500, fake: bool = True) -> Data
     return df.filter(F.col("kind") == "video").mapInPandas(
         kernel, schema="media_id bigint, frame_idx int, frame_ts_ms int"
     )
+
+
+def media_census(df: DataFrame) -> DataFrame:
+    """All-INTEGER content census decoded from the payload bytes alone
+    — the hash-gateable core of the multimodal tier (q247).
+
+    The float feature tier (q171's RMS, q172's mean intensity) is
+    rows-only by contract, but everything integer about a payload is
+    exact math and therefore oracle-checkable: container format is
+    recovered from the MAGIC BYTES (RIFF / ``P6`` / PNG signature,
+    never the metadata column), images yield (width, height,
+    pix_bytes = 3wh, pix_sum = sum of the raw RGB bytes) through the
+    REAL ``_parse_ppm`` / ``_parse_png`` kernels, and audio yields
+    (n_samples, duration_ms) through stdlib ``wave``.  ``byte_len`` is
+    the on-disk payload size (codec-dependent for PNG — q247 excludes
+    it there by declared law).
+
+    Scale shape: one Arrow ``mapInPandas`` pass in the same stage as
+    whatever synthesized/scanned the payloads — bytes never shuffle;
+    only the integer census rows do.
+    """
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import io
+        import wave as wave_mod
+
+        import numpy as np
+        import pandas as pd
+
+        cols = [
+            "media_id",
+            "format",
+            "width",
+            "height",
+            "pix_bytes",
+            "pix_sum",
+            "n_samples",
+            "dur_ms",
+            "byte_len",
+        ]
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload)
+                if raw[:4] == b"RIFF":
+                    with wave_mod.open(io.BytesIO(raw), "rb") as w:
+                        rate = w.getframerate()
+                        n = w.getnframes()
+                    rows.append(
+                        (int(mid), "wav", 0, 0, 0, 0, n,
+                         1000 * n // rate, len(raw))
+                    )
+                elif raw.startswith(b"P6"):
+                    w_, h_, px = _parse_ppm(raw)
+                    rows.append(
+                        (int(mid), "ppm", w_, h_, px.size,
+                         int(px.sum(dtype=np.int64)), 0, 0, len(raw))
+                    )
+                elif raw.startswith(_PNG_SIG):
+                    w_, h_, px = _parse_png(raw)
+                    rows.append(
+                        (int(mid), "png", w_, h_, px.size,
+                         int(px.sum(dtype=np.int64)), 0, 0, len(raw))
+                    )
+                else:
+                    raise ValueError(
+                        f"unknown media container for media_id={mid}"
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(
+        kernel,
+        schema=(
+            "media_id bigint, format string, width bigint, height bigint,"
+            " pix_bytes bigint, pix_sum bigint, n_samples bigint,"
+            " dur_ms bigint, byte_len bigint"
+        ),
+    )

@@ -58,6 +58,7 @@ _QUERY_MODULES = (
     "multi_threaded_mapreduce_framework_spark.queries.t2_audit2",
     "multi_threaded_mapreduce_framework_spark.queries.t2_r7",
     "multi_threaded_mapreduce_framework_spark.queries.t2_r8",
+    "multi_threaded_mapreduce_framework_spark.queries.t2_r9",
 )
 
 
@@ -79,90 +80,73 @@ _REGISTRY: dict[str, Query] = {}
 # + q56 + q111-q126 + q01-q22; r04 the q127-q171 debuts +
 # q23/q24/q94/q98/q102; r05 the q50-q75/q86-q110 bands + q25-q28 +
 # q172; r06 q173-q222; r07 q223-q229 + q217(renamed) + q29-q49/q67
-# + the 6 r7 debuts + q76-q85/q88/q56/q111/q112 (50 rows, 0 failures).
-# Round-8 priority, as the r7 verdict sequenced it (item 3): (1) this
-# round's debuts (never driven); (2) the 36 names last driven r03
-# (q113-q126 + q01-q22); (3) the r05 band fills the window tail; (4)
-# the r04/r05 remainder via registration order.  The full set is
+# + the 6 r7 debuts + q76-q85/q88/q56/q111/q112; r08 the 11 r8 debuts
+# + the 36 r03-stale rows + q50-q52 (50 rows, 0 failures).
+# Round-9 priority (the r8 verdict's item 1): (1) this round's debuts
+# (never driven); (2) the 50 rows last driven r04 — the oldest band —
+# in staleness-first order, with the three lowest-risk rows last
+# (q171 is rows-only AND its integer core is now hash-gated by the
+# q247 debut; q23/q24's shapes are re-proven by the r06-green
+# q166/q199 session-window rows), since debuts + 50 stale rows
+# overfill a 50-row window by exactly three.  The full set is
 # re-proven locally each session via tools/check_oracle.py at sf0.01.
 _DRIVER_PRIORITY = (
-    # --- round-8 debuts (never driven) lead the window ---
-    "q231_tws_liststate_lastk",
-    "q237_tws_mapstate_census",
-    "q238_k_anonymity_census",
-    "q239_matryoshka_truncation",
-    "q240_optimize_compaction_census",
-    "q241_pipe_syntax_census",
-    "q242_tws_initial_state",
-    "q243_jaccard_threshold_curve",
-    "q244_stream_dedup_readback",
-    "q245_l_diversity_census",
-    "q246_packing_efficiency_curve",
-    # --- last driver row r03: the 36 remaining stale rows (the r7
-    #     window consumed q76-q85/q88/q56/q111/q112 off this band) ---
-    "q113_ivf_probe_search",
-    "q114_salted_agg",
-    "q115_partition_pruned_scan",
-    "q116_lm_doc_score",
-    "q117_incremental_dedup",
-    "q118_pagerank",
-    "q119_data_quality_audit",
-    "q120_ann_partition_pruned",
-    "q121_map_functions",
-    "q122_lateral_topk",
-    "q123_scd2_cdc",
-    "q124_asof_pandas",
-    "q125_window_sliding",
-    "q126_prefix_filter_join",
-    "q01_wordcount",
-    "q02_charcount",
-    "q03_grouped_sum",
-    "q04_user_event_stats",
-    "q05_filter_project",
-    "q06_join_agg",
-    "q07_join_chain",
-    "q08_left_join",
-    "q09_semi_join",
-    "q10_anti_join",
-    "q11_topk",
-    "q12_distinct",
-    "q13_count_distinct",
-    "q14_union",
-    "q15_intersect",
-    "q16_except",
-    "q17_window_rank",
-    "q18_window_running",
-    "q19_rollup",
-    "q20_string_funcs",
-    "q21_date_funcs",
-    "q22_json_extract",
-    # --- last driver row r05 (freshest bulk): the q50-q75 band fills
-    #     the 50-row window tail; q86-q110 / r04 names follow in
-    #     registration order via _ordered ---
-    "q50_mapreduce_wordcount",
-    "q51_tpch_q1",
-    "q52_tpch_q3",
-    "q53_tpch_q5",
-    "q54_tpch_q10",
-    "q55_approx_count_distinct",
-    "q57_date_arith",
-    "q58_string_funcs2",
-    "q59_window_range_frame",
-    "q60_min_max_by",
-    "q61_deterministic_split",
-    "q62_tfidf_top_terms",
-    "q63_event_transitions",
-    "q64_tpch_q7",
-    "q65_tpch_q16",
-    "q66_tpch_q2",
-    "q68_longest_streak",
-    "q69_regr_slope",
-    "q70_asof_join",
-    "q71_interval_join",
-    "q72_tpch_q6",
-    "q73_tpch_q4",
-    "q74_tpch_q14",
-    "q75_tpch_q18",
+    # --- round-9 debuts (never driven) lead the window ---
+    "q247_multimodal_meta_census",
+    "q248_stream_dedup_watermark",
+    "q249_banded_threshold_curve",
+    # --- last driver row r04: the oldest stale band ---
+    "q127_vocab_ids",
+    "q128_train_holdout_leakage",
+    "q129_skipgram_pairs",
+    "q130_sequence_packing",
+    "q131_kmeans_update",
+    "q132_quality_gates",
+    "q133_embedding_outliers",
+    "q134_bm25_topk",
+    "q135_heavy_hitter_shingles",
+    "q136_bloom_prefilter_join",
+    "q137_zorder_skipping",
+    "q138_bpe_pair_counts",
+    "q139_pps_systematic_sample",
+    "q140_char_entropy",
+    "q141_mad_outliers",
+    "q142_copurchase_pairs",
+    "q143_pmi_bigrams",
+    "q144_incremental_agg_merge",
+    "q145_time_weighted_avg",
+    "q146_snapshot_diff_merkle",
+    "q147_survivorship_merge",
+    "q148_tokenize_to_ids",
+    "q149_skew_audit",
+    "q150_triangle_count",
+    "q151_session_attribution",
+    "q152_quantile_normalize",
+    "q153_bitmap_distinct",
+    "q154_global_ordinal",
+    "q155_deletion_neighbors",
+    "q156_topk_pushdown",
+    "q157_novelty_score",
+    "q158_watermark_replay",
+    "q159_weighted_median",
+    "q160_lang_overlap",
+    "q161_sorted_neighborhood",
+    "q162_bitmap_set_algebra",
+    "q163_bitmap_distinct_rollup",
+    "q164_bitmap_retention",
+    "q165_bitmap_rolling_wau",
+    "q166_session_window",
+    "q167_linear_interpolate",
+    "q168_benford_audit",
+    "q169_cusum_changepoint",
+    "q170_pareto_skyline",
+    "q94_dedup_clusters",
+    "q98_contamination",
+    "q102_cc_star",
+    # --- r04-stale but lowest-risk: the window tail (see above) ---
+    "q23_sessionize",
+    "q24_window_tumbling",
+    "q171_multimodal_audio",
 )
 
 

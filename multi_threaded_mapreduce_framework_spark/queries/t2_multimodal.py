@@ -316,3 +316,127 @@ def q173_multimodal_video(spark, sf_dir):
 # Portable HLL constants: 3-round LCG mix mod the Mersenne prime 2^61-1
 # (exact in DECIMAL(20,0)/HUGEINT in the two engines), m = 64 buckets,
 # alpha_64 * m^2 * 1000 * 2^56 as the exact integer numerator.
+
+
+# ------------------------------------------------------------------ q247
+@register(
+    "q247_multimodal_meta_census",
+    tier="T2",
+    oracle="""
+WITH d AS (SELECT doc_id FROM documents),
+wav AS (SELECT 'wav' AS format,
+        CAST(count(*) AS BIGINT) AS n_media,
+        CAST(0 AS BIGINT) AS w_sum, CAST(0 AS BIGINT) AS h_sum,
+        CAST(0 AS BIGINT) AS pix_bytes, CAST(0 AS BIGINT) AS pix_sum,
+        CAST(sum(8 * (100 + (doc_id % 32) * 25)) AS BIGINT) AS n_samples,
+        CAST(sum(100 + (doc_id % 32) * 25) AS BIGINT) AS dur_ms,
+        CAST(sum(44 + 16 * (100 + (doc_id % 32) * 25)) AS BIGINT)
+          AS known_bytes
+        FROM d),
+img0 AS (SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'ppm' ELSE 'png' END AS format,
+         8 + doc_id % 8 AS w, 6 + doc_id % 5 AS h,
+         doc_id % 256 AS s,
+         3 * (8 + doc_id % 8) * (6 + doc_id % 5) AS n
+         FROM d),
+img1 AS (SELECT format, w, h, n,
+         (n // 256) * 32640
+         + CASE WHEN s + (n % 256) <= 256
+                THEN (n % 256) * s + (n % 256) * ((n % 256) - 1) // 2
+                ELSE ((s + 255) * (256 - s)) // 2
+                     + ((s + (n % 256) - 256) * (s + (n % 256) - 257)) // 2
+           END AS pix_sum,
+         CASE WHEN format = 'ppm'
+              THEN 9 + length(CAST(w AS VARCHAR))
+                   + length(CAST(h AS VARCHAR)) + n
+              ELSE 0 END AS kb
+         FROM img0),
+img AS (SELECT format, CAST(count(*) AS BIGINT) AS n_media,
+        CAST(sum(w) AS BIGINT) AS w_sum, CAST(sum(h) AS BIGINT) AS h_sum,
+        CAST(sum(n) AS BIGINT) AS pix_bytes,
+        CAST(sum(pix_sum) AS BIGINT) AS pix_sum,
+        CAST(0 AS BIGINT) AS n_samples, CAST(0 AS BIGINT) AS dur_ms,
+        CAST(sum(kb) AS BIGINT) AS known_bytes
+        FROM img1 GROUP BY format)
+SELECT * FROM wav UNION ALL SELECT * FROM img
+""",
+)
+def q247_multimodal_meta_census(spark, sf_dir):
+    """HASH-GATED multimodal census (r8 verdict item 3 — shrinks the
+    rows-only set): every document gets q171's genuine WAV payload AND
+    q172's genuine image payload (even doc_id -> P6 PPM, odd -> PNG)
+    synthesized on the executors; ``operators/multimodal.py::
+    media_census`` then recovers an ALL-INTEGER census from the bytes
+    alone — container format from the magic bytes (never metadata),
+    image width/height/pixel-byte-count plus the SUM OF EVERY RAW RGB
+    BYTE through the real PPM/zlib-PNG parsers, audio frame count and
+    duration through stdlib ``wave``.  The DuckDB oracle replays the
+    fixture laws arithmetically (ramp-sum in closed form over the
+    mod-256 window; WAV frame/canonical-44-byte-header laws), so the
+    hash gate proves the real byte-level decode end to end: one
+    mis-decoded pixel byte anywhere in the corpus breaks ``pix_sum``.
+    PNG's on-disk size is zlib-dependent (not SQL-expressible), so
+    ``known_bytes`` is 0 for PNG by declared law — its content gate is
+    ``pix_sum``.  q171/q172's FLOAT feature tiers (RMS, mean
+    intensity) stay rows-only by contract; this census is the
+    integer-exact core of the same decode.
+
+    Scale shape (q171/q172's discipline): synth and census are chained
+    Arrow kernels in ONE scan stage — payload bytes are born and
+    consumed on the same executor, never shuffled, never driver-side;
+    only |format| = 3 integer census rows aggregate."""
+    from multi_threaded_mapreduce_framework_spark.operators.multimodal import (
+        media_census,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        from multi_threaded_mapreduce_framework_spark.operators.multimodal import (
+            encode_png,
+            wav_sine_bytes,
+        )
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                # q171's audio law
+                duration_ms = 100 + (d % 32) * 25
+                freq = 220.0 + float(d % 16) * 55.0
+                ids.append(d)
+                payloads.append(wav_sine_bytes(freq, duration_ms, 8_000))
+                # q172's image law
+                w, h = 8 + d % 8, 6 + d % 5
+                px = (
+                    (np.arange(w * h * 3, dtype=np.int64) + d) % 256
+                ).astype(np.uint8)
+                ids.append(d)
+                payloads.append(
+                    encode_png(px.reshape(h, w, 3))
+                    if d % 2
+                    else b"P6\n%d %d\n255\n" % (w, h) + px.tobytes()
+                )
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = docs.mapInPandas(synth, schema="media_id bigint, payload binary")
+    census = media_census(media)
+    return census.groupBy("format").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_media"),
+        F.sum("width").cast("bigint").alias("w_sum"),
+        F.sum("height").cast("bigint").alias("h_sum"),
+        F.sum("pix_bytes").cast("bigint").alias("pix_bytes"),
+        F.sum("pix_sum").cast("bigint").alias("pix_sum"),
+        F.sum("n_samples").cast("bigint").alias("n_samples"),
+        F.sum("dur_ms").cast("bigint").alias("dur_ms"),
+        F.sum(
+            F.when(F.col("format") == "png", F.lit(0)).otherwise(
+                F.col("byte_len")
+            )
+        )
+        .cast("bigint")
+        .alias("known_bytes"),
+    )

@@ -1,0 +1,149 @@
+"""Tier T2 — round-9 band: the banded threshold-sensitivity curve.
+
+- q249: q243's Jaccard threshold curve re-based on q35's MinHash-LSH
+  candidate generation — the decision curve's own 100 TB path (r8
+  verdict item 8).  q243's exact tier is doc_id-capped by declaration;
+  this variant folds the same t-grid over the BANDED candidate set
+  with exact shingle-Jaccard verification, so the curve scales exactly
+  as far as q35 does (and the q222 error census bounds the sketch bias
+  of what banding misses below the band threshold).
+
+Reference note: beyond-reference capability (the reference,
+MapReduceFramework.cpp:1-377, is a single-shape map/sort/shuffle/reduce
+library); declared per the builder brief's training-data-pipeline
+rubric under the standard oracle conventions (FIXTURES.md).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from multi_threaded_mapreduce_framework_spark.functions.texthash import (
+    lsh_band_keys,
+    minhash_signature_np,
+    word_shingle_hashes,
+)
+from multi_threaded_mapreduce_framework_spark.queries.registry import register
+from multi_threaded_mapreduce_framework_spark.queries.t2_dedup import (
+    _DUCK_SHINGLES,
+    BAND_MIX,
+    LSH_BANDS,
+    LSH_ROWS,
+    MINHASH_K,
+    P,
+)
+from multi_threaded_mapreduce_framework_spark.queries.t2_r8 import _JT_GRID
+from multi_threaded_mapreduce_framework_spark.sources import (
+    load_table,
+    spread_small_scan,
+)
+
+
+# ------------------------------------------------------------------ q249
+@register(
+    "q249_banded_threshold_curve",
+    tier="T2",
+    oracle=f"""
+WITH sh AS ({_DUCK_SHINGLES}),
+shf AS (SELECT * FROM sh WHERE len(hs) > 0),
+sig AS (
+  SELECT doc_id, hs, list_transform(generate_series(0, {MINHASH_K - 1}),
+    i -> list_min(list_transform(hs, h -> ((17+13*i)*h + (91+7*i)) % {P}))) AS sig
+  FROM shf),
+bands AS (
+  SELECT doc_id, t.b AS band,
+         list_reduce(sig[t.b*{LSH_ROWS}+1 : t.b*{LSH_ROWS}+{LSH_ROWS}],
+                     (a,x) -> (a*{BAND_MIX}+x) % {P}) AS key
+  FROM sig CROSS JOIN unnest(generate_series(0, {LSH_BANDS - 1})) AS t(b)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+                            AND a.doc_id < b.doc_id),
+pairs0 AS (
+  SELECT d1, d2, len(list_intersect(x.hs, y.hs)) AS i,
+         len(x.hs) AS n1, len(y.hs) AS n2
+  FROM cand JOIN shf x ON x.doc_id = d1 JOIN shf y ON y.doc_id = d2),
+pairs AS (
+  SELECT CAST(1000 * i // (n1 + n2 - i) AS BIGINT) AS j_milli FROM pairs0),
+g AS (SELECT unnest([{", ".join(str(t) for t in _JT_GRID)}]) AS t_milli)
+SELECT CAST(t_milli AS BIGINT) AS t_milli,
+       CAST(count(*) FILTER (WHERE j_milli >= t_milli) AS BIGINT) AS n_pairs,
+       CAST(coalesce(sum(j_milli) FILTER (WHERE j_milli >= t_milli), 0)
+            // greatest(count(*) FILTER (WHERE j_milli >= t_milli), 1)
+            AS BIGINT) AS mean_j_milli
+FROM pairs, g GROUP BY t_milli
+""",
+)
+def q249_banded_threshold_curve(spark, sf_dir):
+    """Threshold-sensitivity curve over the BANDED candidate set — the
+    100 TB path for the q243 decision curve (r8 verdict item 8): q35's
+    MinHash(16) + LSH(4x4) banding generates candidates over the FULL
+    corpus (no doc_id cap), exact shingle-Jaccard verifies each
+    candidate once, and the {0.3, 0.5, 0.7} grid folds over the
+    verified pair relation.  Above the band threshold the curve is
+    q35's universe exactly — the t=500 point counts precisely q35's
+    output pairs (law-tested); below it the curve reads as "what
+    banding surfaces", with q222's sketch-error census bounding what
+    it misses.  Jaccard is integer milli (1000*i div union) — exact
+    both engines, same measure the candidates were generated under
+    (3-word shingles), so curve and generator tune together.
+
+    Plan shape: q35's narrow band join + join-back verify (never all
+    pairs), then the 3-row grid fold — a bounded-broadcast BNLJ over
+    the tiny verified relation.  Scales exactly as far as q35 does:
+    candidates per doc are bounded by band collisions, not corpus
+    size."""
+    docs = spread_small_scan(load_table(spark, sf_dir, "documents"))
+    sh = (
+        docs.filter(F.size(F.split("text", " ")) >= 3)
+        .select("doc_id", word_shingle_hashes("text").alias("hs"))
+        .localCheckpoint()
+    )
+    sig = sh.select(
+        "doc_id", minhash_signature_np(F.col("hs"), MINHASH_K).alias("sig")
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(lsh_band_keys(F.col("sig"), LSH_BANDS, LSH_ROWS)).alias("bk"),
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    s1 = sh.select(F.col("doc_id").alias("d1"), F.col("hs").alias("hs1"))
+    s2 = sh.select(F.col("doc_id").alias("d2"), F.col("hs").alias("hs2"))
+    inter = F.size(F.array_intersect("hs1", "hs2"))
+    union = F.size("hs1") + F.size("hs2") - inter
+    pairs = (
+        cand.join(s1, "d1")
+        .join(s2, "d2")
+        .select(
+            (F.lit(1000) * inter)
+            .cast("bigint")
+            .alias("i1000"),
+            union.cast("bigint").alias("u"),
+        )
+        .select(F.expr("CAST(i1000 div u AS BIGINT)").alias("j_milli"))
+    )
+    grid = spark.createDataFrame([(int(t),) for t in _JT_GRID], "t_milli bigint")
+    return (
+        pairs.crossJoin(F.broadcast(grid))
+        .groupBy("t_milli")
+        .agg(
+            F.sum(F.when(F.col("j_milli") >= F.col("t_milli"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_pairs"),
+            F.expr(
+                "CAST(coalesce(sum(CASE WHEN j_milli >= t_milli THEN j_milli END), 0)"
+                " div greatest(sum(CASE WHEN j_milli >= t_milli THEN 1 ELSE 0 END), 1)"
+                " AS BIGINT)"
+            ).alias("mean_j_milli"),
+        )
+    )

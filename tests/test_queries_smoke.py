@@ -80,30 +80,23 @@ def test_driver_priority_names_all_registered():
     assert len(set(_DRIVER_PRIORITY)) == len(_DRIVER_PRIORITY)  # no dupes
     ordered = list(all_queries())
     num = lambda n: int(n[1:].split("_", 1)[0])  # noqa: E731
-    # round-8 rotation (VERDICT r07 item 3): this round's debuts lead
+    # round-9 rotation (VERDICT r08 item 1): this round's debuts lead
     # the window (never driven; ascending numeric order)...
-    n_new_debuts = 11  # q231 + q237-q246; bump as round-8 queries land
+    n_new_debuts = 3  # q247-q249; bump as round-9 queries land
     debut_nums = [num(n) for n in ordered[:n_new_debuts]]
     assert debut_nums == sorted(debut_nums) and all(
-        x >= 231 for x in debut_nums
+        x >= 247 for x in debut_nums
     ), ordered[:n_new_debuts]
-    assert ordered[0] == "q231_tws_liststate_lastk"
-    # ...then the 36 names last driven r03: the q113-q126 band first
-    # (staleness order), then the q01-q22 relational basics...
-    assert {num(n) for n in ordered[n_new_debuts : n_new_debuts + 14]} == set(
-        range(113, 127)
-    ), sorted(num(n) for n in ordered[n_new_debuts : n_new_debuts + 14])
-    assert {
-        num(n) for n in ordered[n_new_debuts + 14 : n_new_debuts + 36]
-    } == set(range(1, 23)), sorted(
-        num(n) for n in ordered[n_new_debuts + 14 : n_new_debuts + 36]
-    )
-    # ...then the r05-driven q50-q75 band fills the 50-row window tail
-    at = n_new_debuts + 36
-    assert ordered[at] == "q50_mapreduce_wordcount"
-    assert all(50 <= num(n) <= 75 for n in ordered[at : at + 24]), (
-        ordered[at : at + 24]
-    )
+    assert ordered[0] == "q247_multimodal_meta_census"
+    # ...then the 50 names last driven r04 — the oldest stale band:
+    # q127-q170 + the cluster/contamination trio first, with the three
+    # lowest-risk rows (q23/q24/q171) closing the window tail since
+    # debuts + 50 stale rows overfill a 50-row window by three
+    stale = ordered[n_new_debuts : n_new_debuts + 50]
+    assert {num(n) for n in stale} == (
+        set(range(127, 171)) | {94, 98, 102, 23, 24, 171}
+    ), sorted(num(n) for n in stale)
+    assert [num(n) for n in stale[-3:]] == [23, 24, 171], stale[-3:]
 
 
 def test_every_query_has_a_survey_inventory_row():

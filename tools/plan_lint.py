@@ -140,6 +140,11 @@ ALLOW: dict[str, dict[str, str]] = {
         "BNLJ": "3-row threshold grid broadcast into the size-band-bounded "
         "pair relation (q225/q238's grid class)"
     },
+    "q249_banded_threshold_curve": {
+        "BNLJ": "3-row threshold grid broadcast into the LSH-candidate-"
+        "bounded verified pair relation (q243's grid class on q35's "
+        "banded universe)"
+    },
     "q238_k_anonymity_census": {
         "BNLJ": "1-row total + 3-row k-threshold grid broadcast into the "
         "quasi-id-domain-bounded group census (q225's depth-grid class)"
