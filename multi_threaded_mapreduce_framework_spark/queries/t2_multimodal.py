@@ -1,8 +1,10 @@
-"""Declared multimodal queries (q171-q173, rows-only by contract):
-audio (executor-side WAV synthesis -> REAL stdlib-wave decode), image
-(genuine PPM + zlib/Paeth PNG payloads -> codec-free nearest-neighbor
-resize -> re-decode), and video (concatenated-P6 streams, frame-header
-walk, 500 ms grid sampling decoding only sampled frames).
+"""Declared multimodal queries: q171-q173 (rows-only by contract —
+float features have no SQL oracle) plus q247, the HASH-GATED integer
+census over the same payloads (r9).  Audio: executor-side WAV synthesis
+-> REAL stdlib-wave decode; image: genuine PPM + zlib/Paeth PNG
+payloads -> codec-free nearest-neighbor resize -> re-decode; video:
+concatenated-P6 streams, frame-header walk, 500 ms grid sampling
+decoding only sampled frames.
 
 The Spark-side plumbing is the point: payload bytes are born and
 consumed inside Arrow kernels in ONE scan stage — never shuffled,

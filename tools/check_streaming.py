@@ -41,6 +41,7 @@ from multi_threaded_mapreduce_framework_spark.streaming import (
     session_counts,
     sliding_window_counts,
     stream_dedup,
+    stream_dedup_within_watermark,
     stream_stream_inner_join,
     tumbling_window_counts,
     write_kafka_replay,
@@ -501,6 +502,80 @@ def dedup_first_wins(spark, sf_dir, replay_dir, work):
     want = spark.read.parquet(replay_dir).select("user_id", "event_type").distinct().count()
     _check(got_n == want and dupes == 0, f"got={got_n} want={want} dupes={dupes}")
     return got_n
+
+
+@scenario
+def dedup_within_watermark_absorbs_and_evicts(spark, sf_dir, replay_dir, work):
+    """Both halves of dropDuplicatesWithinWatermark's contract (q248's
+    operator).  ABSORB: a duplicate arriving within the delay of its
+    first occurrence is dropped — with the delay spanning the fixture's
+    whole event-time range, a doubled replay dedups exactly to the
+    batch census.  EVICT: state really is bounded — with a 1-second
+    delay, keys whose expiry (ts + delay) the watermark has passed are
+    evicted, so their late duplicates RE-EMIT (the contract's declared
+    weakening), while a key still inside the delay window stays
+    absorbed.  The margins (2s vs the fixture's multi-day span) keep
+    both assertions away from the eviction boundary."""
+    import time as _t
+
+    from multi_threaded_mapreduce_framework_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    n = ev.count()
+
+    # --- absorb: doubled replay, wide delay -> exact batch census ---
+    d = _own_replay(spark, sf_dir, work, "ddww_absorb")
+    _t.sleep(0.05)
+    ev.repartition(2).write.mode("append").parquet(d)
+    s = stream_dedup_within_watermark(
+        events_stream(spark, d), ["event_id"], watermark="3650 days"
+    )
+    q = run_to_convergence(s, "cs_ddww_a", output_mode="append")
+    try:
+        got = spark.table("cs_ddww_a").count()
+    finally:
+        q.stop()
+    _check(got == n, f"absorb: got={got} want={n}")
+
+    # --- evict: 1s delay, three single-file micro-batches.
+    # Batch 0 = all events; the watermark then reads max_ts - 1s, and
+    # every key first seen more than 2s before max_ts is EXPIRED
+    # (expiry = first_ts + 1s < watermark).  But eviction runs at the
+    # END of a batch, after that batch's dedup check, so expired keys
+    # still absorb duplicates arriving in the same batch that evicts
+    # them — batch 1 (the max-ts key redelivered: control, absorbed)
+    # triggers the eviction pass; batch 2 then re-delivers the expired
+    # keys stamped at max_ts (above the watermark — a same-ts
+    # redelivery would be discarded as LATE DATA, indistinguishable
+    # from dedup): their state is gone, so they RE-EMIT. ---
+    import pyspark.sql.functions as F
+
+    d2 = os.path.join(work, "ddww_evict")
+    ev.coalesce(1).write.mode("overwrite").parquet(d2)
+    _t.sleep(0.05)
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    fresh = ev.orderBy(F.desc("ts"), F.asc("event_id")).limit(1)
+    fresh.coalesce(1).write.mode("append").parquet(d2)
+    _t.sleep(0.05)
+    late = ev.filter(
+        F.col("ts") < F.lit(max_ts) - F.expr("interval 2 seconds")
+    ).withColumn("ts", F.lit(max_ts))
+    n_late = late.count()
+    late.coalesce(1).write.mode("append").parquet(d2)
+    _check(0 < n_late < n, f"fixture span too small: n_late={n_late}")
+    s2 = stream_dedup_within_watermark(
+        events_stream(spark, d2), ["event_id"], watermark="1 second"
+    )
+    q2 = run_to_convergence(s2, "cs_ddww_e", output_mode="append")
+    try:
+        got2 = spark.table("cs_ddww_e").count()
+    finally:
+        q2.stop()
+    _check(
+        got2 == n + n_late,
+        f"evict: got={got2} want={n + n_late} (n={n} late={n_late})",
+    )
+    return got2
 
 
 @scenario
