@@ -118,3 +118,38 @@ def compact_parquet_dir_rows(
 
     _swap_in(spark, path, spark.read.parquet(path), n_out)
     return CompactionStats(len(files), len(_parquet_files(path)), total)
+
+
+def vacuum_swap_dirs(path: str, min_age_s: float = 0.0) -> int:
+    """Retention sweep for rewrite leftovers (the VACUUM to
+    :func:`compact_parquet_dir`'s OPTIMIZE): remove ``._compact-*``
+    (half-written rewrite) and ``._old-*`` (superseded data a crash
+    stranded mid-swap) sibling directories of ``path`` whose mtime is
+    at least ``min_age_s`` old.  Returns the number removed.
+
+    This is the lakehouse VACUUM contract scoped to this module's swap
+    scheme: only UNREFERENCED directories (the two reserved suffixes)
+    are candidates — the live dataset directory is never touched — and
+    the retention clock protects a rewrite that is still in flight
+    (its temp dir is younger than the retention), exactly why Delta
+    refuses VACUUM retention below its default window.
+    """
+    import time
+
+    target = path.rstrip("/")
+    parent, base = os.path.split(os.path.abspath(target))
+    now = time.time()
+    removed = 0
+    for entry in os.listdir(parent):
+        if not (
+            entry.startswith(f"{base}._compact-")
+            or entry.startswith(f"{base}._old-")
+        ):
+            continue
+        full = os.path.join(parent, entry)
+        if not os.path.isdir(full):
+            continue
+        if now - os.path.getmtime(full) >= min_age_s:
+            shutil.rmtree(full)
+            removed += 1
+    return removed

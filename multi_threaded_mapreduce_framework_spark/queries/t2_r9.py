@@ -1,4 +1,5 @@
-"""Tier T2 — round-9 band: the banded threshold-sensitivity curve.
+"""Tier T2 — round-9 band: the banded threshold curve and the
+lakehouse VACUUM census.
 
 - q249: q243's Jaccard threshold curve re-based on q35's MinHash-LSH
   candidate generation — the decision curve's own 100 TB path (r8
@@ -7,6 +8,9 @@
   with exact shingle-Jaccard verification, so the curve scales exactly
   as far as q35 does (and the q222 error census bounds the sketch bias
   of what banding misses below the band threshold).
+- q250: VACUUM retention sweep verified end to end over planted crash
+  leftovers — completes the lakehouse maintenance trio (q230 MERGE,
+  q240 OPTIMIZE, q250 VACUUM; r8 verdict item 9's named option).
 
 Reference note: beyond-reference capability (the reference,
 MapReduceFramework.cpp:1-377, is a single-shape map/sort/shuffle/reduce
@@ -15,6 +19,9 @@ rubric under the standard oracle conventions (FIXTURES.md).
 """
 
 from __future__ import annotations
+
+import os
+import tempfile
 
 import pyspark.sql.functions as F
 
@@ -32,8 +39,13 @@ from multi_threaded_mapreduce_framework_spark.queries.t2_dedup import (
     MINHASH_K,
     P,
 )
-from multi_threaded_mapreduce_framework_spark.queries.t2_r8 import _JT_GRID
+from multi_threaded_mapreduce_framework_spark.queries.t2_r8 import (
+    _JT_GRID,
+    _OPT_FILES_PER_PART,
+    _OPT_SMALL_FILES,
+)
 from multi_threaded_mapreduce_framework_spark.sources import (
+    layout_tag,
     load_table,
     spread_small_scan,
 )
@@ -147,3 +159,110 @@ def q249_banded_threshold_curve(spark, sf_dir):
             ).alias("mean_j_milli"),
         )
     )
+
+
+# ------------------------------------------------------------------ q250
+# (applicationId, sf_dir) -> census DataFrame; the rewrite+vacuum ran once
+_VAC_CACHE: dict = {}
+
+
+@register(
+    "q250_vacuum_retention_census",
+    tier="T2",
+    oracle=f"""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST((count(*) + ((count(*) + {_OPT_FILES_PER_PART - 1})
+                         // {_OPT_FILES_PER_PART}) - 1)
+            // ((count(*) + {_OPT_FILES_PER_PART - 1})
+                // {_OPT_FILES_PER_PART}) AS BIGINT) AS files_after,
+       CAST(2 AS BIGINT) AS orphans_removed
+FROM events GROUP BY event_type
+""",
+)
+def q250_vacuum_retention_census(spark, sf_dir):
+    """VACUUM verified end to end — the retention sweep that completes
+    the lakehouse maintenance trio (q230 MERGE, q240 OPTIMIZE, q250
+    VACUUM; r8 verdict item 9's named option): the builder writes
+    q240's over-partitioned events layout, PLANTS two crash leftovers
+    per partition (a half-written ``._compact-*`` rewrite and a
+    stranded ``._old-*`` superseded copy — the two states the swap
+    scheme can orphan), runs the REAL row-targeted compaction, then
+    runs ``operators/compact.py::vacuum_swap_dirs`` and returns the
+    post-vacuum census: rows READ BACK from the live files, file count
+    LISTED from disk, and the orphan count the sweep removed.  The
+    oracle is q240's pure row law plus the planted-orphan constant, so
+    the hash gate proves the sweep removed EXACTLY the unreferenced
+    directories and the live data survived byte-for-byte in row terms
+    — a VACUUM that deletes one live row (or misses one orphan)
+    breaks the hash.
+
+    Scale shape: q240's concurrent per-partition discipline (bounded
+    thread pool over independent shuffle-free jobs); the vacuum walk
+    is one parent-dir listing per partition — O(entries), no data
+    read.  Retention semantics (leftovers younger than ``min_age_s``
+    survive — the in-flight-rewrite guard) are law-tested in
+    tests/test_r9_queries.py rather than gated here, since mtime is
+    wall-clock."""
+    import math as _math
+    import urllib.parse as _urlparse
+    from concurrent.futures import ThreadPoolExecutor
+
+    from multi_threaded_mapreduce_framework_spark.operators.compact import (
+        _parquet_files,
+        compact_parquet_dir_rows,
+        vacuum_swap_dirs,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir, "vacuum")
+    cached = _VAC_CACHE.get(key)
+    if cached is not None:
+        return cached
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "mtmrf_layout",
+        layout_tag(spark, sf_dir),
+        "vacuum_census",
+    )
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    ev.repartition(_OPT_SMALL_FILES).write.mode("overwrite").partitionBy(
+        "event_type"
+    ).parquet(base)
+
+    def _one(d: str) -> tuple:
+        part_dir = os.path.join(base, d)
+        et = _urlparse.unquote(d.split("=", 1)[1])
+        # plant the two orphan states a crashed swap leaves behind
+        for suffix in ("_compact-fakecrash", "_old-fakecrash"):
+            orphan = f"{part_dir}.{suffix}"
+            os.makedirs(orphan, exist_ok=True)
+            with open(os.path.join(orphan, "part-junk.parquet"), "wb") as f:
+                f.write(b"PAR1 half-written rewrite leftovers")
+        n = spark.read.parquet(part_dir).count()
+        target = _math.ceil(n / _OPT_FILES_PER_PART)
+        planned = _math.ceil(n / target)
+        if len(_parquet_files(part_dir)) < planned:
+            raise RuntimeError(
+                f"small-file layout under {part_dir} has fewer files than "
+                f"the plan ({planned}) — cannot compact upward"
+            )
+        compact_parquet_dir_rows(spark, part_dir, target_rows=target)
+        removed = vacuum_swap_dirs(part_dir, min_age_s=0.0)
+        n_after = spark.read.parquet(part_dir).count()
+        files_after = len(_parquet_files(part_dir))
+        return (et, int(n_after), int(files_after), int(removed))
+
+    parts = sorted(
+        d for d in os.listdir(base) if d.startswith("event_type=")
+    )
+    with ThreadPoolExecutor(max_workers=min(8, max(1, len(parts)))) as pool:
+        rows_out = list(pool.map(_one, parts))
+    cached = spark.createDataFrame(
+        rows_out,
+        "event_type string, n_rows bigint, files_after bigint,"
+        " orphans_removed bigint",
+    ).localCheckpoint()
+    _VAC_CACHE[key] = cached
+    return cached
