@@ -84,17 +84,20 @@ _REGISTRY: dict[str, Query] = {}
 # + the 36 r03-stale rows + q50-q52 (50 rows, 0 failures).
 # Round-9 priority (the r8 verdict's item 1): (1) this round's debuts
 # (never driven); (2) the 50 rows last driven r04 — the oldest band —
-# in staleness-first order, with the three lowest-risk rows last
+# in staleness-first order, with the five lowest-risk rows last
 # (q171 is rows-only AND its integer core is now hash-gated by the
 # q247 debut; q23/q24's shapes are re-proven by the r06-green
-# q166/q199 session-window rows), since debuts + 50 stale rows
-# overfill a 50-row window by exactly three.  The full set is
+# q166/q199 session-window rows; q162/q163's bitmap laws are shared
+# with the r06-green q177/q186 rows), since debuts + 50 stale rows
+# overfill a 50-row window by exactly five.  The full set is
 # re-proven locally each session via tools/check_oracle.py at sf0.01.
 _DRIVER_PRIORITY = (
     # --- round-9 debuts (never driven) lead the window ---
     "q247_multimodal_meta_census",
     "q248_stream_dedup_watermark",
     "q249_banded_threshold_curve",
+    "q250_vacuum_retention_census",
+    "q251_sql_scripting_trimmed_census",
     # --- last driver row r04: the oldest stale band ---
     "q127_vocab_ids",
     "q128_train_holdout_leakage",
@@ -131,8 +134,6 @@ _DRIVER_PRIORITY = (
     "q159_weighted_median",
     "q160_lang_overlap",
     "q161_sorted_neighborhood",
-    "q162_bitmap_set_algebra",
-    "q163_bitmap_distinct_rollup",
     "q164_bitmap_retention",
     "q165_bitmap_rolling_wau",
     "q166_session_window",
@@ -144,6 +145,8 @@ _DRIVER_PRIORITY = (
     "q98_contamination",
     "q102_cc_star",
     # --- r04-stale but lowest-risk: the window tail (see above) ---
+    "q162_bitmap_set_algebra",
+    "q163_bitmap_distinct_rollup",
     "q23_sessionize",
     "q24_window_tumbling",
     "q171_multimodal_audio",

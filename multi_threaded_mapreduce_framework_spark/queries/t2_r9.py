@@ -266,3 +266,83 @@ def q250_vacuum_retention_census(spark, sf_dir):
     ).localCheckpoint()
     _VAC_CACHE[key] = cached
     return cached
+
+
+# ------------------------------------------------------------------ q251
+_TRIM_ITERS = 3
+_SCRIPT_SQL = f"""
+BEGIN
+  DECLARE m BIGINT DEFAULT 0;
+  DECLARE lo BIGINT DEFAULT 0;
+  DECLARE hi BIGINT DEFAULT 9223372036854775807;
+  DECLARE i INT DEFAULT 0;
+  WHILE i < {_TRIM_ITERS} DO
+    SET m = (SELECT CAST(sum(n_chars) div count(*) AS BIGINT)
+             FROM documents WHERE n_chars BETWEEN lo AND hi);
+    SET lo = m div 2;
+    SET hi = m * 2;
+    SET i = i + 1;
+  END WHILE;
+  SELECT lang,
+         CAST(sum(CASE WHEN n_chars BETWEEN lo AND hi THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_in,
+         CAST(sum(CASE WHEN n_chars < lo THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_below,
+         CAST(sum(CASE WHEN n_chars > hi THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_above,
+         m AS m_final
+  FROM documents GROUP BY lang;
+END
+"""
+
+
+@register(
+    "q251_sql_scripting_trimmed_census",
+    tier="T2",
+    oracle="""
+WITH m0 AS (SELECT CAST(sum(n_chars) // count(*) AS BIGINT) AS m
+            FROM documents),
+m1 AS (SELECT CAST(sum(n_chars) // count(*) AS BIGINT) AS m
+       FROM documents, m0 WHERE n_chars BETWEEN m0.m // 2 AND 2 * m0.m),
+m2 AS (SELECT CAST(sum(n_chars) // count(*) AS BIGINT) AS m
+       FROM documents, m1 WHERE n_chars BETWEEN m1.m // 2 AND 2 * m1.m)
+SELECT lang,
+       CAST(sum(CASE WHEN n_chars BETWEEN m2.m // 2 AND 2 * m2.m
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_in,
+       CAST(sum(CASE WHEN n_chars < m2.m // 2 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_below,
+       CAST(sum(CASE WHEN n_chars > 2 * m2.m THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_above,
+       CAST(m2.m AS BIGINT) AS m_final
+FROM documents, m2 GROUP BY lang, m2.m
+""",
+)
+def q251_sql_scripting_trimmed_census(spark, sf_dir):
+    """Spark 4 SQL SCRIPTING (SPARK-48338, `BEGIN ... END` with
+    DECLARE / WHILE / scalar-subquery SET) driving a REAL iterative
+    statistic — q241's frontend-equivalence discipline applied to the
+    scripting surface (r8 verdict item 9's second named option): an
+    iteratively re-trimmed integer mean of doc length (3 rounds of
+    "recompute the mean inside [m/2, 2m] of the previous mean" — the
+    classic outlier-resistant estimator loop a curation team runs
+    before fixing length gates), then a per-language census of docs
+    inside/below/above the final window.  The DuckDB oracle UNROLLS
+    the loop as nested scalar CTEs, so a hash match proves the
+    scripting engine's control flow (variable state across
+    iterations, subquery assignment, loop exit) computes exactly the
+    declared fixed point — a new frontend, not a new evaluator.
+
+    All-integer law (integer div at every step) — hash-exact with no
+    rounding convention needed.  Plan: each loop iteration is ONE
+    scan-side aggregate with the window pushed into the scan filter
+    (3 tiny jobs), and the final census is one partial-agg pass;
+    scripting saves the N driver round-trips a client-side loop would
+    make.  Law caveat (docstring-declared): the loop is well-defined
+    while every window keeps at least one doc — true whenever any doc
+    lies within 2x of the running mean, which every real corpus (and
+    the fixture law) satisfies."""
+    from multi_threaded_mapreduce_framework_spark.sources import register_views
+
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    register_views(spark, sf_dir, tables=("documents",))
+    return spark.sql(_SCRIPT_SQL)

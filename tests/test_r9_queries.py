@@ -1,8 +1,10 @@
-"""Law-pinning tests for the round-9 band (q247-q249): the multimodal
+"""Law-pinning tests for the round-9 band (q247-q251): the multimodal
 integer census replayed against independent numpy/stdlib laws, the
 bounded-state stream dedup tied to the unbounded variant and the batch
-truth, and the banded threshold curve tied to q35's pair universe at
-the band threshold."""
+truth, the banded threshold curve tied to q35's pair universe at the
+band threshold, the VACUUM sweep's scope/retention laws plus its row
+preservation, and the scripting loop's fixed point replayed in
+Python."""
 
 from __future__ import annotations
 
@@ -219,3 +221,104 @@ def test_q249_monotone_in_threshold(spark, sf_dir):
         if b.n_pairs > 0:
             assert b.mean_j_milli >= a.mean_j_milli
         assert b.mean_j_milli >= b.t_milli or b.n_pairs == 0
+
+
+# ------------------------------------------------------------------ q250
+def test_vacuum_swap_dirs_retention_and_scope(spark, tmp_path):
+    """The operator's two safety laws, exercised directly on disk:
+    (1) SCOPE — only `._compact-*` / `._old-*` siblings of the target
+    are candidates; the live dataset dir, unrelated siblings, and
+    leftovers of OTHER datasets survive; (2) RETENTION — leftovers
+    younger than min_age_s survive (the in-flight-rewrite guard),
+    then fall to a zero-retention sweep."""
+    import os
+
+    from multi_threaded_mapreduce_framework_spark.operators.compact import (
+        vacuum_swap_dirs,
+    )
+
+    base = str(tmp_path / "ds")
+    spark.range(10).write.mode("overwrite").parquet(base)
+    for name in (
+        "ds._compact-aaa",
+        "ds._old-bbb",
+        "other._old-ccc",   # different dataset's leftover
+        "ds_backup",        # unrelated sibling
+    ):
+        d = tmp_path / name
+        d.mkdir()
+        (d / "junk.parquet").write_bytes(b"PAR1junk")
+    # retention guard: everything is younger than an hour
+    assert vacuum_swap_dirs(base, min_age_s=3600.0) == 0
+    assert (tmp_path / "ds._compact-aaa").exists()
+    # zero retention: exactly the two ds-scoped leftovers go
+    assert vacuum_swap_dirs(base, min_age_s=0.0) == 2
+    assert not (tmp_path / "ds._compact-aaa").exists()
+    assert not (tmp_path / "ds._old-bbb").exists()
+    assert (tmp_path / "other._old-ccc").exists()
+    assert (tmp_path / "ds_backup").exists()
+    assert spark.read.parquet(base).count() == 10  # live data untouched
+
+
+def test_q250_census_matches_q240_law_plus_orphans(spark, sf_dir):
+    """q250's rows/files columns obey q240's pure row law (replayed in
+    Python from the batch census) and every partition reports exactly
+    the two planted orphans removed."""
+    import math
+
+    batch = {
+        r.event_type: r.cnt
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    from multi_threaded_mapreduce_framework_spark.queries.t2_r8 import (
+        _OPT_FILES_PER_PART,
+    )
+
+    out = QUERIES["q250_vacuum_retention_census"](spark, sf_dir).collect()
+    assert {r.event_type for r in out} == set(batch)
+    for r in out:
+        n = batch[r.event_type]
+        target = math.ceil(n / _OPT_FILES_PER_PART)
+        assert r.n_rows == n
+        assert r.files_after == math.ceil(n / target)
+        assert r.orphans_removed == 2
+
+
+# ------------------------------------------------------------------ q251
+def test_q251_script_equals_python_loop_replay(spark, sf_dir):
+    """The scripting loop's fixed point replayed in Python: the same 3
+    iterations of integer trimmed mean over n_chars, then the same
+    window census — plus the partition law n_in + n_below + n_above ==
+    docs per language."""
+    rows = [
+        (r.lang, r.n_chars)
+        for r in load_table(spark, sf_dir, "documents")
+        .select("lang", "n_chars")
+        .collect()
+    ]
+    lo, hi = 0, 2**63 - 1
+    m = 0
+    for _ in range(3):
+        window = [c for _, c in rows if lo <= c <= hi]
+        m = sum(window) // len(window)
+        lo, hi = m // 2, m * 2
+    out = {
+        r.lang: r
+        for r in QUERIES["q251_sql_scripting_trimmed_census"](
+            spark, sf_dir
+        ).collect()
+    }
+    per_lang: dict[str, list[int]] = {}
+    for lang, c in rows:
+        per_lang.setdefault(lang, []).append(c)
+    assert set(out) == set(per_lang)
+    for lang, cs in per_lang.items():
+        r = out[lang]
+        assert r.m_final == m
+        assert r.n_in == sum(1 for c in cs if lo <= c <= hi)
+        assert r.n_below == sum(1 for c in cs if c < lo)
+        assert r.n_above == sum(1 for c in cs if c > hi)
+        assert r.n_in + r.n_below + r.n_above == len(cs)
