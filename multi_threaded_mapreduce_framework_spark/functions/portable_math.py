@@ -126,6 +126,42 @@ def apply_stages_sql(base_sql: str, stages: list[dict[str, str]]) -> str:
     return q
 
 
+def portable_ln_np(kv):
+    """Vectorized numpy mirror of the portable ln — bit-identical to the
+    SQL stage form (law-tested over the bigint domain edges), because
+    every step is the same sequence of IEEE operations: exact integer
+    log2 via shift loops, exact division by 2^e, the same Horner
+    order, and ``e * LN2`` (a float multiply of the exact integer e —
+    the same double the stage form embeds as a 17-digit literal, which
+    round-trips by construction).  numpy ufuncs are plain IEEE ops (no
+    FMA contraction), so elementwise evaluation matches scalar
+    evaluation bitwise.
+
+    This is the SPARK-side evaluation path for hot queries: the staged
+    CASE-chain SQL form is semantically identical but its ~500-node
+    expression trees cost the optimizer/codegen ~2 s of fixed planning
+    overhead per action (measured on q206) — an Arrow-batched kernel
+    over the vocab-bounded relation evaluates the same math with a
+    one-node plan.  The SQL stage form remains the ORACLE-side (DuckDB)
+    evaluation and the cross-engine parity reference."""
+    import numpy as np
+
+    kv = np.asarray(kv, dtype=np.int64)
+    e = np.zeros(len(kv), dtype=np.int64)
+    tmp = kv.copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        m = tmp >= (np.int64(1) << shift)
+        e[m] += shift
+        tmp[m] >>= shift
+    mm = kv.astype(np.float64) / np.ldexp(1.0, e)
+    z = (mm - 1.0) / (mm + 1.0)
+    z2 = z * z
+    poly = np.full(len(kv), 1.0 / (2 * _N_TERMS - 1))
+    for n in range(_N_TERMS - 2, -1, -1):
+        poly = (1.0 / (2 * n + 1) if n else 1.0) + z2 * poly
+    return e * LN2 + 2.0 * z * poly
+
+
 def portable_ln_py(k: int) -> float:
     """Python mirror of the portable ln (for law tests): same range
     reduction, same Horner depth, same literal e*ln2 — reproduces the

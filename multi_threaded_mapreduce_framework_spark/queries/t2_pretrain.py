@@ -23,6 +23,7 @@ rubric under the standard oracle conventions (FIXTURES.md).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+from pyspark.sql.functions import pandas_udf
 from pyspark.sql.window import Window
 
 from multi_threaded_mapreduce_framework_spark.queries.registry import register
@@ -280,16 +281,16 @@ def dsir_doc_scores(spark, sf_dir):
     importance sum (columns: doc_id, lang, imp_micro).  One definition
     used by q206, the q225 scorer-agreement audit, AND q236's RRF
     fusion, so all three rank by exactly the same scorer.  ln is the
-    portable fixed-expression form (functions/portable_math.py): both
-    engines evaluate the identical IEEE +,-,*,/ tree, so the per-token
-    micro quantization in ``_LR_MICRO`` floors the same double — the
-    gate no longer depends on any libm call agreeing bitwise (the r8
-    verdict's remaining-risk item)."""
-    from multi_threaded_mapreduce_framework_spark.functions.portable_math import (
-        apply_stages_spark,
-        ln_stages,
-    )
-
+    portable form (functions/portable_math.py): both engines evaluate
+    the identical sequence of IEEE +,-,*,/ operations, so the
+    per-token micro quantization floors the same double — the gate no
+    longer depends on any libm call agreeing bitwise (the r8 verdict's
+    remaining-risk item).  The Spark side evaluates it as ONE
+    Arrow-batched kernel over the vocab-bounded log-ratio relation
+    (``portable_ln_np`` — bit-identical to the staged SQL form the
+    DuckDB oracle runs, law-tested; the SQL form's ~500-node CASE
+    trees cost the optimizer ~2 s of fixed planning overhead per
+    action, an r9 bench finding)."""
     docs = spread_small_scan(load_table(spark, sf_dir, "documents"))
     t = docs.select(
         "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
@@ -305,20 +306,39 @@ def dsir_doc_scores(spark, sf_dir):
         F.sum("c_all").cast("bigint").alias("t_all"),
     )
     te = enc.agg(F.coalesce(F.sum("c_en"), F.lit(0)).cast("bigint").alias("t_en"))
-    r0 = (
+
+    @pandas_udf("bigint")
+    def lr_micro_udf(kl, kr, kdl, kdr):
+        import numpy as np
+        import pandas as pd
+
+        from multi_threaded_mapreduce_framework_spark.functions.portable_math import (
+            portable_ln_np,
+        )
+
+        lr = (
+            portable_ln_np(kl.to_numpy(np.int64))
+            - portable_ln_np(kdl.to_numpy(np.int64))
+        ) - (
+            portable_ln_np(kr.to_numpy(np.int64))
+            - portable_ln_np(kdr.to_numpy(np.int64))
+        )
+        # same quantization expression as the oracle's _LR_MICRO
+        return pd.Series(np.floor(1000000.0 * lr + 0.5).astype(np.int64))
+
+    r = (
         allc.join(enc, "tok", "left")
         .crossJoin(F.broadcast(v))
         .crossJoin(F.broadcast(te))
         .select(
             "tok",
-            F.expr("COALESCE(c_en, 0) + 1").alias("kl"),
-            F.expr("c_all + 1").alias("kr"),
-            F.expr("t_en + vocab").alias("kdl"),
-            F.expr("t_all + vocab").alias("kdr"),
+            lr_micro_udf(
+                F.expr("COALESCE(c_en, 0) + 1"),
+                F.expr("c_all + 1"),
+                F.expr("t_en + vocab"),
+                F.expr("t_all + vocab"),
+            ).alias("lr_micro"),
         )
-    )
-    r = apply_stages_spark(r0, ln_stages(_DSIR_LNS)).select(
-        "tok", F.expr(_LR_MICRO).alias("lr_micro")
     )
     return (
         t.join(r, "tok")

@@ -73,3 +73,18 @@ def test_stage_lists_share_one_expression_text():
             low = expr.lower()
             for banned in ("ln(", "exp(", "pow(", "log(", "log2(", "log10("):
                 assert banned not in low, (col, banned)
+
+
+def test_portable_ln_numpy_matches_python_bitwise():
+    """The vectorized numpy mirror (the Spark-side hot path since r9)
+    must agree bit-for-bit with the scalar Python mirror — and hence
+    with the SQL stage form both engines' tests pin above."""
+    import numpy as np
+
+    from multi_threaded_mapreduce_framework_spark.functions.portable_math import (
+        portable_ln_np,
+    )
+
+    got = portable_ln_np(np.array(_KS, dtype=np.int64))
+    for k, g in zip(_KS, got):
+        assert float(g).hex() == portable_ln_py(k).hex(), k
