@@ -406,27 +406,35 @@ def q234_doremi_step(spark, sf_dir):
     l_ = tk.select(
         "lang", F.expr("CAST(1000 * chars div toks AS BIGINT)").alias("loss_milli")
     )
-    mx = l_.agg(F.max("loss_milli").cast("bigint").alias("max_loss"))
-    d = l_.crossJoin(F.broadcast(mx)).select(
+    # max-shift via a global window over the 5-row DOMAIN relation
+    # (bounded by |langs|, the q111 allowlist class) — cheaper than a
+    # separate max aggregate + normalizer-style cross join; the two
+    # literal tables inline as bigint array lookups (pure projection,
+    # no joins — the r9 bench flagged the join form at 2.6x vs r7).
+    d = l_.select(
         "lang",
         "loss_milli",
-        F.expr("CAST((max_loss - loss_milli) div 10 AS BIGINT)").alias(
-            "d_centi"
-        ),
+        F.expr(
+            "CAST((max(loss_milli) OVER () - loss_milli) div 10 AS BIGINT)"
+        ).alias("d_centi"),
     )
-    wa = spark.createDataFrame(list(_EG_WA), "a bigint, ew_a bigint")
-    wb = spark.createDataFrame(list(_EG_WB), "b bigint, ew_b bigint")
-    w = (
-        d.join(F.broadcast(wa), F.expr("a = d_centi div 100"), "left")
-        .join(F.broadcast(wb), F.expr("b = d_centi % 100"))
-        .select(
-            "lang",
-            "loss_milli",
-            F.expr(
-                "CAST(coalesce(ew_a, 0) * ew_b div 1000000 AS BIGINT)"
-            ).alias("ew_micro"),
-        )
+    wa_arr = "array(" + ", ".join(f"{w}L" for _, w in _EG_WA) + ")"
+    wb_arr = "array(" + ", ".join(f"{w}L" for _, w in _EG_WB) + ")"
+    w = d.select(
+        "lang",
+        "loss_milli",
+        F.expr(
+            f"CAST(CASE WHEN d_centi div 100 < {len(_EG_WA)} THEN"
+            f" element_at({wa_arr}, CAST(d_centi div 100 AS INT) + 1)"
+            f" ELSE 0L END"
+            f" * element_at({wb_arr}, CAST(d_centi % 100 AS INT) + 1)"
+            " div 1000000 AS BIGINT)"
+        ).alias("ew_micro"),
     )
+    # w feeds both the output and the normalizer: checkpoint the 5-row
+    # relation so the corpus scan+agg runs ONCE (the plan otherwise
+    # duplicates the whole subplan under the normalizer side)
+    w = w.localCheckpoint()
     t = w.agg(F.sum("ew_micro").cast("bigint").alias("tot_micro"))
     return w.crossJoin(F.broadcast(t)).select(
         "lang",

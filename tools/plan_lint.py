@@ -155,7 +155,9 @@ ALLOW: dict[str, dict[str, str]] = {
     },
     "q234_doremi_step": {
         "BNLJ": "1-row weight normalizer (sum of 5 domain ew) broadcast "
-        "into the 5-row domain table (q62's scalar class)"
+        "into the 5-row domain table (q62's scalar class)",
+        "GLOBAL-WINDOW": "max-loss shift over the |langs|-row DOMAIN "
+        "relation (post-aggregate, q111's bounded class)",
     },
     "q236_rrf_fusion": {
         "BNLJ": "200x200 full outer fusion join of two TakeOrdered "
