@@ -529,12 +529,11 @@ def q223_heaps_law_fit(spark, sf_dir):
 # ------------------------------------------------------------------ q224
 _CT_PROFILE_K = 20  # trigrams per language profile
 
-
-@register(
-    "q224_ngram_langid_confusion",
-    tier="T2",
-    oracle=f"""
-WITH g AS (SELECT lang, doc_id,
+# The Cavnar-Trenkle prediction law, shared verbatim between q224's
+# confusion census and q254's chance-corrected agreement (t2_r9): CTEs
+# ending in p1(doc_id, lang, predicted) — one row per document.
+CT_PRED_CTES = f"""
+g AS (SELECT lang, doc_id,
              unnest(list_distinct(list_transform(
                generate_series(1, len(text) - 2), i -> text[i:i+2]))) AS tg
            FROM documents),
@@ -551,29 +550,14 @@ pred AS (SELECT doc_id, lang, plang AS predicted,
 p1 AS (SELECT d.doc_id, d.lang, coalesce(pred.predicted, 'none') AS predicted
        FROM documents d LEFT JOIN pred
          ON pred.doc_id = d.doc_id AND pred.rn = 1)
-SELECT lang, predicted, CAST(count(*) AS BIGINT) AS cnt
-FROM p1 GROUP BY lang, predicted
-""",
-)
-def q224_ngram_langid_confusion(spark, sf_dir):
-    """Multi-class n-gram language ID (Cavnar-Trenkle profiles) and its
-    confusion matrix vs the declared labels: each language's top-20
-    character trigrams form its profile; a document is classified to
-    the profile it overlaps most (ties to the alphabetically first
-    language, absent overlap to 'none').  q33 is the binary
-    stopword-ratio gate; this is the real multi-class identifier a
-    curation pipeline runs, and the confusion census IS the audit of
-    mislabeled language columns.  On this shared-vocabulary synthetic
-    fixture the matrix is genuinely noisy — that measured weakness is
-    the deliverable, exactly like q210's low LSH recall.
+"""
 
-    Plan: ONE distinct-trigram explode feeds both the profile build
-    and the classification; profiles are |langs| x 20 rows — built via
-    a vocab-bounded rank window over aggregated counts, then broadcast
-    into the overlap join; per-doc argmax is a doc-bounded window
-    (<= |langs| rows per doc); unmatched docs survive via the left
-    join.  The census folds on (lang, predicted) — |langs|^2 rows.
-    """
+
+def ct_langid_predictions(spark, sf_dir):
+    """Spark side of the shared Cavnar-Trenkle prediction law: one row
+    per document with (doc_id, lang, predicted) — q224's relation up to
+    (but not including) its confusion fold.  Plan shape documented on
+    q224 (the sole pre-r9 caller)."""
     K = _CT_PROFILE_K
     docs = spread_small_scan(load_table(spark, sf_dir, "documents"))
     g = docs.select(
@@ -605,9 +589,44 @@ def q224_ngram_langid_confusion(spark, sf_dir):
         .select("doc_id", F.col("plang").alias("predicted"))
     )
     base = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
-    p1 = base.join(pred, "doc_id", "left").select(
-        "lang", F.coalesce("predicted", F.lit("none")).alias("predicted")
+    return base.join(pred, "doc_id", "left").select(
+        "doc_id", "lang", F.coalesce("predicted", F.lit("none")).alias("predicted")
     )
-    return p1.groupBy("lang", "predicted").agg(
-        F.count(F.lit(1)).cast("bigint").alias("cnt")
+
+
+@register(
+    "q224_ngram_langid_confusion",
+    tier="T2",
+    oracle=f"""
+WITH {CT_PRED_CTES}
+SELECT lang, predicted, CAST(count(*) AS BIGINT) AS cnt
+FROM p1 GROUP BY lang, predicted
+""",
+)
+def q224_ngram_langid_confusion(spark, sf_dir):
+    """Multi-class n-gram language ID (Cavnar-Trenkle profiles) and its
+    confusion matrix vs the declared labels: each language's top-20
+    character trigrams form its profile; a document is classified to
+    the profile it overlaps most (ties to the alphabetically first
+    language, absent overlap to 'none').  q33 is the binary
+    stopword-ratio gate; this is the real multi-class identifier a
+    curation pipeline runs, and the confusion census IS the audit of
+    mislabeled language columns.  On this shared-vocabulary synthetic
+    fixture the matrix is genuinely noisy — that measured weakness is
+    the deliverable, exactly like q210's low LSH recall.
+
+    Plan: ONE distinct-trigram explode feeds both the profile build
+    and the classification; profiles are |langs| x 20 rows — built via
+    a vocab-bounded rank window over aggregated counts, then broadcast
+    into the overlap join; per-doc argmax is a doc-bounded window
+    (<= |langs| rows per doc); unmatched docs survive via the left
+    join.  The census folds on (lang, predicted) — |langs|^2 rows.
+    Since r9 the prediction relation is the shared
+    ``ct_langid_predictions`` law (q254 computes Cohen's kappa over the
+    same relation).
+    """
+    return (
+        ct_langid_predictions(spark, sf_dir)
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     )

@@ -24,6 +24,7 @@ import os
 import tempfile
 
 import pyspark.sql.functions as F
+from pyspark.sql.window import Window
 
 from multi_threaded_mapreduce_framework_spark.functions.texthash import (
     lsh_band_keys,
@@ -40,6 +41,7 @@ from multi_threaded_mapreduce_framework_spark.queries.t2_dedup import (
     P,
 )
 from multi_threaded_mapreduce_framework_spark.queries.t2_r8 import (
+    _JT_CAP,
     _JT_GRID,
     _OPT_FILES_PER_PART,
     _OPT_SMALL_FILES,
@@ -346,3 +348,512 @@ def q251_sql_scripting_trimmed_census(spark, sf_dir):
     spark.conf.set("spark.sql.scripting.enabled", "true")
     register_views(spark, sf_dir, tables=("documents",))
     return spark.sql(_SCRIPT_SQL)
+
+
+# ------------------------------------------------------------------ q252
+_WF_GATES = ("keep", "len", "mwl", "stop", "top")
+
+
+@register(
+    "q252_filter_attrition_waterfall",
+    tier="T2",
+    oracle="""
+WITH t AS (SELECT string_split(text, ' ') AS ws, text FROM documents),
+m AS (SELECT len(ws) AS n,
+             length(replace(text, ' ', '')) AS ln,
+             len(list_filter(ws, w -> w IN ('the', 'a'))) AS nstop,
+             list_max(list_transform(list_distinct(ws),
+                      w -> len(list_filter(ws, x -> x = w)))) AS maxtok
+      FROM t),
+s AS (SELECT n, CASE WHEN n < 15 OR n > 1000 THEN 1
+                     WHEN ln < 3 * n OR ln > 8 * n THEN 2
+                     WHEN 20 * nstop > 3 * n THEN 3
+                     WHEN 5 * maxtok > n THEN 4
+                     ELSE 0 END AS stage
+      FROM m)
+SELECT CAST(stage AS BIGINT) AS stage,
+       CASE stage WHEN 0 THEN 'keep' WHEN 1 THEN 'len' WHEN 2 THEN 'mwl'
+                  WHEN 3 THEN 'stop' ELSE 'top' END AS gate,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS n_tokens
+FROM s GROUP BY stage
+""",
+)
+def q252_filter_attrition_waterfall(spark, sf_dir):
+    """Filter-attrition WATERFALL over q132's four Gopher gates in
+    pipeline order (length, mean word length, stopword fraction,
+    top-token share): each document is attributed to the FIRST gate it
+    fails, and the census reports docs and tokens lost per stage plus
+    the surviving 'keep' row — the removal-attribution dashboard a
+    curation team reads before reordering or retuning filters (q132
+    reports every doc's independent fail bitmask; ordering the gates
+    changes which rule gets the blame, and THIS view is the one that
+    shows it).
+
+    Exact-rational gates: every threshold is cross-multiplied into
+    integer form (mwl < 3 <=> chars < 3*tokens; stopf > 0.15 <=>
+    20*nstop > 3*n; topf > 0.2 <=> 5*maxtok > n), so the census is
+    all-integer with zero float boundary exposure — the exact form of
+    q132's IEEE-division gates (equal except where division rounding
+    crosses a threshold knife-edge).
+
+    Plan: zero joins — one scan with in-row array expressions (the
+    top-token share is O(distinct x n) per row, bounded by doc length)
+    partial-aggregating to a 5-row stage census; the waterfall costs
+    one shuffle of 5-row partials at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    m = docs.select(
+        F.size(F.split("text", " ")).alias("n"),
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).alias("ln"),
+        F.expr("size(filter(split(text, ' '), w -> w = 'the' OR w = 'a'))").alias(
+            "nstop"
+        ),
+        F.expr(
+            "array_max(transform(array_distinct(split(text, ' ')),"
+            " w -> size(filter(split(text, ' '), x -> x = w))))"
+        ).alias("maxtok"),
+    )
+    stage = (
+        F.when((F.col("n") < 15) | (F.col("n") > 1000), 1)
+        .when(
+            (F.col("ln") < 3 * F.col("n")) | (F.col("ln") > 8 * F.col("n")), 2
+        )
+        .when(20 * F.col("nstop") > 3 * F.col("n"), 3)
+        .when(5 * F.col("maxtok") > F.col("n"), 4)
+        .otherwise(0)
+    )
+    gate = F.element_at(
+        F.array(*[F.lit(g) for g in _WF_GATES]), stage.cast("int") + 1
+    )
+    return (
+        m.select(stage.cast("bigint").alias("stage"), gate.alias("gate"), "n")
+        .groupBy("stage", "gate")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n").cast("bigint").alias("n_tokens"),
+        )
+    )
+
+
+# ------------------------------------------------------------------ q253
+_APPORTION_SEATS = 1000
+
+
+@register(
+    "q253_eval_apportionment",
+    tier="T2",
+    oracle=f"""
+WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+           FROM documents GROUP BY lang),
+t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total FROM c),
+f AS (SELECT lang, n_docs,
+             ({_APPORTION_SEATS} * n_docs) // t.total AS fl,
+             ({_APPORTION_SEATS} * n_docs) % t.total AS rem
+      FROM c, t),
+l AS (SELECT CAST({_APPORTION_SEATS} - sum(fl) AS BIGINT) AS leftover FROM f),
+r AS (SELECT lang, n_docs, fl,
+             row_number() OVER (ORDER BY rem DESC, lang) AS rk
+      FROM f)
+SELECT lang, n_docs, CAST(fl AS BIGINT) AS floor_seats,
+       CAST(CASE WHEN rk <= l.leftover THEN 1 ELSE 0 END AS BIGINT)
+         AS extra_seat,
+       CAST(fl + CASE WHEN rk <= l.leftover THEN 1 ELSE 0 END AS BIGINT)
+         AS seats
+FROM r, l
+""",
+)
+def q253_eval_apportionment(spark, sf_dir):
+    """Hamilton largest-remainder apportionment of a fixed eval-set
+    budget (1000 slots) across language strata proportional to doc
+    counts — the exact-integer answer to "how many eval examples does
+    each language get" that proportional rounding cannot give (naive
+    rounding over- or under-spends the budget; the largest-remainder
+    method provably allocates EXACTLY the budget while staying within
+    1 of every stratum's exact quota).  The stratified-eval sibling of
+    q99's rate-based sampling: q99 keeps a fraction, this allocates a
+    fixed total.
+
+    All-integer law: floor quota = (S*c_i) div T, remainders ranked
+    (ties to the alphabetically first language), leftover seats to the
+    largest remainders.  Plan: one partial-agg shuffle to the |langs|
+    census; everything after is arithmetic over the domain-bounded
+    relation — a 1-row total broadcast, a 1-row leftover broadcast,
+    and a rank window over |langs| rows (q234's bounded-domain window
+    class).  Sum-of-seats == budget is pinned by law test."""
+    S = _APPORTION_SEATS
+    c = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+    t = c.agg(F.sum("n_docs").cast("bigint").alias("total"))
+    f = c.crossJoin(F.broadcast(t)).select(
+        "lang",
+        "n_docs",
+        F.expr(f"({S} * n_docs) div total").alias("fl"),
+        F.expr(f"({S} * n_docs) % total").alias("rem"),
+    )
+    leftover = f.agg((F.lit(S) - F.sum("fl")).cast("bigint").alias("leftover"))
+    w = Window.orderBy(F.desc("rem"), F.asc("lang"))
+    r = f.select("lang", "n_docs", "fl", F.row_number().over(w).alias("rk"))
+    return r.crossJoin(F.broadcast(leftover)).select(
+        "lang",
+        "n_docs",
+        F.col("fl").cast("bigint").alias("floor_seats"),
+        F.when(F.col("rk") <= F.col("leftover"), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("extra_seat"),
+        (F.col("fl") + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("seats"),
+    )
+
+
+# ------------------------------------------------------------------ q254
+def _kappa_oracle() -> str:
+    from multi_threaded_mapreduce_framework_spark.queries.t2_loader import (
+        CT_PRED_CTES,
+    )
+
+    return f"""
+WITH {CT_PRED_CTES},
+conf AS (SELECT lang, predicted, CAST(count(*) AS BIGINT) AS cnt
+         FROM p1 GROUP BY lang, predicted),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN lang = predicted THEN cnt ELSE 0 END)
+                    AS BIGINT) AS agree
+        FROM conf),
+rm AS (SELECT lang AS lbl, CAST(sum(cnt) AS BIGINT) AS r
+       FROM conf GROUP BY lang),
+cm AS (SELECT predicted AS lbl, CAST(sum(cnt) AS BIGINT) AS c
+       FROM conf GROUP BY predicted),
+s AS (SELECT CAST(coalesce(sum(rm.r * cm.c), 0) AS BIGINT) AS s
+      FROM rm JOIN cm USING (lbl))
+SELECT tot.n AS n_docs, tot.agree AS n_agree,
+       CAST((1000000 * tot.agree) // tot.n AS BIGINT) AS po_micro,
+       CAST((1000000 * s.s) // (tot.n * tot.n) AS BIGINT) AS pe_micro,
+       CAST(floor(1000000.0 * (tot.n * tot.agree - s.s)
+                  / greatest(tot.n * tot.n - s.s, 1)) AS BIGINT)
+         AS kappa_micro
+FROM tot, s
+"""
+
+
+@register("q254_langid_agreement_kappa", tier="T2", oracle=_kappa_oracle())
+def q254_langid_agreement_kappa(spark, sf_dir):
+    """Cohen's kappa between the declared ``lang`` labels and the
+    Cavnar-Trenkle n-gram identifier — the CHANCE-CORRECTED agreement
+    score a labeling audit actually reports (q224 shows the raw
+    confusion matrix; kappa answers "is this agreement better than
+    guessing the marginals", which raw accuracy cannot: a 90%-majority
+    corpus gets 82% agreement for free).  Shares q224's prediction
+    relation verbatim (``ct_langid_predictions`` / ``CT_PRED_CTES``),
+    so the two rows audit the same classifier.
+
+    Exactness: po and pe are integer micro by construction (nonneg
+    integer division).  kappa itself can be negative, where Spark's
+    ``div`` (truncate) and DuckDB's ``//`` (floor) disagree — so
+    kappa_micro is ONE floor() over one IEEE multiply+divide on
+    bitwise-equal integer inputs, the identical-expression-tree class
+    q239 established (both engines compute the same correctly-rounded
+    double, so the floor agrees bit-exactly; magnitudes stay inside
+    2^53 up to ~10^9 docs, docstring-declared).
+
+    Plan: q224's plan (one distinct-trigram explode, broadcast
+    profiles, doc-bounded argmax windows) feeding label-domain-bounded
+    aggregates (<= |langs|+1 rows), then 1-row scalar arithmetic — the
+    kappa adds nothing that scales with the corpus."""
+    from multi_threaded_mapreduce_framework_spark.queries.t2_loader import (
+        ct_langid_predictions,
+    )
+
+    conf = (
+        ct_langid_predictions(spark, sf_dir)
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .localCheckpoint()
+    )
+    tot = conf.agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.sum(F.when(F.col("lang") == F.col("predicted"), F.col("cnt")).otherwise(0))
+        .cast("bigint")
+        .alias("agree"),
+    )
+    rm = conf.groupBy(F.col("lang").alias("lbl")).agg(
+        F.sum("cnt").cast("bigint").alias("r")
+    )
+    cm = conf.groupBy(F.col("predicted").alias("lbl")).agg(
+        F.sum("cnt").cast("bigint").alias("c")
+    )
+    s = (
+        rm.join(cm, "lbl")
+        .agg(F.coalesce(F.sum(F.col("r") * F.col("c")), F.lit(0)).cast("bigint").alias("s"))
+    )
+    return tot.crossJoin(F.broadcast(s)).select(
+        F.col("n").alias("n_docs"),
+        F.col("agree").alias("n_agree"),
+        F.expr("CAST((1000000 * agree) div n AS BIGINT)").alias("po_micro"),
+        F.expr("CAST((1000000 * s) div (n * n) AS BIGINT)").alias("pe_micro"),
+        F.expr(
+            "CAST(floor(1000000.0 * (n * agree - s)"
+            " / greatest(n * n - s, 1)) AS BIGINT)"
+        ).alias("kappa_micro"),
+    )
+
+
+# ------------------------------------------------------------------ q255
+# LSH designs (bands b x rows r) with b*r = 16 minhashes — the tuning
+# grid for q35's 4x4 choice.
+_LSH_DESIGNS = ((16, 1), (8, 2), (4, 4), (2, 8), (1, 16))
+
+# Collision probability 1 - (1 - s^r)^b via integer-exponent squaring
+# chains, CASE-dispatched on the design row — the SAME fixed IEEE
+# expression text on the Spark and DuckDB sides, so every intermediate
+# double is bit-identical (the q239/q254 class), and the integer-micro
+# quantization is order-free before the sum.  The chain is STAGED over
+# named columns (s -> xr -> p_micro) rather than inlined: un-CSE'd
+# inlining multiplies the 31-term chains into a ~4000-node tree that
+# interprets per row (measured 115 s at sf0.01 before staging; ~1 s
+# after) — the q206 Arrow-kernel lesson applied to pure SQL.
+def _pow16_case(exp_col: str, var: str) -> str:
+    v = var
+    return f"""CASE {exp_col}
+  WHEN 1 THEN {v}
+  WHEN 2 THEN {v} * {v}
+  WHEN 4 THEN ({v} * {v}) * ({v} * {v})
+  WHEN 8 THEN (({v} * {v}) * ({v} * {v})) * (({v} * {v}) * ({v} * {v}))
+  ELSE ((({v} * {v}) * ({v} * {v})) * (({v} * {v}) * ({v} * {v})))
+     * ((({v} * {v}) * ({v} * {v})) * (({v} * {v}) * ({v} * {v})))
+END"""
+
+
+def _q255_oracle() -> str:
+    designs = ", ".join(f"({b}, {r})" for b, r in _LSH_DESIGNS)
+    return f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+  FROM documents WHERE doc_id < {_JT_CAP}),
+sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+  FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id),
+pairs AS (
+  SELECT CAST(1000 * i // (s1.n + s2.n - i) AS BIGINT) AS j_milli
+  FROM inter
+  JOIN sz s1 ON s1.doc_id = d1
+  JOIN sz s2 ON s2.doc_id = d2
+  WHERE 1000 * least(s1.n, s2.n) >= {min(_JT_GRID)} * greatest(s1.n, s2.n)),
+hist AS (SELECT j_milli, CAST(count(*) AS BIGINT) AS cnt
+         FROM pairs GROUP BY j_milli),
+d AS (SELECT b, r FROM (VALUES {designs}) AS v(b, r)),
+e1 AS (SELECT b, r, j_milli, cnt,
+              (CAST(j_milli AS DOUBLE) / 1000.0) AS s
+       FROM hist, d),
+e2 AS (SELECT b, r, j_milli, cnt,
+              (1.0 - ({_pow16_case("r", "s")})) AS q1
+       FROM e1),
+e3 AS (SELECT b, r, j_milli, cnt,
+              CAST(floor(1000000.0 *
+                   (1.0 - ({_pow16_case("b", "q1")}))) AS BIGINT) AS p_micro
+       FROM e2)
+SELECT CAST(b AS BIGINT) AS bands, CAST(r AS BIGINT) AS rows_per_band,
+       CAST(sum(cnt) AS BIGINT) AS n_pairs,
+       CAST(sum(cnt * p_micro) AS BIGINT) AS exp_cand_micro,
+       CAST(coalesce(sum(cnt) FILTER (WHERE j_milli >= 500), 0) AS BIGINT)
+         AS n_true,
+       CAST(coalesce(sum(cnt * p_micro) FILTER (WHERE j_milli >= 500), 0)
+            AS BIGINT) AS exp_true_micro
+FROM e3 GROUP BY b, r
+"""
+
+
+@register("q255_lsh_design_curve", tier="T2", oracle=_q255_oracle())
+def q255_lsh_design_curve(spark, sf_dir):
+    """LSH DESIGN-SELECTION table: for every (bands b, rows-per-band r)
+    split of a 16-minhash budget, the expected candidate volume and the
+    expected true-pair yield implied by the S-curve collision law
+    P(candidate) = 1 - (1 - s^r)^b, evaluated against the corpus's OWN
+    measured pair-similarity distribution (q243's capped exact pair
+    relation) — the evidence for WHY q35 banded 4x4: more bands per
+    budget moves the curve left (recall up, candidates up), more rows
+    sharpens it.  q243 tunes the Jaccard THRESHOLD; this tunes the
+    SKETCH GEOMETRY against the same pairs; q222 bounds how far the
+    finite sketch deviates from this idealized law.
+
+    Exactness: s^r and (1-s^r)^b are integer-exponent squaring chains
+    CASE-dispatched on the design row — the same fixed IEEE expression
+    text in both engines (the q239/q254 class), quantized to integer
+    micro PER SIMILARITY VALUE before the weighted sum, so the
+    aggregate is an order-free integer.
+
+    Plan: the pair relation builds once (q243's size-band-pruned
+    inverted-index join over the declared exact-tier cap — q35/q249
+    are the scale path for the pairs themselves), folds to the
+    j_milli HISTOGRAM (<= 701 rows: p depends only on the quantized
+    similarity, so the S-curve evaluates once per distinct value, not
+    once per pair), and the histogram crosses the broadcast 5-row
+    design grid with the chain STAGED over checkpointed columns —
+    un-CSE'd inlining of the 31-term chains was a measured 115 s of
+    per-row interpretation at sf0.01; staging makes it ~1 s."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _JT_CAP)
+        .select("doc_id", F.array_distinct(F.split("text", " ")).alias("toks"))
+        .select("doc_id", F.size("toks").alias("n"), F.explode("toks").alias("w"))
+    )
+    a, b = docs.alias("a"), docs.alias("b")
+    tmin = min(_JT_GRID)
+    inter = (
+        a.join(
+            b,
+            (F.col("a.w") == F.col("b.w"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                F.least("a.n", "b.n") * 1000
+                >= F.greatest("a.n", "b.n") * F.lit(tmin)
+            ),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            F.col("a.n").alias("n1"),
+            F.col("b.n").alias("n2"),
+        )
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    hist = (
+        inter.select(
+            F.expr("CAST(1000 * i div (n1 + n2 - i) AS BIGINT)").alias("j_milli")
+        )
+        .groupBy("j_milli")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    d = spark.createDataFrame(list(_LSH_DESIGNS), "b int, r int")
+    # localCheckpoint between chain stages: CollapseProject would
+    # otherwise re-inline q1 into the b-chain (31 copies of a 31-term
+    # chain — no CSE); each stage is a <= 3.5k-row relation.
+    e1 = (
+        hist.crossJoin(F.broadcast(d))
+        .select(
+            "b",
+            "r",
+            "j_milli",
+            "cnt",
+            F.expr("(CAST(j_milli AS DOUBLE) / 1000.0)").alias("s"),
+        )
+        .localCheckpoint()
+    )
+    e2 = e1.select(
+        "b",
+        "r",
+        "j_milli",
+        "cnt",
+        F.expr(f"(1.0 - ({_pow16_case('r', 's')}))").alias("q1"),
+    ).localCheckpoint()
+    e3 = e2.select(
+        "b",
+        "r",
+        "j_milli",
+        "cnt",
+        F.expr(
+            f"CAST(floor(1000000.0 * (1.0 - ({_pow16_case('b', 'q1')})))"
+            " AS BIGINT)"
+        ).alias("p_micro"),
+    )
+    return e3.groupBy("b", "r").agg(
+        F.sum("cnt").cast("bigint").alias("n_pairs"),
+        F.sum(F.col("cnt") * F.col("p_micro")).cast("bigint").alias(
+            "exp_cand_micro"
+        ),
+        F.coalesce(F.sum(F.when(F.col("j_milli") >= 500, F.col("cnt"))), F.lit(0))
+        .cast("bigint")
+        .alias("n_true"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("j_milli") >= 500, F.col("cnt") * F.col("p_micro"))
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("exp_true_micro"),
+    ).select(
+        F.col("b").cast("bigint").alias("bands"),
+        F.col("r").cast("bigint").alias("rows_per_band"),
+        "n_pairs",
+        "exp_cand_micro",
+        "n_true",
+        "exp_true_micro",
+    )
+
+
+# ------------------------------------------------------------------ q257
+_TEMP_ISQRT = """
+(s0 + (CASE WHEN (s0 + 1) * (s0 + 1) <= toks THEN 1
+            WHEN s0 * s0 > toks THEN -1 ELSE 0 END))
+"""
+
+
+@register(
+    "q257_temperature_mixture",
+    tier="T2",
+    oracle=f"""
+WITH c AS (SELECT lang,
+                  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS toks
+           FROM documents GROUP BY lang),
+w0 AS (SELECT lang, toks,
+              CAST(floor(sqrt(CAST(toks AS DOUBLE))) AS BIGINT) AS s0
+       FROM c),
+w AS (SELECT lang, toks, {_TEMP_ISQRT} AS w FROM w0),
+t AS (SELECT CAST(sum(toks) AS BIGINT) AS tt, CAST(sum(w) AS BIGINT) AS sw
+      FROM w)
+SELECT lang, toks AS n_tokens, CAST(w AS BIGINT) AS w_isqrt,
+       CAST((1000000 * w) // t.sw AS BIGINT) AS share_micro,
+       CAST((1000 * w * t.tt) // (toks * t.sw) AS BIGINT) AS boost_milli
+FROM w, t
+""",
+)
+def q257_temperature_mixture(spark, sf_dir):
+    """Temperature-based language sampling weights at alpha = 0.5 (the
+    mT5/XLM-R multilingual rebalancing law p_i ∝ n_i^alpha): per
+    language, the sampled share and the boost factor over proportional
+    sampling — the mixture row a multilingual training plan consumes
+    (q207/q234 consume mixture weights; THIS is where the standard
+    alpha=1/2 weights come from).  alpha = 1/2 makes the power an
+    INTEGER SQUARE ROOT, so the whole law is exact integer arithmetic:
+    w_i = isqrt(tokens_i) computed as floor(sqrt(double)) plus a
+    one-step integer correction (exact for tokens < 2^52 since IEEE
+    sqrt errs by < 1 there; verified by the w^2 <= n < (w+1)^2 law
+    test), then integer-div shares — no libm value ever reaches the
+    gate, only a correctly-rounded sqrt whose residual error the
+    correction step cancels.
+
+    Plan: one partial-agg shuffle to the |langs| token census;
+    everything after is arithmetic over the domain-bounded relation
+    with a 1-row totals broadcast (q62's scalar class).  The boost
+    column reads directly as "epochs over each language at this
+    temperature" — the decision number."""
+    c = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.sum(F.size(F.split("text", " "))).cast("bigint").alias("toks"))
+    )
+    w = c.select(
+        "lang",
+        "toks",
+        F.expr("CAST(floor(sqrt(CAST(toks AS DOUBLE))) AS BIGINT)").alias("s0"),
+    ).select("lang", "toks", F.expr(f"{_TEMP_ISQRT}").alias("w"))
+    t = w.agg(
+        F.sum("toks").cast("bigint").alias("tt"),
+        F.sum("w").cast("bigint").alias("sw"),
+    )
+    return w.crossJoin(F.broadcast(t)).select(
+        "lang",
+        F.col("toks").alias("n_tokens"),
+        F.col("w").cast("bigint").alias("w_isqrt"),
+        F.expr("CAST((1000000 * w) div sw AS BIGINT)").alias("share_micro"),
+        F.expr("CAST((1000 * w * tt) div (toks * sw) AS BIGINT)").alias(
+            "boost_milli"
+        ),
+    )

@@ -827,3 +827,109 @@ def q248_stream_dedup_watermark(spark, sf_dir):
     return cached.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("cnt")
     )
+
+
+@register(
+    "q256_stream_window_census",
+    tier="T2",
+    oracle=f"""
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+       event_type, CAST(count(*) AS BIGINT) AS cnt,
+       CAST(sum({_MICRO_SQL}) AS BIGINT) AS sum_micro
+FROM events GROUP BY 1, 2
+""",
+)
+def q256_stream_window_census(spark, sf_dir):
+    """The CANONICAL structured-streaming query — event-time tumbling
+    windows with a watermark in APPEND mode — promoted to its own
+    oracle-declared row: 1-hour windows x event_type (count + exact
+    integer-micro value sum) computed by a real watermarked
+    readStream/writeStream run, hash-gated against the batch
+    date_trunc census.  q24 is the batch form; the streaming checker
+    exercises complete-mode convergence; THIS row pins the append-mode
+    contract end to end: a window row is emitted EXACTLY ONCE, only
+    after the watermark passes its end — the form a production sink
+    (files, Kafka, a warehouse table) actually consumes, since
+    complete mode rewrites the world every batch.
+
+    Determinism: time-ordered replay (q190's discipline) keeps every
+    event inside the 2-hour watermark delay, so nothing is
+    late-dropped; one far-future sentinel event advances the final
+    watermark past every real window end, so every real window
+    finalizes and is emitted; the sentinel's own window can never
+    finalize (nothing arrives after it), so it is provably absent from
+    the append output — the readback needs no filter.
+
+    Scale shape: state is one (cnt, sum) pair per open (window, type)
+    — bounded by windows-per-watermark-horizon x |types|, NOT by
+    events; eviction is watermark-driven.  Integer micro-units make
+    partial merges bit-exact (q188's law) so the gate survives any
+    micro-batch boundary placement (file-per-trigger, 4 chunks here).
+    """
+    import time as _t
+
+    import pyspark.sql.functions as F
+
+    from multi_threaded_mapreduce_framework_spark.streaming import events_stream
+    from multi_threaded_mapreduce_framework_spark.streaming.windowed import (
+        replay_events_time_ordered,
+    )
+
+    SENTINEL = 999_999_999
+    key = (spark.sparkContext.applicationId, sf_dir, "window_census")
+    cached = _MATVIEW_STATE_CACHE.get(key)
+    if cached is None:
+        base = os.path.join(
+            tempfile.gettempdir(),
+            "mtmrf_layout",
+            layout_tag(spark, sf_dir),
+            "window_census",
+        )
+        replay = os.path.join(base, "replay")
+        replay_events_time_ordered(spark, sf_dir, replay, n_chunks=4)
+        ev = spark.read.parquet(replay)
+        sent = (
+            ev.orderBy(F.desc("ts"))
+            .limit(1)
+            .selectExpr(
+                f"CAST({SENTINEL} AS BIGINT) AS event_id",
+                f"CAST({SENTINEL} AS BIGINT) AS user_id",
+                "'click' AS event_type",
+                "ts + INTERVAL 30 DAYS AS ts",
+                "CAST(0.0 AS DOUBLE) AS value",
+                "'{}' AS props",
+            )
+            .select(*ev.columns)
+        )
+        _t.sleep(0.1)  # distinct mtime: the sentinel replays last
+        sent.coalesce(1).write.mode("append").parquet(replay)
+        agg = (
+            events_stream(spark, replay)
+            .withWatermark("ts", "2 hours")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("cnt"),
+                F.sum(F.expr(_MICRO_SQL)).cast("bigint").alias("sum_micro"),
+            )
+            .select(
+                F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+                "event_type",
+                "cnt",
+                "sum_micro",
+            )
+        )
+        table = f"q256_wincensus_{abs(hash(key)) % 10**9}"
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(table)
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        cached = spark.table(table).localCheckpoint()
+        _MATVIEW_STATE_CACHE[key] = cached
+    return cached

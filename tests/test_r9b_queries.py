@@ -1,0 +1,241 @@
+"""Law-pinning tests for the round-9 continuation band (q252-q257):
+the attrition waterfall replayed in pure integer Python, Hamilton's
+apportionment laws (exact budget, quota rule), Cohen's kappa replayed
+from q224's confusion census, the LSH S-curve replayed with the same
+IEEE chain order plus its bands-vs-rows monotonicity, the append-mode
+stream window census tied to its batch form, and the temperature
+mixture's isqrt exactness law."""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+
+from multi_threaded_mapreduce_framework_spark.queries import all_queries
+from multi_threaded_mapreduce_framework_spark.sources import load_table
+
+QUERIES = {n: q.builder for n, q in all_queries().items()}
+
+
+# ------------------------------------------------------------------ q252
+def _waterfall_stage(text: str) -> tuple[int, int]:
+    ws = text.split(" ")
+    n = len(ws)
+    ln = len(text.replace(" ", ""))
+    nstop = sum(1 for w in ws if w in ("the", "a"))
+    maxtok = max(ws.count(w) for w in set(ws))
+    if n < 15 or n > 1000:
+        return 1, n
+    if ln < 3 * n or ln > 8 * n:
+        return 2, n
+    if 20 * nstop > 3 * n:
+        return 3, n
+    if 5 * maxtok > n:
+        return 4, n
+    return 0, n
+
+
+def test_q252_matches_python_integer_replay(spark, sf_dir):
+    """The whole waterfall replayed in pure integer Python (same
+    cross-multiplied thresholds) — docs and token sums per stage."""
+    texts = [
+        r.text
+        for r in load_table(spark, sf_dir, "documents").select("text").collect()
+    ]
+    acc: dict[int, list[int]] = {}
+    for t in texts:
+        st, n = _waterfall_stage(t)
+        a = acc.setdefault(st, [0, 0])
+        a[0] += 1
+        a[1] += n
+    out = {
+        r.stage: [r.n_docs, r.n_tokens]
+        for r in QUERIES["q252_filter_attrition_waterfall"](spark, sf_dir).collect()
+    }
+    assert out == acc
+
+
+def test_q252_partitions_the_corpus(spark, sf_dir):
+    """Waterfall rows partition the corpus: doc counts sum to the
+    table count, and gate names map the declared stage order."""
+    rows = QUERIES["q252_filter_attrition_waterfall"](spark, sf_dir).collect()
+    total = load_table(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows) == total
+    names = {r.stage: r.gate for r in rows}
+    full = {0: "keep", 1: "len", 2: "mwl", 3: "stop", 4: "top"}
+    assert all(full[s] == g for s, g in names.items())
+
+
+# ------------------------------------------------------------------ q253
+def test_q253_hamilton_laws(spark, sf_dir):
+    """Largest-remainder apportionment: the budget is spent EXACTLY,
+    every stratum stays within 1 of its exact quota (the quota rule),
+    and the whole allocation replays in Python."""
+    rows = QUERIES["q253_eval_apportionment"](spark, sf_dir).collect()
+    S = 1000
+    total = sum(r.n_docs for r in rows)
+    assert sum(r.seats for r in rows) == S
+    for r in rows:
+        fl = (S * r.n_docs) // total
+        assert r.floor_seats == fl
+        assert r.seats in (fl, fl + 1)
+        assert r.extra_seat == r.seats - fl
+    # full replay: leftover seats go to the largest remainders
+    rem = sorted(
+        ((S * r.n_docs) % total, r.lang) for r in rows
+    )
+    leftover = S - sum(r.floor_seats for r in rows)
+    winners = {lang for _, lang in sorted(rem, key=lambda t: (-t[0], t[1]))[:leftover]}
+    assert {r.lang for r in rows if r.extra_seat == 1} == winners
+
+
+# ------------------------------------------------------------------ q254
+def test_q254_kappa_replays_from_q224_confusion(spark, sf_dir):
+    """Kappa recomputed in Python from q224's confusion census (the
+    two rows share the prediction relation by construction, so the
+    integer marginals must reconcile exactly, including the one
+    floor()ed IEEE division)."""
+    conf = QUERIES["q224_ngram_langid_confusion"](spark, sf_dir).collect()
+    n = sum(r.cnt for r in conf)
+    agree = sum(r.cnt for r in conf if r.lang == r.predicted)
+    rm: dict[str, int] = {}
+    cm: dict[str, int] = {}
+    for r in conf:
+        rm[r.lang] = rm.get(r.lang, 0) + r.cnt
+        cm[r.predicted] = cm.get(r.predicted, 0) + r.cnt
+    s = sum(v * cm.get(k, 0) for k, v in rm.items())
+    row = QUERIES["q254_langid_agreement_kappa"](spark, sf_dir).collect()
+    assert len(row) == 1
+    r0 = row[0]
+    assert (r0.n_docs, r0.n_agree) == (n, agree)
+    assert r0.po_micro == (1_000_000 * agree) // n
+    assert r0.pe_micro == (1_000_000 * s) // (n * n)
+    den = max(n * n - s, 1)
+    assert r0.kappa_micro == math.floor(1000000.0 * (n * agree - s) / den)
+
+
+# ------------------------------------------------------------------ q255
+def _pow16(x: float, e: int) -> float:
+    # same multiplication order as the SQL squaring chain
+    x2 = x * x
+    x4 = x2 * x2
+    x8 = x4 * x4
+    return {1: x, 2: x2, 4: x4, 8: x8, 16: x8 * x8}[e]
+
+
+def test_q255_matches_python_ieee_replay(spark, sf_dir):
+    """The design table replayed in Python from the raw corpus: exact
+    distinct-token Jaccard pairs under the size band, then the S-curve
+    with the SAME IEEE multiplication order (CPython doubles are the
+    same IEEE ops), floored to micro per similarity value."""
+    docs = {
+        r.doc_id: set(r.text.split(" "))
+        for r in load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 500)
+        .select("doc_id", "text")
+        .collect()
+    }
+    ids = sorted(docs)
+    hist: dict[int, int] = {}
+    for i, d1 in enumerate(ids):
+        for d2 in ids[i + 1 :]:
+            n1, n2 = len(docs[d1]), len(docs[d2])
+            if 1000 * min(n1, n2) < 300 * max(n1, n2):
+                continue
+            inter = len(docs[d1] & docs[d2])
+            if inter == 0:
+                # the pair relation is the INVERTED-INDEX one (q243's
+                # declared law): pairs sharing zero tokens never meet
+                continue
+            j = 1000 * inter // (n1 + n2 - inter)
+            hist[j] = hist.get(j, 0) + 1
+    expect = {}
+    for b, r in ((16, 1), (8, 2), (4, 4), (2, 8), (1, 16)):
+        n_pairs = exp_cand = n_true = exp_true = 0
+        for j, cnt in hist.items():
+            s = float(j) / 1000.0
+            q1 = 1.0 - _pow16(s, r)
+            p_micro = math.floor(1000000.0 * (1.0 - _pow16(q1, b)))
+            n_pairs += cnt
+            exp_cand += cnt * p_micro
+            if j >= 500:
+                n_true += cnt
+                exp_true += cnt * p_micro
+        expect[(b, r)] = (n_pairs, exp_cand, n_true, exp_true)
+    out = {
+        (r.bands, r.rows_per_band): (
+            r.n_pairs,
+            r.exp_cand_micro,
+            r.n_true,
+            r.exp_true_micro,
+        )
+        for r in QUERIES["q255_lsh_design_curve"](spark, sf_dir).collect()
+    }
+    assert out == expect
+
+
+def test_q255_more_bands_never_lose_candidates(spark, sf_dir):
+    """For a fixed minhash budget the S-curve is pointwise monotone:
+    splitting into more, shorter bands can only raise the collision
+    probability (1-(1-s^r)^b at rb=const decreases in r) — so both
+    expectation columns must be ordered by r."""
+    rows = sorted(
+        QUERIES["q255_lsh_design_curve"](spark, sf_dir).collect(),
+        key=lambda r: r.rows_per_band,
+    )
+    for a, b in zip(rows, rows[1:]):
+        assert a.exp_cand_micro >= b.exp_cand_micro
+        assert a.exp_true_micro >= b.exp_true_micro
+    # and every design sees the same underlying pair relation
+    assert len({(r.n_pairs, r.n_true) for r in rows}) == 1
+
+
+# ------------------------------------------------------------------ q256
+def test_q256_stream_census_equals_batch_windows(spark, sf_dir):
+    """Append-mode watermarked tumbling windows converge to the batch
+    window census exactly (the q24 law with integer-micro sums), and
+    the sentinel's unfinalized window is absent."""
+    got = {
+        (r.win_start, r.event_type): (r.cnt, r.sum_micro)
+        for r in QUERIES["q256_stream_window_census"](spark, sf_dir).collect()
+    }
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            F.sum(
+                F.expr("CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)")
+            )
+            .cast("bigint")
+            .alias("sum_micro"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type",
+            "cnt",
+            "sum_micro",
+        )
+        .collect()
+    )
+    assert got == {
+        (r.win_start, r.event_type): (r.cnt, r.sum_micro) for r in batch
+    }
+
+
+# ------------------------------------------------------------------ q257
+def test_q257_isqrt_exact_and_python_replay(spark, sf_dir):
+    """w is EXACTLY isqrt(tokens) (w^2 <= n < (w+1)^2 — the law the
+    one-step correction must guarantee), shares under-spend at most
+    |langs| micro, and the whole row replays via math.isqrt."""
+    rows = QUERIES["q257_temperature_mixture"](spark, sf_dir).collect()
+    tt = sum(r.n_tokens for r in rows)
+    sw = sum(math.isqrt(r.n_tokens) for r in rows)
+    for r in rows:
+        w = math.isqrt(r.n_tokens)
+        assert r.w_isqrt == w
+        assert w * w <= r.n_tokens < (w + 1) * (w + 1)
+        assert r.share_micro == (1_000_000 * w) // sw
+        assert r.boost_milli == (1000 * w * tt) // (r.n_tokens * sw)
+    assert 1_000_000 - len(rows) < sum(r.share_micro for r in rows) <= 1_000_000
