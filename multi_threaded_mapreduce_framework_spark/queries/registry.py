@@ -83,16 +83,28 @@ _REGISTRY: dict[str, Query] = {}
 # + the 6 r7 debuts + q76-q85/q88/q56/q111/q112; r08 the 11 r8 debuts
 # + the 36 r03-stale rows + q50-q52 (50 rows, 0 failures).
 # Round-9 priority (the r8 verdict's item 1): (1) this round's debuts
-# (never driven); (2) the 50 rows last driven r04 — the oldest band —
-# in staleness-first order, with the five lowest-risk rows last
-# (q171 is rows-only AND its integer core is now hash-gated by the
-# q247 debut; q23/q24's shapes are re-proven by the r06-green
-# q166/q199 session-window rows; q162/q163's bitmap laws are shared
-# with the r06-green q177/q186 rows), since debuts + 50 stale rows
-# overfill a 50-row window by exactly five.  The full set is
+# (never driven) — the q247-q251 band plus the continuation band
+# q252-q257; (2) the 50 rows last driven r04 — the oldest band — in
+# staleness-first order, with the ELEVEN lowest-risk rows last (the
+# window holds ~50, and 11 debuts + 50 stale rows overfill it by 11).
+# Tail rationale, weakest-risk-first from the back: q171 is rows-only
+# AND its integer core is hash-gated by q247; q23/q24's shapes are
+# re-proven by the r06-green q166/q199 session-window rows; q162/q163/
+# q153/q164/q165's bitmap laws are shared with the r06-green q177/q186
+# rows (q186's oracle IS q153's SQL; q165's law is q109's, r05-green);
+# q130's packing law is re-proven by the r06/r08-green q204/q246
+# consistency tests; q166's session law is q199/q190's (r06-green);
+# q158's replay law is exercised by every streaming row re-driven
+# r08/r09 (q244/q248 use the same replay machinery).  The full set is
 # re-proven locally each session via tools/check_oracle.py at sf0.01.
 _DRIVER_PRIORITY = (
     # --- round-9 debuts (never driven) lead the window ---
+    "q252_filter_attrition_waterfall",
+    "q253_eval_apportionment",
+    "q254_langid_agreement_kappa",
+    "q255_lsh_design_curve",
+    "q256_stream_window_census",
+    "q257_temperature_mixture",
     "q247_multimodal_meta_census",
     "q248_stream_dedup_watermark",
     "q249_banded_threshold_curve",
@@ -102,7 +114,6 @@ _DRIVER_PRIORITY = (
     "q127_vocab_ids",
     "q128_train_holdout_leakage",
     "q129_skipgram_pairs",
-    "q130_sequence_packing",
     "q131_kmeans_update",
     "q132_quality_gates",
     "q133_embedding_outliers",
@@ -125,18 +136,13 @@ _DRIVER_PRIORITY = (
     "q150_triangle_count",
     "q151_session_attribution",
     "q152_quantile_normalize",
-    "q153_bitmap_distinct",
     "q154_global_ordinal",
     "q155_deletion_neighbors",
     "q156_topk_pushdown",
     "q157_novelty_score",
-    "q158_watermark_replay",
     "q159_weighted_median",
     "q160_lang_overlap",
     "q161_sorted_neighborhood",
-    "q164_bitmap_retention",
-    "q165_bitmap_rolling_wau",
-    "q166_session_window",
     "q167_linear_interpolate",
     "q168_benford_audit",
     "q169_cusum_changepoint",
@@ -145,6 +151,12 @@ _DRIVER_PRIORITY = (
     "q98_contamination",
     "q102_cc_star",
     # --- r04-stale but lowest-risk: the window tail (see above) ---
+    "q158_watermark_replay",
+    "q166_session_window",
+    "q130_sequence_packing",
+    "q153_bitmap_distinct",
+    "q164_bitmap_retention",
+    "q165_bitmap_rolling_wau",
     "q162_bitmap_set_algebra",
     "q163_bitmap_distinct_rollup",
     "q23_sessionize",

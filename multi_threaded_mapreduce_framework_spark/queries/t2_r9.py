@@ -1,5 +1,6 @@
-"""Tier T2 — round-9 band: the banded threshold curve and the
-lakehouse VACUUM census.
+"""Tier T2 — round-9 band: the banded threshold curve, the lakehouse
+VACUUM census, the SQL-scripting proof, and the continuation band of
+curation decision queries.
 
 - q249: q243's Jaccard threshold curve re-based on q35's MinHash-LSH
   candidate generation — the decision curve's own 100 TB path (r8
@@ -11,6 +12,15 @@ lakehouse VACUUM census.
 - q250: VACUUM retention sweep verified end to end over planted crash
   leftovers — completes the lakehouse maintenance trio (q230 MERGE,
   q240 OPTIMIZE, q250 VACUUM; r8 verdict item 9's named option).
+- q251: Spark 4 SQL scripting proven a pure frontend (loop unrolled
+  into the oracle's nested scalar CTEs).
+- q252-q255, q257 (continuation band): filter-attrition waterfall
+  (first-fail attribution over q132's gates, exact integer
+  thresholds), Hamilton largest-remainder eval apportionment, Cohen's
+  kappa over the shared q224 prediction law, the LSH (bands x rows)
+  design-selection S-curve table, and alpha=1/2 temperature mixture
+  weights via exact integer sqrt.  q256 (the append-mode watermarked
+  window census) lives in t2_streamq with the other streaming rows.
 
 Reference note: beyond-reference capability (the reference,
 MapReduceFramework.cpp:1-377, is a single-shape map/sort/shuffle/reduce

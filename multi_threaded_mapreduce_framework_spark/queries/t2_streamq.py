@@ -888,6 +888,10 @@ def q256_stream_window_census(spark, sf_dir):
         replay = os.path.join(base, "replay")
         replay_events_time_ordered(spark, sf_dir, replay, n_chunks=4)
         ev = spark.read.parquet(replay)
+        # sentinel columns cast to the FIXTURE's own types (value may be
+        # DOUBLE or DECIMAL depending on the corpus writer) — a mixed-
+        # schema replay dir breaks the stream's parquet read of `value`
+        vt = ev.schema["value"].dataType.simpleString()
         sent = (
             ev.orderBy(F.desc("ts"))
             .limit(1)
@@ -896,7 +900,7 @@ def q256_stream_window_census(spark, sf_dir):
                 f"CAST({SENTINEL} AS BIGINT) AS user_id",
                 "'click' AS event_type",
                 "ts + INTERVAL 30 DAYS AS ts",
-                "CAST(0.0 AS DOUBLE) AS value",
+                f"CAST(0.0 AS {vt}) AS value",
                 "'{}' AS props",
             )
             .select(*ev.columns)

@@ -128,6 +128,20 @@ ALLOW: dict[str, dict[str, str]] = {
         "GLOBAL-WINDOW": "at-risk running sum over the FIXED 14-row day "
         "grid (bounded by the horizon, not the data)",
     },
+    "q253_eval_apportionment": {
+        "BNLJ": "1-row total + 1-row leftover broadcast into the "
+        "|langs|-row stratum census (q62's scalar class)",
+        "GLOBAL-WINDOW": "remainder rank over the |langs|-row DOMAIN "
+        "relation (post-aggregate, q234's bounded class)",
+    },
+    "q254_langid_agreement_kappa": {
+        "BNLJ": "1-row chance-agreement scalar joined to the 1-row "
+        "totals (label-domain-bounded inputs; q228's card class)"
+    },
+    "q257_temperature_mixture": {
+        "BNLJ": "1-row token/weight totals broadcast into the "
+        "|langs|-row census (q62's scalar class)"
+    },
     "q245_l_diversity_census": {
         "BNLJ": "1-row total + 2-row l-grid broadcast into the "
         "quasi-id-domain-bounded group census (q238's class)"
