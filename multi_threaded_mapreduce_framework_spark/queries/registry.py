@@ -83,22 +83,29 @@ _REGISTRY: dict[str, Query] = {}
 # + the 6 r7 debuts + q76-q85/q88/q56/q111/q112; r08 the 11 r8 debuts
 # + the 36 r03-stale rows + q50-q52 (50 rows, 0 failures).
 # Round-9 priority (the r8 verdict's item 1): (1) this round's debuts
-# (never driven) — the q247-q251 band plus the continuation band
-# q252-q257; (2) the 50 rows last driven r04 — the oldest band — in
-# staleness-first order, with the ELEVEN lowest-risk rows last (the
-# window holds ~50, and 11 debuts + 50 stale rows overfill it by 11).
+# (never driven) — the q247-q251 band plus the continuation bands
+# q252-q259; (2) the 50 rows last driven r04 — the oldest band — in
+# staleness-first order, with the THIRTEEN lowest-risk rows last (the
+# window holds ~50, and 13 debuts + 50 stale rows overfill it by 13).
 # Tail rationale, weakest-risk-first from the back: q171 is rows-only
 # AND its integer core is hash-gated by q247; q23/q24's shapes are
-# re-proven by the r06-green q166/q199 session-window rows; q162/q163/
+# re-proven by the r06-green q166/q199 session-window rows (and q24's
+# exact law is q256's oracle, hash-gated this round); q162/q163/
 # q153/q164/q165's bitmap laws are shared with the r06-green q177/q186
 # rows (q186's oracle IS q153's SQL; q165's law is q109's, r05-green);
 # q130's packing law is re-proven by the r06/r08-green q204/q246
 # consistency tests; q166's session law is q199/q190's (r06-green);
 # q158's replay law is exercised by every streaming row re-driven
-# r08/r09 (q244/q248 use the same replay machinery).  The full set is
-# re-proven locally each session via tools/check_oracle.py at sf0.01.
+# r08/r09 (q244/q248 use the same replay machinery); q127/q148 share
+# the whitespace-tokenization vocab law with the r07/r08-green q233
+# fertility row.  The full set is ALSO re-proven locally each session
+# via tools/check_oracle.py at BOTH sf0.01 and sf0.1 — every one of
+# the 63 priority rows has same-round local oracle evidence even when
+# the driver window cuts off.
 _DRIVER_PRIORITY = (
     # --- round-9 debuts (never driven) lead the window ---
+    "q258_stream_sliding_census",
+    "q259_source_datasheet",
     "q252_filter_attrition_waterfall",
     "q253_eval_apportionment",
     "q254_langid_agreement_kappa",
@@ -111,7 +118,6 @@ _DRIVER_PRIORITY = (
     "q250_vacuum_retention_census",
     "q251_sql_scripting_trimmed_census",
     # --- last driver row r04: the oldest stale band ---
-    "q127_vocab_ids",
     "q128_train_holdout_leakage",
     "q129_skipgram_pairs",
     "q131_kmeans_update",
@@ -131,7 +137,6 @@ _DRIVER_PRIORITY = (
     "q145_time_weighted_avg",
     "q146_snapshot_diff_merkle",
     "q147_survivorship_merge",
-    "q148_tokenize_to_ids",
     "q149_skew_audit",
     "q150_triangle_count",
     "q151_session_attribution",
@@ -151,6 +156,8 @@ _DRIVER_PRIORITY = (
     "q98_contamination",
     "q102_cc_star",
     # --- r04-stale but lowest-risk: the window tail (see above) ---
+    "q127_vocab_ids",
+    "q148_tokenize_to_ids",
     "q158_watermark_replay",
     "q166_session_window",
     "q130_sequence_packing",

@@ -867,3 +867,61 @@ def q257_temperature_mixture(spark, sf_dir):
             "boost_milli"
         ),
     )
+
+
+# ------------------------------------------------------------------ q259
+@register(
+    "q259_source_datasheet",
+    tier="T2",
+    oracle="""
+WITH n AS (SELECT source, lang, lower(trim(text)) AS norm,
+                  len(string_split(text, ' ')) AS ntok
+           FROM documents),
+g AS (SELECT norm, count(*) AS c FROM n GROUP BY norm)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(ntok) AS BIGINT) AS n_tokens,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(count(DISTINCT norm) AS BIGINT) AS uniq_texts,
+       CAST(sum(CASE WHEN g.c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs
+FROM n JOIN g USING (norm) GROUP BY source
+""",
+)
+def q259_source_datasheet(spark, sf_dir):
+    """PER-SOURCE datasheet: one row per ingest source with doc count,
+    token count, language spread, distinct normalized texts, and the
+    number of docs participating in CORPUS-WIDE exact-duplicate groups
+    — the per-source sibling of q228's one-row dataset card, and the
+    table a curation review actually reads when deciding which source
+    to dedup, downweight (q257's mixture), or drop (q252's waterfall).
+    The dup column is deliberately corpus-global: a source whose docs
+    duplicate ANOTHER source's is the interesting finding, and a
+    per-source-only dedup census would hide it.
+
+    Plan: the normalized-text census is q25's exact-dedup shuffle
+    (map-side partials collapse duplicates before the exchange); the
+    join back to docs is a hash join on the same key (co-partitioned
+    with the census build), and the final fold is one partial-agg to
+    the |sources| domain with distinct-expand bounded by |sources| x
+    (|langs| + distinct texts per source) — the standard two-pass
+    shape, no all-pairs anything."""
+    n = load_table(spark, sf_dir, "documents").select(
+        "source",
+        "lang",
+        F.lower(F.trim(F.col("text"))).alias("norm"),
+        F.size(F.split("text", " ")).alias("ntok"),
+    )
+    g = n.groupBy("norm").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        n.join(g, "norm")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("ntok").cast("bigint").alias("n_tokens"),
+            F.countDistinct("lang").cast("bigint").alias("n_langs"),
+            F.countDistinct("norm").cast("bigint").alias("uniq_texts"),
+            F.sum(F.when(F.col("c") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("dup_docs"),
+        )
+    )

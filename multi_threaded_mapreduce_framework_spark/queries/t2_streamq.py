@@ -866,6 +866,13 @@ def q256_stream_window_census(spark, sf_dir):
     partial merges bit-exact (q188's law) so the gate survives any
     micro-batch boundary placement (file-per-trigger, 4 chunks here).
     """
+    return _append_window_run(spark, sf_dir, "window_census", "1 hour", None)
+
+
+def _append_window_run(spark, sf_dir, tag, duration, slide):
+    """Shared q256/q258 machinery: time-ordered replay + far-future
+    sentinel + append-mode watermarked window aggregation (count +
+    integer-micro value sum), readback cached per (app, sf_dir, tag)."""
     import time as _t
 
     import pyspark.sql.functions as F
@@ -876,14 +883,14 @@ def q256_stream_window_census(spark, sf_dir):
     )
 
     SENTINEL = 999_999_999
-    key = (spark.sparkContext.applicationId, sf_dir, "window_census")
+    key = (spark.sparkContext.applicationId, sf_dir, tag)
     cached = _MATVIEW_STATE_CACHE.get(key)
     if cached is None:
         base = os.path.join(
             tempfile.gettempdir(),
             "mtmrf_layout",
             layout_tag(spark, sf_dir),
-            "window_census",
+            tag,
         )
         replay = os.path.join(base, "replay")
         replay_events_time_ordered(spark, sf_dir, replay, n_chunks=4)
@@ -907,10 +914,13 @@ def q256_stream_window_census(spark, sf_dir):
         )
         _t.sleep(0.1)  # distinct mtime: the sentinel replays last
         sent.coalesce(1).write.mode("append").parquet(replay)
+        win = (
+            F.window("ts", duration, slide) if slide else F.window("ts", duration)
+        )
         agg = (
             events_stream(spark, replay)
             .withWatermark("ts", "2 hours")
-            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .groupBy(win.alias("w"), "event_type")
             .agg(
                 F.count(F.lit(1)).cast("bigint").alias("cnt"),
                 F.sum(F.expr(_MICRO_SQL)).cast("bigint").alias("sum_micro"),
@@ -922,7 +932,7 @@ def q256_stream_window_census(spark, sf_dir):
                 "sum_micro",
             )
         )
-        table = f"q256_wincensus_{abs(hash(key)) % 10**9}"
+        table = f"{tag}_{abs(hash(key)) % 10**9}"
         q = (
             agg.writeStream.outputMode("append")
             .format("memory")
@@ -937,3 +947,43 @@ def q256_stream_window_census(spark, sf_dir):
         cached = spark.table(table).localCheckpoint()
         _MATVIEW_STATE_CACHE[key] = cached
     return cached
+
+
+@register(
+    "q258_stream_sliding_census",
+    tier="T2",
+    oracle=f"""
+WITH b AS (SELECT date_trunc('hour', ts)
+                    + INTERVAL (15 * (CAST(minute(ts) AS INT) // 15)) MINUTE
+                    AS b15,
+                  event_type, {_MICRO_SQL} AS vm
+           FROM events),
+w AS (SELECT b15 - k.k * (INTERVAL 15 MINUTE) AS ws, event_type, vm
+      FROM b CROSS JOIN unnest([0, 1, 2, 3]) AS k(k))
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start, event_type,
+       CAST(count(*) AS BIGINT) AS cnt,
+       CAST(sum(vm) AS BIGINT) AS sum_micro
+FROM w GROUP BY 1, 2
+""",
+)
+def q258_stream_sliding_census(spark, sf_dir):
+    """SLIDING event-time windows through the same real append-mode
+    watermarked stream as q256: 1-hour windows sliding every 15
+    minutes (each event lands in exactly 4 overlapping windows —
+    the dashboard form of windowed aggregation, where a reading
+    refreshes 4x as often as it ages out), hash-gated against the
+    batch law that UNROLLS the overlap: bucket each event to its
+    15-minute cell, then each cell feeds the 4 window starts
+    {cell, cell-15m, cell-30m, cell-45m}.
+
+    The overlap is the point: a sliding aggregation writes each input
+    into windowDuration/slide state rows, so state and output are 4x
+    the tumbling form's — bounded by slides-per-watermark-horizon x
+    |types|, still independent of event count.  Emission contract,
+    sentinel discipline, and integer-micro exactness are exactly
+    q256's (shared ``_append_window_run`` machinery); the sentinel's
+    4 open windows can never finalize, so they are provably absent.
+    """
+    return _append_window_run(
+        spark, sf_dir, "sliding_census", "1 hour", "15 minutes"
+    )

@@ -239,3 +239,69 @@ def test_q257_isqrt_exact_and_python_replay(spark, sf_dir):
         assert r.share_micro == (1_000_000 * w) // sw
         assert r.boost_milli == (1000 * w * tt) // (r.n_tokens * sw)
     assert 1_000_000 - len(rows) < sum(r.share_micro for r in rows) <= 1_000_000
+
+
+# ------------------------------------------------------------------ q258
+def test_q258_stream_sliding_equals_batch_and_4x_law(spark, sf_dir):
+    """Append-mode sliding windows converge to the batch sliding
+    census exactly, and the overlap law holds: each event lands in
+    exactly windowDuration/slide = 4 windows, so window counts sum to
+    4x the event count."""
+    got = {
+        (r.win_start, r.event_type): (r.cnt, r.sum_micro)
+        for r in QUERIES["q258_stream_sliding_census"](spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    batch = (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            F.sum(
+                F.expr("CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)")
+            )
+            .cast("bigint")
+            .alias("sum_micro"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type",
+            "cnt",
+            "sum_micro",
+        )
+        .collect()
+    )
+    assert got == {
+        (r.win_start, r.event_type): (r.cnt, r.sum_micro) for r in batch
+    }
+    assert sum(c for c, _ in got.values()) == 4 * ev.count()
+
+
+# ------------------------------------------------------------------ q259
+def test_q259_matches_python_replay(spark, sf_dir):
+    """The per-source datasheet replayed in Python, including the
+    corpus-GLOBAL duplicate law (a doc is dup if its normalized text
+    appears more than once anywhere, not just within its source)."""
+    rows = (
+        load_table(spark, sf_dir, "documents")
+        .select("source", "lang", "text")
+        .collect()
+    )
+    from collections import Counter
+
+    global_norm = Counter(r.text.lower().strip() for r in rows)
+    acc: dict[str, list] = {}
+    for r in rows:
+        norm = r.text.lower().strip()
+        a = acc.setdefault(r.source, [0, 0, set(), set(), 0])
+        a[0] += 1
+        a[1] += len(r.text.split(" "))
+        a[2].add(r.lang)
+        a[3].add(norm)
+        a[4] += 1 if global_norm[norm] > 1 else 0
+    out = {
+        r.source: (r.n_docs, r.n_tokens, r.n_langs, r.uniq_texts, r.dup_docs)
+        for r in QUERIES["q259_source_datasheet"](spark, sf_dir).collect()
+    }
+    assert out == {
+        s: (a[0], a[1], len(a[2]), len(a[3]), a[4]) for s, a in acc.items()
+    }
