@@ -84,9 +84,9 @@ _REGISTRY: dict[str, Query] = {}
 # + the 36 r03-stale rows + q50-q52 (50 rows, 0 failures).
 # Round-9 priority (the r8 verdict's item 1): (1) this round's debuts
 # (never driven) — the q247-q251 band plus the continuation bands
-# q252-q259; (2) the 50 rows last driven r04 — the oldest band — in
-# staleness-first order, with the THIRTEEN lowest-risk rows last (the
-# window holds ~50, and 13 debuts + 50 stale rows overfill it by 13).
+# q252-q261; (2) the 50 rows last driven r04 — the oldest band — in
+# staleness-first order, with the FIFTEEN lowest-risk rows last (the
+# window holds ~50, and 15 debuts + 50 stale rows overfill it by 15).
 # Tail rationale, weakest-risk-first from the back: q171 is rows-only
 # AND its integer core is hash-gated by q247; q23/q24's shapes are
 # re-proven by the r06-green q166/q199 session-window rows (and q24's
@@ -98,30 +98,34 @@ _REGISTRY: dict[str, Query] = {}
 # q158's replay law is exercised by every streaming row re-driven
 # r08/r09 (q244/q248 use the same replay machinery); q127/q148 share
 # the whitespace-tokenization vocab law with the r07/r08-green q233
-# fertility row.  The full set is ALSO re-proven locally each session
+# fertility row; q132's gate law is replayed integer-exactly by the
+# q252 debut's waterfall (driven this round); q149's skew census
+# shares q114 salted_agg's law (pass (hash) r08).  The full set is
+# ALSO re-proven locally each session
 # via tools/check_oracle.py at BOTH sf0.01 and sf0.1 — every one of
 # the 63 priority rows has same-round local oracle evidence even when
 # the driver window cuts off.
 _DRIVER_PRIORITY = (
-    # --- round-9 debuts (never driven) lead the window ---
-    "q258_stream_sliding_census",
-    "q259_source_datasheet",
+    # --- round-9 debuts (never driven) lead the window, ascending ---
+    "q247_multimodal_meta_census",
+    "q248_stream_dedup_watermark",
+    "q249_banded_threshold_curve",
+    "q250_vacuum_retention_census",
+    "q251_sql_scripting_trimmed_census",
     "q252_filter_attrition_waterfall",
     "q253_eval_apportionment",
     "q254_langid_agreement_kappa",
     "q255_lsh_design_curve",
     "q256_stream_window_census",
     "q257_temperature_mixture",
-    "q247_multimodal_meta_census",
-    "q248_stream_dedup_watermark",
-    "q249_banded_threshold_curve",
-    "q250_vacuum_retention_census",
-    "q251_sql_scripting_trimmed_census",
+    "q258_stream_sliding_census",
+    "q259_source_datasheet",
+    "q260_t_closeness_census",
+    "q261_vocab_coverage_curve",
     # --- last driver row r04: the oldest stale band ---
     "q128_train_holdout_leakage",
     "q129_skipgram_pairs",
     "q131_kmeans_update",
-    "q132_quality_gates",
     "q133_embedding_outliers",
     "q134_bm25_topk",
     "q135_heavy_hitter_shingles",
@@ -137,7 +141,6 @@ _DRIVER_PRIORITY = (
     "q145_time_weighted_avg",
     "q146_snapshot_diff_merkle",
     "q147_survivorship_merge",
-    "q149_skew_audit",
     "q150_triangle_count",
     "q151_session_attribution",
     "q152_quantile_normalize",
@@ -156,6 +159,8 @@ _DRIVER_PRIORITY = (
     "q98_contamination",
     "q102_cc_star",
     # --- r04-stale but lowest-risk: the window tail (see above) ---
+    "q132_quality_gates",
+    "q149_skew_audit",
     "q127_vocab_ids",
     "q148_tokenize_to_ids",
     "q158_watermark_replay",

@@ -925,3 +925,213 @@ def q259_source_datasheet(spark, sf_dir):
             .alias("dup_docs"),
         )
     )
+
+
+# ------------------------------------------------------------------ q260
+_TCLOSE_GRID = (100, 200, 300)  # t thresholds, milli
+
+
+@register(
+    "q260_t_closeness_census",
+    tier="T2",
+    oracle=f"""
+WITH lc AS (SELECT source, n_chars // 100 AS b, lang,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM documents GROUP BY 1, 2, 3),
+gl AS (SELECT lang, CAST(sum(c) AS BIGINT) AS cg FROM lc GROUP BY lang),
+nt AS (SELECT CAST(sum(cg) AS BIGINT) AS n FROM gl),
+gsz AS (SELECT source, b, CAST(sum(c) AS BIGINT) AS ng
+        FROM lc GROUP BY source, b),
+terms AS (
+  SELECT lc.source, lc.b, gsz.ng,
+         abs(lc.c * nt.n - gl.cg * gsz.ng) AS term, gl.cg
+  FROM lc JOIN gl USING (lang) JOIN gsz USING (source, b), nt),
+tv AS (
+  SELECT source, b, max(ng) AS ng,
+         CAST(1000 * (sum(term) + max(ng) * ((SELECT n FROM nt) - sum(cg)))
+              // (2 * max(ng) * (SELECT n FROM nt)) AS BIGINT) AS tvd_milli
+  FROM terms GROUP BY source, b),
+tt AS (SELECT CAST(sum(ng) AS BIGINT) AS total,
+              CAST(count(*) AS BIGINT) AS n_groups,
+              CAST(max(tvd_milli) AS BIGINT) AS max_tvd_milli FROM tv),
+g AS (SELECT unnest([{", ".join(str(t) for t in _TCLOSE_GRID)}]) AS t_milli)
+SELECT CAST(t_milli AS BIGINT) AS t_milli,
+       CAST(count(*) FILTER (WHERE tvd_milli > t_milli) AS BIGINT)
+         AS groups_above_t,
+       CAST(coalesce(sum(ng) FILTER (WHERE tvd_milli > t_milli), 0) AS BIGINT)
+         AS rows_above_t,
+       CAST(1000 * coalesce(sum(ng) FILTER (WHERE tvd_milli > t_milli), 0)
+            // max(total) AS BIGINT) AS at_risk_milli,
+       max(n_groups) AS n_groups,
+       max(max_tvd_milli) AS max_tvd_milli
+FROM tv, tt, g GROUP BY t_milli
+""",
+)
+def q260_t_closeness_census(spark, sf_dir):
+    """t-closeness census (Li et al. 2007) — the third leg of the
+    release-privacy trio (q238 k-anonymity, q245 l-diversity, q260
+    t-closeness): a group can be k-anonymous AND l-diverse yet still
+    leak if its sensitive-attribute DISTRIBUTION diverges from the
+    corpus's (the skewness attack: 95% of one lang in a group is a
+    strong inference even with l=3 distinct values present).  Per
+    quasi-id group (source, 100-char length bucket), the distance of
+    its lang distribution from the global one; per closeness bound t
+    in {0.1, 0.2, 0.3}: violating groups, rows in them, at-risk share,
+    plus the corpus's max distance (the t the release can honestly
+    claim).  lang is categorical, so the ground metric is uniform and
+    EMD reduces to TOTAL VARIATION distance — which is exact-rational:
+    tvd = sum_i |c_i*N - C_i*n_g| / (2*n_g*N), integerized to milli
+    with absent-lang mass folded in closed form
+    (n_g*(N - sum_present C_i)).
+
+    Plan: one partial-agg to the (quasi-id x lang) census (bounded by
+    domain, not corpus), a broadcast join to the |langs|-row global
+    marginal + a hash join to the group sizes, one more domain-bounded
+    fold, then the 3-row t-grid BNLJ — all-integer end to end
+    (products stay under 2^63 to ~10^8 docs, docstring-declared)."""
+    docs = load_table(spark, sf_dir, "documents")
+    lc = docs.groupBy(
+        "source", F.expr("n_chars div 100").alias("b"), "lang"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    lc = lc.localCheckpoint()
+    gl = lc.groupBy("lang").agg(F.sum("c").cast("bigint").alias("cg"))
+    nt = gl.agg(F.sum("cg").cast("bigint").alias("n"))
+    gsz = lc.groupBy("source", "b").agg(
+        F.sum("c").cast("bigint").alias("ng")
+    )
+    terms = (
+        lc.join(F.broadcast(gl), "lang")
+        .join(gsz, ["source", "b"])
+        .crossJoin(F.broadcast(nt))
+        .select(
+            "source",
+            "b",
+            "ng",
+            "cg",
+            "n",
+            F.abs(F.col("c") * F.col("n") - F.col("cg") * F.col("ng")).alias(
+                "term"
+            ),
+        )
+    )
+    tv = terms.groupBy("source", "b").agg(
+        F.max("ng").alias("ng"),
+        F.expr(
+            "CAST(1000 * (sum(term) + max(ng) * (max(n) - sum(cg)))"
+            " div (2 * max(ng) * max(n)) AS BIGINT)"
+        ).alias("tvd_milli"),
+    )
+    tt = tv.agg(
+        F.sum("ng").cast("bigint").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.max("tvd_milli").cast("bigint").alias("max_tvd_milli"),
+    )
+    grid = spark.createDataFrame(
+        [(int(t),) for t in _TCLOSE_GRID], "t_milli bigint"
+    )
+    return (
+        tv.crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(grid))
+        .groupBy("t_milli")
+        .agg(
+            F.sum(F.when(F.col("tvd_milli") > F.col("t_milli"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("groups_above_t"),
+            F.sum(
+                F.when(F.col("tvd_milli") > F.col("t_milli"), F.col("ng")).otherwise(
+                    0
+                )
+            )
+            .cast("bigint")
+            .alias("rows_above_t"),
+            F.expr(
+                "CAST(1000 * sum(CASE WHEN tvd_milli > t_milli THEN ng ELSE 0 END)"
+                " div max(total) AS BIGINT)"
+            ).alias("at_risk_milli"),
+            F.max("n_groups").alias("n_groups"),
+            F.max("max_tvd_milli").alias("max_tvd_milli"),
+        )
+    )
+
+
+# ------------------------------------------------------------------ q261
+_VOCAB_GRID = (1000, 2000, 4000)
+
+
+@register(
+    "q261_vocab_coverage_curve",
+    tier="T2",
+    oracle=f"""
+WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+vc AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY w),
+r AS (SELECT cnt,
+             row_number() OVER (ORDER BY cnt DESC, w) AS rk,
+             sum(cnt) OVER (ORDER BY cnt DESC, w
+                            ROWS UNBOUNDED PRECEDING) AS cum
+      FROM vc),
+t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total,
+             CAST(count(*) AS BIGINT) AS n_distinct FROM vc),
+g AS (SELECT unnest([{", ".join(str(v) for v in _VOCAB_GRID)}]) AS v)
+SELECT CAST(v AS BIGINT) AS v,
+       CAST(coalesce(max(cum) FILTER (WHERE rk <= v), 0) AS BIGINT)
+         AS covered_tokens,
+       max(total) AS total_tokens,
+       CAST(1000 * (max(total) - coalesce(max(cum) FILTER (WHERE rk <= v), 0))
+            // max(total) AS BIGINT) AS oov_milli,
+       max(n_distinct) AS n_distinct
+FROM r, t, g GROUP BY v
+""",
+)
+def q261_vocab_coverage_curve(spark, sf_dir):
+    """Vocabulary COVERAGE curve: for top-V word vocabularies with V in
+    {1000, 2000, 4000}, the token occurrences covered and the OOV rate
+    — the direct decision number behind choosing a tokenizer vocab
+    size (q218's Zipf/hapax census gives the tail LAW; q223's Heaps
+    fit gives vocab GROWTH; this gives the operating point: what OOV
+    rate each budget buys).  Covered mass is the cumulative frequency
+    at rank V under the deterministic (count desc, token asc) total
+    order — all-integer, hash-exact.
+
+    Plan: one token-census shuffle (vocab-bounded output — the q62/
+    q138 class), then rank + running-sum windows over the VOCABULARY
+    relation (bounded by distinct tokens, not corpus size — q111's
+    allowlisted bounded-global-window class; at web scale the vocab
+    census still fits one node by Heaps' law, and the q187-histogram
+    route is the documented fallback), and the 3-row V-grid BNLJ."""
+    docs = load_table(spark, sf_dir, "documents")
+    vc = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("w"))
+    r = vc.select(
+        "cnt",
+        F.row_number().over(w).alias("rk"),
+        F.sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "cum"
+        ),
+    )
+    t = vc.agg(
+        F.sum("cnt").cast("bigint").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+    )
+    grid = spark.createDataFrame([(int(v),) for v in _VOCAB_GRID], "v bigint")
+    return (
+        r.crossJoin(F.broadcast(t))
+        .crossJoin(F.broadcast(grid))
+        .groupBy("v")
+        .agg(
+            F.coalesce(
+                F.max(F.when(F.col("rk") <= F.col("v"), F.col("cum"))), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("covered_tokens"),
+            F.max("total").alias("total_tokens"),
+            F.expr(
+                "CAST(1000 * (max(total) - coalesce(max(CASE WHEN rk <= v"
+                " THEN cum END), 0)) div max(total) AS BIGINT)"
+            ).alias("oov_milli"),
+            F.max("n_distinct").alias("n_distinct"),
+        )
+    )

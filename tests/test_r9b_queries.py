@@ -305,3 +305,78 @@ def test_q259_matches_python_replay(spark, sf_dir):
     assert out == {
         s: (a[0], a[1], len(a[2]), len(a[3]), a[4]) for s, a in acc.items()
     }
+
+
+# ------------------------------------------------------------------ q260
+def test_q260_matches_python_integer_replay(spark, sf_dir):
+    """t-closeness replayed in exact integer Python, including the
+    closed-form absent-lang mass; census laws (monotone in t, at-risk
+    consistency) follow from the replay equality."""
+    from collections import Counter
+
+    rows = (
+        load_table(spark, sf_dir, "documents")
+        .select("source", "lang", F.expr("n_chars div 100").alias("b"))
+        .collect()
+    )
+    glob = Counter(r.lang for r in rows)
+    N = len(rows)
+    groups: dict[tuple, Counter] = {}
+    for r in rows:
+        groups.setdefault((r.source, r.b), Counter())[r.lang] += 1
+    tvds = {}
+    for gk, cnts in groups.items():
+        ng = sum(cnts.values())
+        num = sum(abs(c * N - glob[la] * ng) for la, c in cnts.items())
+        num += ng * (N - sum(glob[la] for la in cnts))
+        tvds[gk] = (1000 * num) // (2 * ng * N), ng
+    out = {
+        r.t_milli: (
+            r.groups_above_t,
+            r.rows_above_t,
+            r.at_risk_milli,
+            r.n_groups,
+            r.max_tvd_milli,
+        )
+        for r in QUERIES["q260_t_closeness_census"](spark, sf_dir).collect()
+    }
+    mx = max(t for t, _ in tvds.values())
+    for t in (100, 200, 300):
+        above = [(t_, ng) for t_, ng in tvds.values() if t_ > t]
+        rows_above = sum(ng for _, ng in above)
+        assert out[t] == (
+            len(above),
+            rows_above,
+            (1000 * rows_above) // N,
+            len(tvds),
+            mx,
+        )
+
+
+# ------------------------------------------------------------------ q261
+def test_q261_matches_python_replay_and_monotone(spark, sf_dir):
+    """Coverage curve replayed via Counter + the deterministic
+    (count desc, token asc) rank; covered mass monotone in V."""
+    from collections import Counter
+
+    cnt = Counter()
+    for r in load_table(spark, sf_dir, "documents").select("text").collect():
+        cnt.update(r.text.split(" "))
+    ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+    total = sum(cnt.values())
+    out = {
+        r.v: (r.covered_tokens, r.total_tokens, r.oov_milli, r.n_distinct)
+        for r in QUERIES["q261_vocab_coverage_curve"](spark, sf_dir).collect()
+    }
+    for v in (1000, 2000, 4000):
+        covered = sum(c for _, c in ranked[:v])
+        assert out[v] == (
+            covered,
+            total,
+            (1000 * (total - covered)) // total,
+            len(ranked),
+        )
+    vs = sorted(out)
+    for a, b in zip(vs, vs[1:]):
+        assert out[a][0] <= out[b][0]
+        assert out[a][2] >= out[b][2]

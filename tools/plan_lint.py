@@ -128,6 +128,18 @@ ALLOW: dict[str, dict[str, str]] = {
         "GLOBAL-WINDOW": "at-risk running sum over the FIXED 14-row day "
         "grid (bounded by the horizon, not the data)",
     },
+    "q260_t_closeness_census": {
+        "BNLJ": "1-row totals + 3-row t-grid broadcast into the "
+        "quasi-id-domain-bounded group census (q238/q245's class)"
+    },
+    "q261_vocab_coverage_curve": {
+        "BNLJ": "1-row totals + 3-row V-grid broadcast into the "
+        "vocab-bounded rank relation (q243's grid class)",
+        "GLOBAL-WINDOW": "rank + running sum over the VOCABULARY census "
+        "(bounded by distinct tokens via Heaps' law, not corpus rows — "
+        "q111's bounded class; q187-histogram route is the documented "
+        "fallback)",
+    },
     "q253_eval_apportionment": {
         "BNLJ": "1-row total + 1-row leftover broadcast into the "
         "|langs|-row stratum census (q62's scalar class)",
