@@ -84,9 +84,9 @@ _REGISTRY: dict[str, Query] = {}
 # + the 36 r03-stale rows + q50-q52 (50 rows, 0 failures).
 # Round-9 priority (the r8 verdict's item 1): (1) this round's debuts
 # (never driven) — the q247-q251 band plus the continuation bands
-# q252-q261; (2) the 50 rows last driven r04 — the oldest band — in
-# staleness-first order, with the FIFTEEN lowest-risk rows last (the
-# window holds ~50, and 15 debuts + 50 stale rows overfill it by 15).
+# q252-q263; (2) the 50 rows last driven r04 — the oldest band — in
+# staleness-first order, with the SEVENTEEN lowest-risk rows last (the
+# window holds ~50, and 17 debuts + 50 stale rows overfill it by 17).
 # Tail rationale, weakest-risk-first from the back: q171 is rows-only
 # AND its integer core is hash-gated by q247; q23/q24's shapes are
 # re-proven by the r06-green q166/q199 session-window rows (and q24's
@@ -100,8 +100,10 @@ _REGISTRY: dict[str, Query] = {}
 # the whitespace-tokenization vocab law with the r07/r08-green q233
 # fertility row; q132's gate law is replayed integer-exactly by the
 # q252 debut's waterfall (driven this round); q149's skew census
-# shares q114 salted_agg's law (pass (hash) r08).  The full set is
-# ALSO re-proven locally each session
+# shares q114 salted_agg's law (pass (hash) r08); q150's edge-relation
+# discipline is q102 cc_star's, which IS in this driven window; q151's
+# gaps-and-islands session law is q199/q190's (r06-green).  The full
+# set is ALSO re-proven locally each session
 # via tools/check_oracle.py at BOTH sf0.01 and sf0.1 — every one of
 # the 63 priority rows has same-round local oracle evidence even when
 # the driver window cuts off.
@@ -122,6 +124,8 @@ _DRIVER_PRIORITY = (
     "q259_source_datasheet",
     "q260_t_closeness_census",
     "q261_vocab_coverage_curve",
+    "q262_stream_restart_readback",
+    "q263_stream_file_sink_readback",
     # --- last driver row r04: the oldest stale band ---
     "q128_train_holdout_leakage",
     "q129_skipgram_pairs",
@@ -141,8 +145,6 @@ _DRIVER_PRIORITY = (
     "q145_time_weighted_avg",
     "q146_snapshot_diff_merkle",
     "q147_survivorship_merge",
-    "q150_triangle_count",
-    "q151_session_attribution",
     "q152_quantile_normalize",
     "q154_global_ordinal",
     "q155_deletion_neighbors",
@@ -159,6 +161,8 @@ _DRIVER_PRIORITY = (
     "q98_contamination",
     "q102_cc_star",
     # --- r04-stale but lowest-risk: the window tail (see above) ---
+    "q150_triangle_count",
+    "q151_session_attribution",
     "q132_quality_gates",
     "q149_skew_audit",
     "q127_vocab_ids",

@@ -987,3 +987,179 @@ def q258_stream_sliding_census(spark, sf_dir):
     return _append_window_run(
         spark, sf_dir, "sliding_census", "1 hour", "15 minutes"
     )
+
+
+@register(
+    "q262_stream_restart_readback",
+    tier="T2",
+    oracle=f"""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS cnt,
+       CAST(sum({_MICRO_SQL}) AS BIGINT) AS sum_micro
+FROM events GROUP BY event_type
+""",
+)
+def q262_stream_restart_readback(spark, sf_dir):
+    """CHECKPOINT RECOVERY under the driver's hash gate: a stateful
+    streaming aggregation (cnt + integer-micro sum per event_type)
+    processes HALF the replay, the query is STOPPED, the second half
+    arrives while nothing is running, and a NEW query object restarts
+    from the same checkpoint — the readback must equal the batch
+    census exactly (every event counted once: the restart must neither
+    REPLAY chunk 1 into live state nor SKIP the files that arrived
+    during downtime).  This is the crash/deploy/upgrade contract every
+    production stream relies on; the scenario exists in
+    tests/test_streaming.py and tools/check_streaming.py — this row
+    adds the oracle gate (the q248 promotion discipline).
+
+    Mechanics: complete-mode aggregation over a file source; the file-
+    source checkpoint records which input files each batch consumed,
+    so the restarted query resumes from logged offsets and rebuilds
+    its sink output from recovered state.  Integer micro-units make
+    the recovered-state census bit-exact regardless of where the
+    restart split the input (q188's law).
+
+    Scale shape: state = one (cnt, sum) pair per event_type (domain-
+    bounded); recovery cost = state-store load + offset-log read,
+    independent of history length."""
+    import pyspark.sql.functions as F
+
+    from multi_threaded_mapreduce_framework_spark.sources import load_table
+    from multi_threaded_mapreduce_framework_spark.streaming import events_stream
+
+    key = (spark.sparkContext.applicationId, sf_dir, "restart_readback")
+    cached = _MATVIEW_STATE_CACHE.get(key)
+    if cached is None:
+        import time as _t
+
+        base = os.path.join(
+            tempfile.gettempdir(),
+            "mtmrf_layout",
+            layout_tag(spark, sf_dir),
+            "restart_readback",
+        )
+        replay = os.path.join(base, "replay")
+        ckpt = os.path.join(base, "ckpt")
+        table = f"q262_restart_{abs(hash(key)) % 10**9}"
+        full = load_table(spark, sf_dir, "events").select(
+            "event_id", "event_type", "ts", "value"
+        )
+        first = full.filter("event_id % 2 = 0")
+        second = full.filter("event_id % 2 = 1")
+        first.repartition(2).write.mode("overwrite").parquet(replay)
+
+        def run_once():
+            agg = (
+                events_stream(spark, replay)
+                .groupBy("event_type")
+                .agg(
+                    F.count(F.lit(1)).cast("bigint").alias("cnt"),
+                    F.sum(F.expr(_MICRO_SQL)).cast("bigint").alias("sum_micro"),
+                )
+            )
+            q = (
+                agg.writeStream.outputMode("complete")
+                .format("memory")
+                .queryName(table)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+
+        run_once()  # first half only, then a clean stop
+        _t.sleep(0.05)  # distinct mtime: downtime arrivals sort after
+        second.repartition(2).write.mode("append").parquet(replay)
+        run_once()  # NEW query object, same checkpoint: resumes state
+        cached = spark.table(table).localCheckpoint()
+        _MATVIEW_STATE_CACHE[key] = cached
+    return cached
+
+
+@register(
+    "q263_stream_file_sink_readback",
+    tier="T2",
+    oracle="""
+SELECT event_type, CAST(count(*) AS BIGINT) AS cnt
+FROM events GROUP BY event_type
+""",
+)
+def q263_stream_file_sink_readback(spark, sf_dir):
+    """Exactly-once PARQUET FILE SINK under the driver's hash gate —
+    the lakehouse landing pattern (stream -> checkpointed parquet dir
+    -> downstream batch readers): a streaming dedup writes append-mode
+    parquet through the file sink's transaction log, is STOPPED
+    mid-pipeline, a full DUPLICATE wave of every event arrives during
+    the downtime, and a restarted query drains it; the batch READBACK
+    of the sink directory (which honors ``_spark_metadata``, reading
+    only committed files) must census exactly the un-duplicated
+    events.  One gate proves three contracts at once: the file sink's
+    commit log (no torn/uncommitted files visible), dedup-state
+    recovery across the restart (the duplicate wave is absorbed by
+    state built BEFORE the stop), and at-least-once absorption
+    (q244's law, now through a durable sink instead of memory).
+
+    Scale shape: the sink appends one committed file set per
+    micro-batch (compaction is q240's job); dedup state = distinct
+    event_ids (q248's watermarked variant is the bounded-state
+    production form); readback is an ordinary parquet scan."""
+    import pyspark.sql.functions as F
+
+    from multi_threaded_mapreduce_framework_spark.sources import load_table
+    from multi_threaded_mapreduce_framework_spark.streaming import events_stream
+    from multi_threaded_mapreduce_framework_spark.streaming.windowed import (
+        replay_events,
+        stream_dedup,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir, "file_sink_readback")
+    cached = _MATVIEW_STATE_CACHE.get(key)
+    if cached is None:
+        import time as _t
+
+        base = os.path.join(
+            tempfile.gettempdir(),
+            "mtmrf_layout",
+            layout_tag(spark, sf_dir),
+            "file_sink_readback",
+        )
+        replay = os.path.join(base, "replay")
+        ckpt = os.path.join(base, "ckpt")
+        sink = os.path.join(base, "sink")
+        replay_events(spark, sf_dir, replay, n_chunks=3)
+
+        def run_once():
+            stream = stream_dedup(
+                events_stream(spark, replay).select(
+                    "event_id", "event_type", "ts"
+                ),
+                ["event_id"],
+            )
+            q = (
+                stream.writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+
+        run_once()  # the original wave lands in the sink
+        _t.sleep(0.05)  # distinct mtime: the duplicate wave sorts after
+        load_table(spark, sf_dir, "events").select(
+            "event_id", "event_type", "ts"
+        ).repartition(3).write.mode("append").parquet(replay)
+        run_once()  # restart: recovered dedup state absorbs the wave
+        cached = (
+            spark.read.parquet(sink)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+            .localCheckpoint()
+        )
+        _MATVIEW_STATE_CACHE[key] = cached
+    return cached

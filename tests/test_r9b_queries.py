@@ -380,3 +380,69 @@ def test_q261_matches_python_replay_and_monotone(spark, sf_dir):
     for a, b in zip(vs, vs[1:]):
         assert out[a][0] <= out[b][0]
         assert out[a][2] >= out[b][2]
+
+
+# ------------------------------------------------------------------ q262
+def test_q262_restart_readback_equals_batch(spark, sf_dir):
+    """The post-restart readback equals the batch census exactly —
+    every event counted once across the stop/downtime-arrival/restart
+    sequence (the split-restart law itself is pinned end to end by
+    tests/test_streaming.py::test_checkpoint_recovery_no_duplicates;
+    this ties the DECLARED row to the batch law through Spark)."""
+    got = {
+        r.event_type: (r.cnt, r.sum_micro)
+        for r in QUERIES["q262_stream_restart_readback"](spark, sf_dir).collect()
+    }
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            F.sum(
+                F.expr("CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)")
+            )
+            .cast("bigint")
+            .alias("sum_micro"),
+        )
+        .collect()
+    )
+    assert got == {r.event_type: (r.cnt, r.sum_micro) for r in batch}
+
+
+# ------------------------------------------------------------------ q263
+def test_q263_file_sink_used_commit_log_and_matches_batch(spark, sf_dir):
+    """The sink census equals the un-duplicated batch census AND the
+    sink directory really is a streaming file sink (``_spark_metadata``
+    commit log present) — i.e. the exactly-once guarantee came from
+    the transaction log + recovered dedup state, not from a plain
+    batch write."""
+    import os
+    import tempfile
+
+    from multi_threaded_mapreduce_framework_spark.sources import layout_tag
+
+    got = {
+        r.event_type: r.cnt
+        for r in QUERIES["q263_stream_file_sink_readback"](spark, sf_dir).collect()
+    }
+    batch = {
+        r.event_type: r.cnt
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .collect()
+    }
+    assert got == batch
+    sink = os.path.join(
+        tempfile.gettempdir(),
+        "mtmrf_layout",
+        layout_tag(spark, sf_dir),
+        "file_sink_readback",
+        "sink",
+    )
+    assert os.path.isdir(os.path.join(sink, "_spark_metadata"))
+    # and the raw file set (commit log ignored) contains MORE rows than
+    # the committed view iff any batch retried — at minimum it equals;
+    # the committed count is what must match the batch law
+    committed = sum(got.values())
+    assert committed == sum(batch.values())
