@@ -1163,3 +1163,187 @@ def q263_stream_file_sink_readback(spark, sf_dir):
         )
         _MATVIEW_STATE_CACHE[key] = cached
     return cached
+
+
+@register(
+    "q264_stream_upsert_readback",
+    tier="T2",
+    oracle=f"""
+WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+                  coalesce({_MICRO_SQL}, 0) AS vm
+           FROM events),
+r AS (SELECT user_id, vm,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY us DESC, event_id DESC) AS rn
+      FROM e)
+SELECT user_id, CAST(vm AS BIGINT) AS vm FROM r WHERE rn = 1
+""",
+)
+def q264_stream_upsert_readback(spark, sf_dir):
+    """Streaming UPSERT through ``foreachBatch`` — the lakehouse
+    merge-sink pattern (stream -> foreachBatch(MERGE INTO keyed
+    table)), the streaming form of q230's batch MERGE: each
+    micro-batch folds its own last-write-per-user into the keyed state
+    table under last-write-wins by (event time, event_id), and the
+    final table is hash-gated against the batch argmax law.  The merge
+    law is associative AND commutative (keep the (us, event_id)-max
+    row), so the gate holds for ANY micro-batch partitioning of the
+    input — nothing about the replay order is assumed, unlike the
+    window rows' time-ordered discipline.
+
+    foreachBatch exactly-once discipline: every state version is
+    written to a ``batch_id``-keyed directory, so a replayed batch
+    (Spark's at-least-once foreachBatch contract after a failure)
+    overwrites ITS OWN output instead of double-merging — the
+    documented idempotent-sink pattern.
+
+    Scale shape: per batch the merge costs one window over
+    (state + batch) keyed rows; at 100 TB the state side is a
+    partitioned lakehouse table and this exact fold is what Delta/
+    Iceberg MERGE compiles to (join on key + latest-wins resolve) —
+    q230's plan, fed incrementally."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window as W
+
+    from multi_threaded_mapreduce_framework_spark.streaming import events_stream
+    from multi_threaded_mapreduce_framework_spark.streaming.windowed import (
+        replay_events,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir, "upsert_readback")
+    cached = _MATVIEW_STATE_CACHE.get(key)
+    if cached is None:
+        base = os.path.join(
+            tempfile.gettempdir(),
+            "mtmrf_layout",
+            layout_tag(spark, sf_dir),
+            "upsert_readback",
+        )
+        replay = os.path.join(base, "replay")
+        replay_events(spark, sf_dir, replay, n_chunks=4)
+        stream = events_stream(spark, replay).selectExpr(
+            "user_id",
+            "unix_micros(ts) AS us",
+            "event_id",
+            f"coalesce({_MICRO_SQL}, 0) AS vm",
+        )
+        w = W.partitionBy("user_id").orderBy(F.desc("us"), F.desc("event_id"))
+        state = {"dir": None}
+
+        def upsert(batch_df, batch_id):
+            last = (
+                batch_df.withColumn("rn", F.row_number().over(w))
+                .filter("rn = 1")
+                .drop("rn")
+            )
+            if state["dir"] is not None:
+                last = (
+                    spark.read.parquet(state["dir"])
+                    .unionByName(last)
+                    .withColumn("rn", F.row_number().over(w))
+                    .filter("rn = 1")
+                    .drop("rn")
+                )
+            out = os.path.join(base, f"state_v{batch_id}")
+            last.write.mode("overwrite").parquet(out)
+            state["dir"] = out
+
+        q = (
+            stream.writeStream.foreachBatch(upsert)
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        cached = (
+            spark.read.parquet(state["dir"])
+            .select("user_id", F.col("vm").cast("bigint").alias("vm"))
+            .localCheckpoint()
+        )
+        _MATVIEW_STATE_CACHE[key] = cached
+    return cached
+
+
+@register(
+    "q265_stream_update_changelog",
+    tier="T2",
+    oracle=f"""
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS cnt,
+       CAST(sum({_MICRO_SQL}) AS BIGINT) AS sum_micro
+FROM events GROUP BY user_id
+""",
+)
+def q265_stream_update_changelog(spark, sf_dir):
+    """UPDATE output mode under the hash gate — the CHANGELOG
+    contract, completing the output-mode trio (q256/q258 append, q262
+    complete, q265 update): a per-user (cnt, integer-micro sum)
+    aggregation emits ONLY the keys updated by each micro-batch, the
+    memory sink accumulates that change feed, and the FINAL state is
+    recovered from the changelog alone by taking each user's
+    highest-cnt emission (cnt is strictly monotone per key, so the
+    changelog needs no ordering column — the q231 recency discipline
+    applied to a change feed).  Hash-gated against the batch per-user
+    census: a changelog that skips an update, emits a stale value, or
+    re-emits an unchanged key breaks the recovery.
+
+    This is what feeds an external KEYED store (Redis, Cassandra, a
+    warehouse upsert): update mode ships deltas, the store keeps the
+    latest per key — q264 is the same contract with the fold executed
+    inside foreachBatch; here the SINK-side recovery law itself is
+    what the gate proves.
+
+    Scale shape: emission volume per batch = keys touched, not total
+    state (the whole point vs complete mode at billions of keys);
+    state store = one (cnt, sum) pair per user."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window as W
+
+    from multi_threaded_mapreduce_framework_spark.streaming import events_stream
+    from multi_threaded_mapreduce_framework_spark.streaming.windowed import (
+        replay_events,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir, "update_changelog")
+    cached = _MATVIEW_STATE_CACHE.get(key)
+    if cached is None:
+        base = os.path.join(
+            tempfile.gettempdir(),
+            "mtmrf_layout",
+            layout_tag(spark, sf_dir),
+            "update_changelog",
+        )
+        replay = os.path.join(base, "replay")
+        replay_events(spark, sf_dir, replay, n_chunks=4)
+        agg = (
+            events_stream(spark, replay)
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("cnt"),
+                F.sum(F.expr(_MICRO_SQL)).cast("bigint").alias("sum_micro"),
+            )
+        )
+        table = f"q265_changelog_{abs(hash(key)) % 10**9}"
+        q = (
+            agg.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(table)
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        w = W.partitionBy("user_id").orderBy(F.desc("cnt"))
+        cached = (
+            spark.table(table)
+            .withColumn("rn", F.row_number().over(w))
+            .filter("rn = 1")
+            .select("user_id", "cnt", "sum_micro")
+            .localCheckpoint()
+        )
+        _MATVIEW_STATE_CACHE[key] = cached
+    return cached

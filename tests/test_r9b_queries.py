@@ -446,3 +446,81 @@ def test_q263_file_sink_used_commit_log_and_matches_batch(spark, sf_dir):
     # the committed count is what must match the batch law
     committed = sum(got.values())
     assert committed == sum(batch.values())
+
+
+# ------------------------------------------------------------------ q264
+def test_q264_upsert_equals_batch_argmax_and_versioned_state(spark, sf_dir):
+    """The foreachBatch-merged table equals the batch last-write-wins
+    argmax, and the batch_id-keyed state versions really exist (the
+    idempotent-sink discipline: a replayed batch overwrites its own
+    version instead of double-merging)."""
+    import os
+    import tempfile
+
+    from pyspark.sql.window import Window as W
+
+    from multi_threaded_mapreduce_framework_spark.sources import layout_tag
+
+    got = {
+        r.user_id: r.vm
+        for r in QUERIES["q264_stream_upsert_readback"](spark, sf_dir).collect()
+    }
+    w = W.partitionBy("user_id").orderBy(
+        F.desc("us"), F.desc("event_id")
+    )
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .selectExpr(
+            "user_id",
+            "unix_micros(ts) AS us",
+            "event_id",
+            "coalesce(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT), 0) AS vm",
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .collect()
+    )
+    assert got == {r.user_id: r.vm for r in batch}
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "mtmrf_layout",
+        layout_tag(spark, sf_dir),
+        "upsert_readback",
+    )
+    versions = [d for d in os.listdir(base) if d.startswith("state_v")]
+    assert len(versions) >= 2, versions
+
+
+# ------------------------------------------------------------------ q265
+def test_q265_changelog_properties_and_batch_equality(spark, sf_dir):
+    """Update-mode changelog: final per-user state recovered from the
+    change feed equals the batch census; the raw feed carries MORE
+    rows than users (keys updated across multiple batches re-emit) and
+    each user's cnt emissions are strictly increasing (never a stale
+    or duplicate emission)."""
+    got = {
+        r.user_id: (r.cnt, r.sum_micro)
+        for r in QUERIES["q265_stream_update_changelog"](spark, sf_dir).collect()
+    }
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            F.sum(
+                F.expr("CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)")
+            )
+            .cast("bigint")
+            .alias("sum_micro"),
+        )
+        .collect()
+    )
+    assert got == {r.user_id: (r.cnt, r.sum_micro) for r in batch}
+    key = (spark.sparkContext.applicationId, "/root/testdata/sf0.001", "update_changelog")
+    raw = spark.table(f"q265_changelog_{abs(hash(key)) % 10**9}").collect()
+    assert len(raw) > len(got)
+    seen: dict[int, list[int]] = {}
+    for r in raw:
+        seen.setdefault(r.user_id, []).append(r.cnt)
+    for cnts in seen.values():
+        assert len(cnts) == len(set(cnts))  # strictly distinct emissions
