@@ -84,9 +84,9 @@ _REGISTRY: dict[str, Query] = {}
 # + the 36 r03-stale rows + q50-q52 (50 rows, 0 failures).
 # Round-9 priority (the r8 verdict's item 1): (1) this round's debuts
 # (never driven) — the q247-q251 band plus the continuation bands
-# q252-q265; (2) the 50 rows last driven r04 — the oldest band — in
-# staleness-first order, with the NINETEEN lowest-risk rows last (the
-# window holds ~50, and 19 debuts + 50 stale rows overfill it by 19).
+# q252-q266; (2) the 50 rows last driven r04 — the oldest band — in
+# staleness-first order, with the TWENTY lowest-risk rows last (the
+# window holds ~50, and 20 debuts + 50 stale rows overfill it by 20).
 # Tail rationale, weakest-risk-first from the back: q171 is rows-only
 # AND its integer core is hash-gated by q247; q23/q24's shapes are
 # re-proven by the r06-green q166/q199 session-window rows (and q24's
@@ -105,7 +105,9 @@ _REGISTRY: dict[str, Query] = {}
 # gaps-and-islands session law is q199/q190's (r06-green); q145's
 # integer-micro duration convention is the _MICRO_SQL law five
 # streaming debuts gate this round; q147's keep-best-per-key
-# survivorship law is exactly the q264 debut's upsert gate.  The full
+# survivorship law is exactly the q264 debut's upsert gate; q144's
+# merge-partials law is q188's matview law (r06-green), re-exercised
+# by the q262 debut's recovered-state gate.  The full
 # set is ALSO re-proven locally each session
 # via tools/check_oracle.py at BOTH sf0.01 and sf0.1 — every one of
 # the 63 priority rows has same-round local oracle evidence even when
@@ -131,6 +133,7 @@ _DRIVER_PRIORITY = (
     "q263_stream_file_sink_readback",
     "q264_stream_upsert_readback",
     "q265_stream_update_changelog",
+    "q266_pydatasource_stream_census",
     # --- last driver row r04: the oldest stale band ---
     "q128_train_holdout_leakage",
     "q129_skipgram_pairs",
@@ -146,7 +149,6 @@ _DRIVER_PRIORITY = (
     "q141_mad_outliers",
     "q142_copurchase_pairs",
     "q143_pmi_bigrams",
-    "q144_incremental_agg_merge",
     "q146_snapshot_diff_merkle",
     "q152_quantile_normalize",
     "q154_global_ordinal",
@@ -164,6 +166,7 @@ _DRIVER_PRIORITY = (
     "q98_contamination",
     "q102_cc_star",
     # --- r04-stale but lowest-risk: the window tail (see above) ---
+    "q144_incremental_agg_merge",
     "q145_time_weighted_avg",
     "q147_survivorship_merge",
     "q150_triangle_count",

@@ -136,6 +136,114 @@ def q192_docgen_census(spark, sf_dir):
     )
 
 
+# ------------------------------------------------------------------ q266
+# (applicationId, sf_dir) -> census readback; the stream ran once
+_DGSTREAM_CACHE: dict = {}
+
+
+@register(
+    "q266_pydatasource_stream_census",
+    tier="T2",
+    oracle=f"""
+WITH RECURSIVE base AS (
+  SELECT i AS doc_id, {_LCG_SQL.format(x='i')} AS h
+  FROM generate_series({_DOCGEN_LO}, {_DOCGEN_HI - 1}) t(i)),
+chain AS (
+  SELECT doc_id, h, CAST(10 + h % 40 AS BIGINT) AS n_words,
+         0 AS k, h AS w, CAST(0 AS BIGINT) AS acc
+  FROM base
+  UNION ALL
+  SELECT doc_id, h, n_words, k + 1,
+         {_LCG_SQL.format(x='w')},
+         acc + len(
+           [{','.join(f"'{w}'" for w in _DOCGEN_VOCAB)}]
+           [CAST({_LCG_SQL.format(x='w')} % 20 AS INT) + 1])
+  FROM chain WHERE k < n_words),
+per_doc AS (
+  SELECT doc_id, h, n_words, acc + n_words - 1 AS n_chars
+  FROM chain WHERE k = n_words)
+SELECT ['en','de','fr'][CAST(h % 3 AS INT) + 1] AS lang,
+       'gen' || CAST(h % 7 AS VARCHAR) AS source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_words) AS BIGINT) AS sum_words,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(min(doc_id) AS BIGINT) AS min_doc,
+       CAST(max(doc_id) AS BIGINT) AS max_doc
+FROM per_doc GROUP BY 1, 2
+""",
+)
+def q266_pydatasource_stream_census(spark, sf_dir):
+    """The custom PYTHON STREAMING source under the oracle gate — q192's
+    census produced by a real ``readStream.format("docgen")`` run
+    (PySpark 4 ``DataSourceStreamReader``: executor-parallel partition
+    planning per micro-batch, offset-ranged replay) instead of the
+    batch reader: rows arrive in offset-paced micro-batches, a
+    complete-mode streaming aggregation maintains the per-(lang,
+    source) census in the state store, and the readback must hash-match
+    the SAME first-principles SQL restatement of the generator law that
+    gates q192.  One gate proves the streaming source's offset
+    contract end to end: any skipped, duplicated, or mis-generated
+    offset range anywhere in the micro-batch sequence breaks the
+    census.
+
+    Scale shape: this is the wrap-any-upstream ingest pattern
+    (cursor-ranged API, keyspace scan, durable log) as a FIRST-CLASS
+    parallel streaming source — ``partitions(start, end)`` carves each
+    batch into executor splits, nothing materializes on the driver,
+    and replay-from-checkpoint regenerates byte-identical rows (the
+    property a real source gets from its log).  State = the census
+    domain (|langs| x |sources| rows), independent of row volume."""
+    from multi_threaded_mapreduce_framework_spark.sources import (
+        register_python_sources,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir, "dgstream")
+    cached = _DGSTREAM_CACHE.get(key)
+    if cached is None:
+        register_python_sources(spark)
+        stream = (
+            spark.readStream.format("docgen")
+            .option("rowsPerBatch", 1024)
+            .option("maxRows", _DOCGEN_HI)
+            .option("streamPartitions", 8)
+            .load()
+            .filter(
+                (F.col("doc_id") >= _DOCGEN_LO) & (F.col("doc_id") < _DOCGEN_HI)
+            )
+        )
+        agg = (
+            stream.select(
+                "doc_id",
+                "lang",
+                "source",
+                F.size(F.split("text", " ")).cast("bigint").alias("n_words"),
+                F.length("text").cast("bigint").alias("n_chars"),
+            )
+            .groupBy("lang", "source")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                F.sum("n_words").cast("bigint").alias("sum_words"),
+                F.sum("n_chars").cast("bigint").alias("sum_chars"),
+                F.min("doc_id").cast("bigint").alias("min_doc"),
+                F.max("doc_id").cast("bigint").alias("max_doc"),
+            )
+        )
+        table = f"q266_dgstream_{abs(hash(key)) % 10**9}"
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(table)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        cached = spark.table(table).localCheckpoint()
+        _DGSTREAM_CACHE[key] = cached
+    return cached
+
+
 # ------------------------------------------------------------------ q193
 @register(
     "q193_semantic_dedup",

@@ -82,7 +82,7 @@ def test_driver_priority_names_all_registered():
     num = lambda n: int(n[1:].split("_", 1)[0])  # noqa: E731
     # round-9 rotation (VERDICT r08 item 1): this round's debuts lead
     # the window (never driven; ascending numeric order)...
-    n_new_debuts = 19  # q247-q265; bump as round-9 queries land
+    n_new_debuts = 20  # q247-q266; bump as round-9 queries land
     debut_nums = [num(n) for n in ordered[:n_new_debuts]]
     assert debut_nums == sorted(debut_nums) and all(
         x >= 247 for x in debut_nums
@@ -90,17 +90,17 @@ def test_driver_priority_names_all_registered():
     assert ordered[0] == "q247_multimodal_meta_census"
     # ...then the 50 names last driven r04 — the oldest stale band:
     # q127-q170 + the cluster/contamination trio first, with the
-    # NINETEEN documented lowest-risk rows closing the window tail
+    # TWENTY documented lowest-risk rows closing the window tail
     # since debuts + 50 stale rows overfill a 50-row window by
-    # nineteen (shared-law rationale per tail row in registry.py)
+    # twenty (shared-law rationale per tail row in registry.py)
     stale = ordered[n_new_debuts : n_new_debuts + 50]
     assert {num(n) for n in stale} == (
         set(range(127, 171)) | {94, 98, 102, 23, 24, 171}
     ), sorted(num(n) for n in stale)
-    assert [num(n) for n in stale[-19:]] == [
-        145, 147, 150, 151, 132, 149, 127, 148, 158, 166, 130, 153, 164,
-        165, 162, 163, 23, 24, 171,
-    ], stale[-19:]
+    assert [num(n) for n in stale[-20:]] == [
+        144, 145, 147, 150, 151, 132, 149, 127, 148, 158, 166, 130, 153,
+        164, 165, 162, 163, 23, 24, 171,
+    ], stale[-20:]
 
 
 def test_every_query_has_a_survey_inventory_row():

@@ -524,3 +524,20 @@ def test_q265_changelog_properties_and_batch_equality(spark, sf_dir):
         seen.setdefault(r.user_id, []).append(r.cnt)
     for cnts in seen.values():
         assert len(cnts) == len(set(cnts))  # strictly distinct emissions
+
+
+# ------------------------------------------------------------------ q266
+def test_q266_stream_census_equals_batch_source_census(spark, sf_dir):
+    """The streaming Python-source census equals q192's batch-source
+    census exactly — same generator law through two different reader
+    APIs (DataSourceReader with pushed range vs DataSourceStreamReader
+    with offset-paced micro-batches)."""
+    got = {
+        (r.lang, r.source): (r.n_docs, r.sum_words, r.sum_chars, r.min_doc, r.max_doc)
+        for r in QUERIES["q266_pydatasource_stream_census"](spark, sf_dir).collect()
+    }
+    batch = {
+        (r.lang, r.source): (r.n_docs, r.sum_words, r.sum_chars, r.min_doc, r.max_doc)
+        for r in QUERIES["q192_docgen_census"](spark, sf_dir).collect()
+    }
+    assert got == batch
