@@ -82,110 +82,81 @@ _REGISTRY: dict[str, Query] = {}
 # q172; r06 q173-q222; r07 q223-q229 + q217(renamed) + q29-q49/q67
 # + the 6 r7 debuts + q76-q85/q88/q56/q111/q112; r08 the 11 r8 debuts
 # + the 36 r03-stale rows + q50-q52 (50 rows, 0 failures).
-# Round-9 priority (the r8 verdict's item 1): (1) this round's debuts
-# (never driven) — the q247-q251 band plus the continuation bands
-# q252-q266; (2) the 50 rows last driven r04 — the oldest band — in
-# staleness-first order, with the TWENTY lowest-risk rows last (the
-# window holds ~50, and 20 debuts + 50 stale rows overfill it by 20).
-# Tail rationale, weakest-risk-first from the back: q171 is rows-only
-# AND its integer core is hash-gated by q247; q23/q24's shapes are
-# re-proven by the r06-green q166/q199 session-window rows (and q24's
-# exact law is q256's oracle, hash-gated this round); q162/q163/
-# q153/q164/q165's bitmap laws are shared with the r06-green q177/q186
-# rows (q186's oracle IS q153's SQL; q165's law is q109's, r05-green);
-# q130's packing law is re-proven by the r06/r08-green q204/q246
-# consistency tests; q166's session law is q199/q190's (r06-green);
-# q158's replay law is exercised by every streaming row re-driven
-# r08/r09 (q244/q248 use the same replay machinery); q127/q148 share
-# the whitespace-tokenization vocab law with the r07/r08-green q233
-# fertility row; q132's gate law is replayed integer-exactly by the
-# q252 debut's waterfall (driven this round); q149's skew census
-# shares q114 salted_agg's law (pass (hash) r08); q150's edge-relation
-# discipline is q102 cc_star's, which IS in this driven window; q151's
-# gaps-and-islands session law is q199/q190's (r06-green); q145's
-# integer-micro duration convention is the _MICRO_SQL law five
-# streaming debuts gate this round; q147's keep-best-per-key
-# survivorship law is exactly the q264 debut's upsert gate; q144's
-# merge-partials law is q188's matview law (r06-green), re-exercised
-# by the q262 debut's recovered-state gate.  The full
-# set is ALSO re-proven locally each session
-# via tools/check_oracle.py at BOTH sf0.01 and sf0.1 — every one of
-# the 63 priority rows has same-round local oracle evidence even when
-# the driver window cuts off.
+# Round-10 priority (the r9 verdict's item 1): (1) this round's debuts
+# (never driven) — q267 (image-resize round-trip census, the q172
+# promotion) and q268 (jsonl Python-DataSource WRITER write->readback
+# law); (2) the 20 rows last driven r04 — the oldest band, four rounds
+# unverified (VERDICT r9 item 1 names them) — staleness-first; (3) the
+# remaining ~28 slots retire the oldest r05 rows.  19 r05 rows defer
+# to r11, lowest-risk last: q172 is rows-only AND its integer decode
+# law is hash-gated by the q267 debut THIS round (plus q247, r09);
+# q55 is contractual rows-only (HLL sketch, accuracy-bounded in
+# tests/test_approx.py) so the driver gate is weaker regardless; q86
+# was judge-spot-checked green at sf0.1 in the r9 session; the TPC-H
+# band (q53/q54/q64/q65/q66/q72-q75/q87/q89-q93) are pure relational
+# plans with no Python kernels or derived fixtures — their operator
+# surface (multi-join order, filtered aggs, exists/anti forms) is
+# exercised by in-window relational rows and judge TPC-H spot checks
+# hit the band every round (q86 r9, q01/q111 r9); q25's exact-dedup
+# law is the oracle of the r09-green q244/q248 streaming dedup rows.
+# The full set is ALSO re-proven locally each session via
+# tools/check_oracle.py at BOTH sf0.01 and sf0.1 — every deferred row
+# has same-round local oracle evidence even when the driver window
+# cuts off.
 _DRIVER_PRIORITY = (
-    # --- round-9 debuts (never driven) lead the window, ascending ---
-    "q247_multimodal_meta_census",
-    "q248_stream_dedup_watermark",
-    "q249_banded_threshold_curve",
-    "q250_vacuum_retention_census",
-    "q251_sql_scripting_trimmed_census",
-    "q252_filter_attrition_waterfall",
-    "q253_eval_apportionment",
-    "q254_langid_agreement_kappa",
-    "q255_lsh_design_curve",
-    "q256_stream_window_census",
-    "q257_temperature_mixture",
-    "q258_stream_sliding_census",
-    "q259_source_datasheet",
-    "q260_t_closeness_census",
-    "q261_vocab_coverage_curve",
-    "q262_stream_restart_readback",
-    "q263_stream_file_sink_readback",
-    "q264_stream_upsert_readback",
-    "q265_stream_update_changelog",
-    "q266_pydatasource_stream_census",
-    # --- last driver row r04: the oldest stale band ---
-    "q128_train_holdout_leakage",
-    "q129_skipgram_pairs",
-    "q131_kmeans_update",
-    "q133_embedding_outliers",
-    "q134_bm25_topk",
-    "q135_heavy_hitter_shingles",
-    "q136_bloom_prefilter_join",
-    "q137_zorder_skipping",
-    "q138_bpe_pair_counts",
-    "q139_pps_systematic_sample",
-    "q140_char_entropy",
-    "q141_mad_outliers",
-    "q142_copurchase_pairs",
-    "q143_pmi_bigrams",
-    "q146_snapshot_diff_merkle",
-    "q152_quantile_normalize",
-    "q154_global_ordinal",
-    "q155_deletion_neighbors",
-    "q156_topk_pushdown",
-    "q157_novelty_score",
-    "q159_weighted_median",
-    "q160_lang_overlap",
-    "q161_sorted_neighborhood",
-    "q167_linear_interpolate",
-    "q168_benford_audit",
-    "q169_cusum_changepoint",
-    "q170_pareto_skyline",
-    "q94_dedup_clusters",
-    "q98_contamination",
-    "q102_cc_star",
-    # --- r04-stale but lowest-risk: the window tail (see above) ---
+    # --- round-10 debuts (never driven) lead the window ---
+    "q267_image_resize_census",
+    "q268_jsonl_write_readback",
+    # --- last driver row r04: the oldest stale band (VERDICT r9 #1) ---
+    "q23_sessionize",
+    "q24_window_tumbling",
+    "q127_vocab_ids",
+    "q130_sequence_packing",
+    "q132_quality_gates",
     "q144_incremental_agg_merge",
     "q145_time_weighted_avg",
     "q147_survivorship_merge",
+    "q148_tokenize_to_ids",
+    "q149_skew_audit",
     "q150_triangle_count",
     "q151_session_attribution",
-    "q132_quality_gates",
-    "q149_skew_audit",
-    "q127_vocab_ids",
-    "q148_tokenize_to_ids",
-    "q158_watermark_replay",
-    "q166_session_window",
-    "q130_sequence_packing",
     "q153_bitmap_distinct",
-    "q164_bitmap_retention",
-    "q165_bitmap_rolling_wau",
+    "q158_watermark_replay",
     "q162_bitmap_set_algebra",
     "q163_bitmap_distinct_rollup",
-    "q23_sessionize",
-    "q24_window_tumbling",
+    "q164_bitmap_retention",
+    "q165_bitmap_rolling_wau",
+    "q166_session_window",
     "q171_multimodal_audio",
+    # --- last driver row r05: oldest-next band, ascending ---
+    "q26_ngram_bigrams",
+    "q27_jaccard_neardup",
+    "q28_cosine_topk",
+    "q57_date_arith",
+    "q58_string_funcs2",
+    "q59_window_range_frame",
+    "q60_min_max_by",
+    "q61_deterministic_split",
+    "q62_tfidf_top_terms",
+    "q63_event_transitions",
+    "q68_longest_streak",
+    "q69_regr_slope",
+    "q70_asof_join",
+    "q71_interval_join",
+    "q95_corpus_select",
+    "q96_repetition_stats",
+    "q97_trigram_lm",
+    "q99_stratified_sample",
+    "q100_pii_redact",
+    "q101_repeated_passages",
+    "q103_stratum_topk_sample",
+    "q104_length_histogram",
+    "q105_funnel_conversion",
+    "q106_variant_json",
+    "q107_retention_cohorts",
+    "q108_mixture_allocation",
+    "q109_rolling_wau",
+    "q110_unpivot",
 )
 
 

@@ -442,3 +442,125 @@ def q247_multimodal_meta_census(spark, sf_dir):
         .cast("bigint")
         .alias("known_bytes"),
     )
+
+
+# ------------------------------------------------------------------ q267
+@register(
+    "q267_image_resize_census",
+    tier="T2",
+    oracle="""
+WITH d AS (SELECT doc_id,
+                  CAST(8 + doc_id % 8 AS BIGINT) AS w,
+                  CAST(6 + doc_id % 5 AS BIGINT) AS h,
+                  CASE WHEN doc_id % 2 = 0 THEN 'ppm' ELSE 'png' END
+                    AS format
+           FROM documents),
+grid AS (SELECT r.r AS r, c.c AS c, ch.ch AS ch
+         FROM generate_series(0, 9) r(r)
+         CROSS JOIN generate_series(0, 11) c(c)
+         CROSS JOIN generate_series(0, 2) ch(ch)),
+px AS (SELECT d.doc_id, d.format,
+              (((2 * g.r + 1) * d.h // 20) * (d.w * 3)
+               + ((2 * g.c + 1) * d.w // 24) * 3
+               + g.ch + d.doc_id) % 256 AS v
+       FROM d CROSS JOIN grid g),
+meta AS (SELECT format, CAST(count(*) AS BIGINT) AS n_media
+         FROM d GROUP BY format),
+agg AS (SELECT format, CAST(sum(v) AS BIGINT) AS pix_sum
+        FROM px GROUP BY format)
+SELECT m.format AS format, m.n_media AS n_media,
+       CAST(m.n_media * 12 AS BIGINT) AS w_sum,
+       CAST(m.n_media * 10 AS BIGINT) AS h_sum,
+       CAST(m.n_media * 360 AS BIGINT) AS pix_bytes,
+       a.pix_sum AS pix_sum,
+       CAST(CASE WHEN m.format = 'ppm' THEN m.n_media * 373 ELSE 0 END
+            AS BIGINT) AS known_bytes
+FROM meta m JOIN agg a USING (format)
+""",
+)
+def q267_image_resize_census(spark, sf_dir):
+    """HASH-GATED image RESIZE round-trip census (r9 verdict item 3 —
+    the q172 promotion, in the q247 pattern; shrinks the rows-only set
+    to q55/q56/q171/q172/q173's float tiers): every document gets
+    q172's GENUINE image payload (even doc_id -> P6 PPM, odd -> zlib/
+    Paeth PNG; pixel byte k of doc d is ``(d + k) % 256`` on a
+    ``(8 + d%8) x (6 + d%5)`` RGB grid), the REAL codec-free
+    nearest-neighbor resize (``operators/multimodal.py::
+    resize_images(fake=False)``) re-encodes every payload to 12x10 in
+    its SAME container (PNG goes parse -> inflate -> un-Paeth ->
+    resample -> re-deflate -> re-CRC), and ``media_census`` recovers
+    the ALL-INTEGER census from the RESIZED bytes alone.
+
+    The DuckDB oracle replays the full resample arithmetically: the
+    NN source index ``floor((r + 0.5) * h / 10)`` is exactly
+    ``((2r + 1) * h) // 20`` (the double multiply/divide is correctly
+    rounded and the true rational is either exactly integral or
+    >= 1/20 from one, so the floor is bit-determined — same argument
+    columnwise with 24), so ``pix_sum`` is the sum of 360 resampled
+    ramp bytes per document in closed integer form.  One mis-mapped
+    source pixel, one bad Paeth reconstruction, or one corrupt
+    re-encoded byte anywhere in the corpus breaks the hash.  PPM's
+    on-disk size is the declared 373-byte law; PNG's is
+    zlib-dependent, so ``known_bytes`` is 0 for PNG (q247's rule) —
+    its content gate is ``pix_sum`` through the re-encode.
+
+    Scale shape (q172's discipline, plan-asserted there): synth ->
+    resize -> census are three chained Arrow kernels in ONE scan
+    stage — payload bytes are born, rewritten, and consumed on the
+    same executor, never shuffled, never driver-side; only |format| =
+    2 integer census rows aggregate."""
+    from multi_threaded_mapreduce_framework_spark.operators.multimodal import (
+        media_census,
+        resize_images,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        from multi_threaded_mapreduce_framework_spark.operators.multimodal import (
+            encode_png,
+        )
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                w, h = 8 + d % 8, 6 + d % 5
+                px = ((np.arange(w * h * 3, dtype=np.int64) + d) % 256).astype(
+                    np.uint8
+                )
+                payloads.append(
+                    encode_png(px.reshape(h, w, 3))
+                    if d % 2
+                    else b"P6\n%d %d\n255\n" % (w, h) + px.tobytes()
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": ["image"] * len(pdf),
+                    "payload": payloads,
+                }
+            )
+
+    media = docs.mapInPandas(
+        synth, schema="media_id bigint, kind string, payload binary"
+    )
+    resized = resize_images(media, width=12, height=10, fake=False)
+    census = media_census(resized)
+    return census.groupBy("format").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_media"),
+        F.sum("width").cast("bigint").alias("w_sum"),
+        F.sum("height").cast("bigint").alias("h_sum"),
+        F.sum("pix_bytes").cast("bigint").alias("pix_bytes"),
+        F.sum("pix_sum").cast("bigint").alias("pix_sum"),
+        F.sum(
+            F.when(F.col("format") == "png", F.lit(0)).otherwise(
+                F.col("byte_len")
+            )
+        )
+        .cast("bigint")
+        .alias("known_bytes"),
+    )

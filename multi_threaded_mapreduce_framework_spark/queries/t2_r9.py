@@ -567,8 +567,14 @@ def q254_langid_agreement_kappa(spark, sf_dir):
     kappa_micro is ONE floor() over one IEEE multiply+divide on
     bitwise-equal integer inputs, the identical-expression-tree class
     q239 established (both engines compute the same correctly-rounded
-    double, so the floor agrees bit-exactly; magnitudes stay inside
-    2^53 up to ~10^9 docs, docstring-declared).
+    double, so the floor agrees bit-exactly).  Declared envelope
+    (r9 advisor): the binding term is ``1000000 * s`` with
+    ``s = sum(r_i * c_i) <= n^2`` — int64-safe only while
+    ``10^6 * n^2 < 2^63``, i.e. n <= ~3.0e6 docs; the ``n*n - s``
+    double path stays 2^53-exact to the same point, so the row's
+    declared domain is n <= 3e6 docs per audit slice.  Beyond that,
+    rescale per-slice (audit per source/shard — the operational
+    shape anyway) or divide s by n before the micro multiply.
 
     Plan: q224's plan (one distinct-trigram explode, broadcast
     profiles, doc-bounded argmax windows) feeding label-domain-bounded

@@ -319,6 +319,8 @@ def q190_tws_timer_sessions(spark, sf_dir):
         session_finalizer_tws,
     )
     from multi_threaded_mapreduce_framework_spark.streaming.windowed import (
+        _data_files,
+        bump_new_file_mtimes,
         replay_events_time_ordered,
     )
 
@@ -326,8 +328,6 @@ def q190_tws_timer_sessions(spark, sf_dir):
     key = (spark.sparkContext.applicationId, sf_dir, "tws_timer")
     cached = _MATVIEW_STATE_CACHE.get(key)
     if cached is None:
-        import time as _t
-
         ensure_protobuf_on_workers(spark)  # vanilla-session safe
         spark.conf.set(
             "spark.sql.streaming.stateStore.providerClass",
@@ -356,8 +356,9 @@ def q190_tws_timer_sessions(spark, sf_dir):
             )
             .select(*ev.columns)
         )
-        _t.sleep(0.1)
+        pre_sentinel = set(_data_files(replay))
         sent.coalesce(1).write.mode("append").parquet(replay)
+        bump_new_file_mtimes(replay, pre_sentinel)  # sentinel replays last
         stream = events_stream(spark, replay).selectExpr(
             "user_id", "ts", "unix_micros(ts) AS us", "event_id"
         )
@@ -705,9 +706,11 @@ def q244_stream_dedup_readback(spark, sf_dir):
     key = (spark.sparkContext.applicationId, sf_dir, "dedup_readback")
     cached = _MATVIEW_STATE_CACHE.get(key)
     if cached is None:
-        import time as _t
-
         from multi_threaded_mapreduce_framework_spark.sources import load_table
+        from multi_threaded_mapreduce_framework_spark.streaming.windowed import (
+            _data_files,
+            bump_new_file_mtimes,
+        )
 
         base = os.path.join(
             tempfile.gettempdir(),
@@ -717,10 +720,11 @@ def q244_stream_dedup_readback(spark, sf_dir):
         )
         replay = os.path.join(base, "replay")
         replay_events(spark, sf_dir, replay, n_chunks=3)
-        _t.sleep(0.05)  # distinct mtime: the duplicate wave replays after
+        pre_wave = set(_data_files(replay))
         load_table(spark, sf_dir, "events").repartition(3).write.mode(
             "append"
         ).parquet(replay)
+        bump_new_file_mtimes(replay, pre_wave)  # duplicate wave replays after
         stream = stream_dedup(
             events_stream(spark, replay).select("event_id", "event_type"),
             ["event_id"],
@@ -786,7 +790,10 @@ def q248_stream_dedup_watermark(spark, sf_dir):
     key = (spark.sparkContext.applicationId, sf_dir, "dedup_wm_readback")
     cached = _MATVIEW_STATE_CACHE.get(key)
     if cached is None:
-        import time as _t
+        from multi_threaded_mapreduce_framework_spark.streaming.windowed import (
+            _data_files,
+            bump_new_file_mtimes,
+        )
 
         base = os.path.join(
             tempfile.gettempdir(),
@@ -796,10 +803,11 @@ def q248_stream_dedup_watermark(spark, sf_dir):
         )
         replay = os.path.join(base, "replay")
         replay_events(spark, sf_dir, replay, n_chunks=3)
-        _t.sleep(0.05)  # distinct mtime: the duplicate wave replays after
+        pre_wave = set(_data_files(replay))
         load_table(spark, sf_dir, "events").repartition(3).write.mode(
             "append"
         ).parquet(replay)
+        bump_new_file_mtimes(replay, pre_wave)  # duplicate wave replays after
         # Delay >= the fixture's whole event-time span: the watermark
         # can never pass first_seen_ts + delay before the stream
         # drains, so no key's dedup state evicts mid-replay and the
@@ -872,13 +880,15 @@ def q256_stream_window_census(spark, sf_dir):
 def _append_window_run(spark, sf_dir, tag, duration, slide):
     """Shared q256/q258 machinery: time-ordered replay + far-future
     sentinel + append-mode watermarked window aggregation (count +
-    integer-micro value sum), readback cached per (app, sf_dir, tag)."""
-    import time as _t
-
+    integer-micro value sum), readback cached per (app, sf_dir, tag).
+    Replay order (chunks, then sentinel last) is pinned with explicit
+    ``os.utime`` mtimes, never wall-clock sleeps (r9 advisor fix)."""
     import pyspark.sql.functions as F
 
     from multi_threaded_mapreduce_framework_spark.streaming import events_stream
     from multi_threaded_mapreduce_framework_spark.streaming.windowed import (
+        _data_files,
+        bump_new_file_mtimes,
         replay_events_time_ordered,
     )
 
@@ -912,8 +922,11 @@ def _append_window_run(spark, sf_dir, tag, duration, slide):
             )
             .select(*ev.columns)
         )
-        _t.sleep(0.1)  # distinct mtime: the sentinel replays last
+        # the sentinel must replay LAST: stamp its files with an mtime
+        # strictly above every chunk's (explicit utime, not a sleep)
+        pre_sentinel = set(_data_files(replay))
         sent.coalesce(1).write.mode("append").parquet(replay)
+        bump_new_file_mtimes(replay, pre_sentinel)
         win = (
             F.window("ts", duration, slide) if slide else F.window("ts", duration)
         )
@@ -1030,7 +1043,10 @@ def q262_stream_restart_readback(spark, sf_dir):
     key = (spark.sparkContext.applicationId, sf_dir, "restart_readback")
     cached = _MATVIEW_STATE_CACHE.get(key)
     if cached is None:
-        import time as _t
+        from multi_threaded_mapreduce_framework_spark.streaming.windowed import (
+            _data_files,
+            bump_new_file_mtimes,
+        )
 
         base = os.path.join(
             tempfile.gettempdir(),
@@ -1070,8 +1086,9 @@ def q262_stream_restart_readback(spark, sf_dir):
                 q.stop()
 
         run_once()  # first half only, then a clean stop
-        _t.sleep(0.05)  # distinct mtime: downtime arrivals sort after
+        pre_downtime = set(_data_files(replay))
         second.repartition(2).write.mode("append").parquet(replay)
+        bump_new_file_mtimes(replay, pre_downtime)  # downtime arrivals sort after
         run_once()  # NEW query object, same checkpoint: resumes state
         cached = spark.table(table).localCheckpoint()
         _MATVIEW_STATE_CACHE[key] = cached
@@ -1091,8 +1108,11 @@ def q263_stream_file_sink_readback(spark, sf_dir):
     the lakehouse landing pattern (stream -> checkpointed parquet dir
     -> downstream batch readers): a streaming dedup writes append-mode
     parquet through the file sink's transaction log, is STOPPED
-    mid-pipeline, a full DUPLICATE wave of every event arrives during
-    the downtime, and a restarted query drains it; the batch READBACK
+    BETWEEN fully-drained waves (the first run drains the original
+    wave with ``processAllAvailable`` before stopping — torn mid-batch
+    recovery is q262's axis, not this row's), a full DUPLICATE wave of
+    every event arrives during the downtime, and a restarted query
+    drains it; the batch READBACK
     of the sink directory (which honors ``_spark_metadata``, reading
     only committed files) must census exactly the un-duplicated
     events.  One gate proves three contracts at once: the file sink's
@@ -1117,7 +1137,10 @@ def q263_stream_file_sink_readback(spark, sf_dir):
     key = (spark.sparkContext.applicationId, sf_dir, "file_sink_readback")
     cached = _MATVIEW_STATE_CACHE.get(key)
     if cached is None:
-        import time as _t
+        from multi_threaded_mapreduce_framework_spark.streaming.windowed import (
+            _data_files,
+            bump_new_file_mtimes,
+        )
 
         base = os.path.join(
             tempfile.gettempdir(),
@@ -1150,10 +1173,11 @@ def q263_stream_file_sink_readback(spark, sf_dir):
                 q.stop()
 
         run_once()  # the original wave lands in the sink
-        _t.sleep(0.05)  # distinct mtime: the duplicate wave sorts after
+        pre_wave = set(_data_files(replay))
         load_table(spark, sf_dir, "events").select(
             "event_id", "event_type", "ts"
         ).repartition(3).write.mode("append").parquet(replay)
+        bump_new_file_mtimes(replay, pre_wave)  # duplicate wave sorts after
         run_once()  # restart: recovered dedup state absorbs the wave
         cached = (
             spark.read.parquet(sink)
@@ -1192,9 +1216,13 @@ def q264_stream_upsert_readback(spark, sf_dir):
     window rows' time-ordered discipline.
 
     foreachBatch exactly-once discipline: every state version is
-    written to a ``batch_id``-keyed directory, so a replayed batch
-    (Spark's at-least-once foreachBatch contract after a failure)
-    overwrites ITS OWN output instead of double-merging — the
+    written to a ``batch_id``-keyed directory and the PREVIOUS state
+    is resolved as the highest ``state_v{K < batch_id}`` on disk — a
+    pure function of ``batch_id`` (r9 advisor fix: no mutable driver
+    pointer), so a replayed batch (Spark's at-least-once foreachBatch
+    contract after a failure) re-reads the same inputs and overwrites
+    ITS OWN output instead of double-merging, and a query RESTART
+    resumes from the persisted versions rather than resetting — the
     documented idempotent-sink pattern.
 
     Scale shape: per batch the merge costs one window over
@@ -1228,7 +1256,17 @@ def q264_stream_upsert_readback(spark, sf_dir):
             f"coalesce({_MICRO_SQL}, 0) AS vm",
         )
         w = W.partitionBy("user_id").orderBy(F.desc("us"), F.desc("event_id"))
-        state = {"dir": None}
+
+        def _state_versions(below=None):
+            import re as _re
+
+            out = []
+            if os.path.isdir(base):
+                for f in os.listdir(base):
+                    m = _re.fullmatch(r"state_v(\d+)", f)
+                    if m and (below is None or int(m.group(1)) < below):
+                        out.append(int(m.group(1)))
+            return out
 
         def upsert(batch_df, batch_id):
             last = (
@@ -1236,9 +1274,16 @@ def q264_stream_upsert_readback(spark, sf_dir):
                 .filter("rn = 1")
                 .drop("rn")
             )
-            if state["dir"] is not None:
+            # previous state = highest persisted version STRICTLY below
+            # this batch_id — a pure function of batch_id, so a replay
+            # of batch K reads exactly what the first attempt read and
+            # overwrites state_vK idempotently
+            prev = _state_versions(below=batch_id)
+            if prev:
                 last = (
-                    spark.read.parquet(state["dir"])
+                    spark.read.parquet(
+                        os.path.join(base, f"state_v{max(prev)}")
+                    )
                     .unionByName(last)
                     .withColumn("rn", F.row_number().over(w))
                     .filter("rn = 1")
@@ -1246,7 +1291,6 @@ def q264_stream_upsert_readback(spark, sf_dir):
                 )
             out = os.path.join(base, f"state_v{batch_id}")
             last.write.mode("overwrite").parquet(out)
-            state["dir"] = out
 
         q = (
             stream.writeStream.foreachBatch(upsert)
@@ -1257,8 +1301,9 @@ def q264_stream_upsert_readback(spark, sf_dir):
             q.processAllAvailable()
         finally:
             q.stop()
+        final = _state_versions()
         cached = (
-            spark.read.parquet(state["dir"])
+            spark.read.parquet(os.path.join(base, f"state_v{max(final)}"))
             .select("user_id", F.col("vm").cast("bigint").alias("vm"))
             .localCheckpoint()
         )

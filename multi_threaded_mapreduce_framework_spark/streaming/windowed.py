@@ -18,11 +18,36 @@ full history per user.
 
 from __future__ import annotations
 
+import os
+import time as _time
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
 from multi_threaded_mapreduce_framework_spark.sources import load_table
+
+
+def _data_files(out_dir: str) -> list[str]:
+    return [f for f in os.listdir(out_dir) if not f.startswith(("_", "."))]
+
+
+def bump_new_file_mtimes(out_dir: str, before: set[str], bump: float = 1.0) -> None:
+    """Stamp every data file created since ``before`` with an explicit
+    mtime strictly greater than all pre-existing files' (``os.utime``),
+    so the file stream's mtime-based listing order is deterministic even
+    on filesystems with coarse mtime granularity (r9 advisor fix — the
+    previous sub-second ``sleep`` could tie there and replay chunks out
+    of order, tripping watermark-driven late drops)."""
+    names = _data_files(out_dir)
+    old = [
+        os.path.getmtime(os.path.join(out_dir, f)) for f in names if f in before
+    ]
+    t = (max(old) if old else _time.time()) + bump
+    for f in names:
+        if f not in before:
+            p = os.path.join(out_dir, f)
+            os.utime(p, (t, t))
 
 
 def replay_events(
@@ -43,9 +68,9 @@ def replay_events_time_ordered(
     event-time-timer pipeline needs (a hash-partitioned replay would
     race the watermark past data still in later chunks).  Chunk
     boundaries are ntile ranges of ``ts``; within a chunk rows stay
-    unordered (micro-batch internal disorder is the operator's job)."""
-    import time as _time
-
+    unordered (micro-batch internal disorder is the operator's job).
+    Chunk order is pinned with explicit strictly-increasing mtimes
+    (``bump_new_file_mtimes``), not wall-clock sleeps."""
     ev = load_table(spark, sf_dir, "events")
     bounds = ev.selectExpr(
         f"ntile({n_chunks}) OVER (ORDER BY ts, event_id) AS tile",
@@ -53,11 +78,13 @@ def replay_events_time_ordered(
         "event_id",
     )
     tiled = ev.join(bounds, ["ts", "event_id"])
+    seen: set[str] = set()
     for i in range(1, n_chunks + 1):
         tiled.filter(F.col("tile") == i).drop("tile").coalesce(1).write.mode(
             "append"
         ).parquet(out_dir)
-        _time.sleep(0.05)  # strictly increasing file mtimes
+        bump_new_file_mtimes(out_dir, seen)
+        seen = set(_data_files(out_dir))
 
 
 def events_stream(spark: SparkSession, src_dir: str) -> DataFrame:

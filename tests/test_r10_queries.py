@@ -1,0 +1,135 @@
+"""Law-pinning tests for the round-10 debuts: the image resize
+round-trip census (q267) replayed against an independent numpy
+nearest-neighbor resample (the FLOAT kernel law, independently of the
+oracle's integer closed form), the float-vs-integer floor equivalence
+the q267 oracle rests on, and the jsonl writer round trip (q268) —
+census equality vs the parquet fixture plus the committed-manifest
+invariants of the two-phase commit."""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+import numpy as np
+import pyspark.sql.functions as F
+
+from multi_threaded_mapreduce_framework_spark.queries import all_queries
+from multi_threaded_mapreduce_framework_spark.sources import (
+    layout_tag,
+    load_table,
+)
+
+QUERIES = {n: q.builder for n, q in all_queries().items()}
+
+
+# ------------------------------------------------------------------ q267
+def _nn_resample_sum(d: int, W: int = 12, H: int = 10) -> tuple[str, int]:
+    """Independent replay of q267's per-doc law with the kernel's OWN
+    float index mapping (``((arange + .5) * src / dst).astype(int)``),
+    not the oracle's integer closed form — so this test arbitrates
+    between the two if they ever diverge."""
+    w, h = 8 + d % 8, 6 + d % 5
+    px = ((np.arange(w * h * 3, dtype=np.int64) + d) % 256).reshape(h, w, 3)
+    rows = np.minimum(((np.arange(H) + 0.5) * h / H).astype(int), h - 1)
+    cols = np.minimum(((np.arange(W) + 0.5) * w / W).astype(int), w - 1)
+    out = px[rows][:, cols]
+    return ("ppm" if d % 2 == 0 else "png"), int(out.sum())
+
+
+def test_q267_matches_numpy_nn_replay(spark, sf_dir):
+    got = {
+        r.format: (r.n_media, r.w_sum, r.h_sum, r.pix_bytes, r.pix_sum, r.known_bytes)
+        for r in QUERIES["q267_image_resize_census"](spark, sf_dir).collect()
+    }
+    doc_ids = [
+        r.doc_id
+        for r in load_table(spark, sf_dir, "documents").select("doc_id").collect()
+    ]
+    exp: dict[str, list[int]] = {}
+    for d in doc_ids:
+        fmt, s = _nn_resample_sum(int(d))
+        a = exp.setdefault(fmt, [0, 0])
+        a[0] += 1
+        a[1] += s
+    assert set(got) == set(exp)
+    for fmt, (n, s) in exp.items():
+        kb = n * 373 if fmt == "ppm" else 0
+        assert got[fmt] == (n, n * 12, n * 10, n * 360, s, kb)
+
+
+def test_q267_floor_law_float_equals_integer():
+    """The oracle's integer form ``((2k+1)*src) // (2*dst)`` equals the
+    kernel's float ``int((k + .5) * src / dst)`` over the ENTIRE q267
+    domain (src rows 6..10 / dst 10, src cols 8..15 / dst 12) — the
+    bit-determinism claim in the q267 docstring, enumerated."""
+    for dst, srcs in ((10, range(6, 11)), (12, range(8, 16))):
+        for src in srcs:
+            for k in range(dst):
+                assert int((k + 0.5) * src / dst) == ((2 * k + 1) * src) // (
+                    2 * dst
+                )
+
+
+# ------------------------------------------------------------------ q268
+def test_q268_census_equals_batch(spark, sf_dir):
+    got = {
+        (r.lang, r.source): (
+            r.n_docs,
+            r.sum_chars,
+            r.sum_text_chars,
+            r.min_doc,
+            r.max_doc,
+        )
+        for r in QUERIES["q268_jsonl_write_readback"](spark, sf_dir).collect()
+    }
+    batch = {
+        (r.lang, r.source): (
+            r.n_docs,
+            r.sum_chars,
+            r.sum_text_chars,
+            r.min_doc,
+            r.max_doc,
+        )
+        for r in (
+            load_table(spark, sf_dir, "documents")
+            .groupBy("lang", "source")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                F.sum("n_chars").cast("bigint").alias("sum_chars"),
+                F.sum(F.length("text")).cast("bigint").alias("sum_text_chars"),
+                F.min("doc_id").cast("bigint").alias("min_doc"),
+                F.max("doc_id").cast("bigint").alias("max_doc"),
+            )
+            .collect()
+        )
+    }
+    assert got == batch
+
+
+def test_q268_manifest_invariants(spark, sf_dir):
+    """After the overwrite+append write pair: the manifest names exactly
+    the committed shard set (4 overwrite + 3 append tasks), every named
+    shard exists, no stray visible shard or temp file survives, and the
+    manifest row count equals the corpus size."""
+    QUERIES["q268_jsonl_write_readback"](spark, sf_dir).collect()
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "mtmrf_layout",
+        layout_tag(spark, sf_dir),
+        "jsonl_write",
+        "corpus",
+    )
+    with open(os.path.join(out, "_MANIFEST.json"), encoding="utf-8") as fh:
+        manifest = json.load(fh)
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert manifest["rows"] == n_docs
+    assert len(manifest["files"]) == 7
+    named = {os.path.basename(f) for f in manifest["files"]}
+    for f in manifest["files"]:
+        assert os.path.exists(f)
+    on_disk = {
+        f for f in os.listdir(out) if f.endswith(".jsonl") and not f.startswith("_")
+    }
+    assert on_disk == named  # no strays, no surviving temp files

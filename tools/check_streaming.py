@@ -880,6 +880,75 @@ def kafka_wire_tumbling_vs_batch_q24(spark, sf_dir, replay_dir, work):
     return len(got)
 
 
+@scenario
+def update_changelog_emissions_per_batch(spark, sf_dir, replay_dir, work):
+    """q265's update-mode contract scenario-pinned (VERDICT r9 item 6):
+    a per-user running count over a DETERMINISTIC 4-chunk replay
+    (event_id % 4, chunk order pinned with explicit mtimes) emits, per
+    micro-batch, EXACTLY the keys that batch touched — each with its
+    correct cumulative count — and nothing else (no stale re-emission,
+    no skipped update).  foreachBatch + update mode exposes the
+    per-batch change feed with its batch_id, so the check is exact."""
+    from multi_threaded_mapreduce_framework_spark.sources import load_table
+    from multi_threaded_mapreduce_framework_spark.streaming.windowed import (
+        _data_files,
+        bump_new_file_mtimes,
+    )
+
+    rep = os.path.join(work, "upd_chlog_replay")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    chunk_counts = []
+    seen: set[str] = set()
+    for i in range(4):
+        chunk = ev.filter(F.col("event_id") % 4 == i)
+        chunk_counts.append(
+            {
+                r.user_id: r.c
+                for r in chunk.groupBy("user_id")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+                .collect()
+            }
+        )
+        chunk.coalesce(1).write.mode("append").parquet(rep)
+        bump_new_file_mtimes(rep, seen)
+        seen = set(_data_files(rep))
+    agg = (
+        events_stream(spark, rep)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    captured: dict[int, dict] = {}
+
+    def capture(batch_df, batch_id):
+        rows = batch_df.collect()
+        if rows:
+            captured[batch_id] = {r.user_id: r.cnt for r in rows}
+
+    q = (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(capture)
+        .option("checkpointLocation", os.path.join(work, "upd_chlog_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    _check(len(captured) == 4, f"batches={len(captured)} (want 4)")
+    cum: dict = {}
+    for i, bid in enumerate(sorted(captured)):
+        expected = {}
+        for u, c in chunk_counts[i].items():
+            cum[u] = cum.get(u, 0) + c
+            expected[u] = cum[u]
+        _check(
+            captured[bid] == expected,
+            f"batch {i}: emissions != keys touched "
+            f"(got {len(captured[bid])}, want {len(expected)})",
+        )
+    return sum(len(v) for v in captured.values())
+
+
 def main():
     args = sys.argv[1:]
     sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.001"
