@@ -84,10 +84,12 @@ _REGISTRY: dict[str, Query] = {}
 # + the 36 r03-stale rows + q50-q52 (50 rows, 0 failures).
 # Round-10 priority (the r9 verdict's item 1): (1) this round's debuts
 # (never driven) — q267 (image-resize round-trip census, the q172
-# promotion) and q268 (jsonl Python-DataSource WRITER write->readback
-# law); (2) the 20 rows last driven r04 — the oldest band, four rounds
-# unverified (VERDICT r9 item 1 names them) — staleness-first; (3) the
-# remaining ~28 slots retire the oldest r05 rows.  19 r05 rows defer
+# promotion), q268 (jsonl Python-DataSource WRITER write->readback
+# law), and q269 (streaming session_window under q199's verbatim
+# oracle); (2) the 20 rows last driven r04 — the oldest band, four
+# rounds unverified (VERDICT r9 item 1 names them) — staleness-first;
+# (3) the remaining ~27 slots retire the oldest r05 rows.  20 r05 rows
+# (incl. q110, see the tuple tail note) defer
 # to r11, lowest-risk last: q172 is rows-only AND its integer decode
 # law is hash-gated by the q267 debut THIS round (plus q247, r09);
 # q55 is contractual rows-only (HLL sketch, accuracy-bounded in
@@ -107,6 +109,7 @@ _DRIVER_PRIORITY = (
     # --- round-10 debuts (never driven) lead the window ---
     "q267_image_resize_census",
     "q268_jsonl_write_readback",
+    "q269_stream_session_census",
     # --- last driver row r04: the oldest stale band (VERDICT r9 #1) ---
     "q23_sessionize",
     "q24_window_tumbling",
@@ -156,7 +159,9 @@ _DRIVER_PRIORITY = (
     "q107_retention_cohorts",
     "q108_mixture_allocation",
     "q109_rolling_wau",
-    "q110_unpivot",
+    # q110_unpivot defers to r11 with the other 19 r05 rows: the window
+    # holds 50 and the q269 debut takes its slot; q110's unpivot law is
+    # re-proven by the r06-green q198 stack-based form.
 )
 
 

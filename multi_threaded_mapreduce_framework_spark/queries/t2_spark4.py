@@ -93,10 +93,12 @@ def q198_unpivot_doc_metrics(spark, sf_dir):
 
 
 # ------------------------------------------------------------------ q199
-@register(
-    "q199_session_window_native",
-    tier="T2",
-    oracle=f"""
+# The per-user session census law (gaps-and-islands, STRICTLY-greater
+# gap break, duration = last - first + gap).  Named so q269 (the
+# STREAMING session_window row, t2_streamq.py) can share it VERBATIM —
+# one law, two engine paths (batch merging aggregate vs stateful
+# streaming with watermark finalization).
+SESSION_CENSUS_SQL = f"""
 WITH x AS (
   SELECT user_id, epoch_us(ts) AS us,
          lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -122,7 +124,13 @@ SELECT user_id,
        CAST(sum(dur_us) AS BIGINT) AS sum_dur_us,
        CAST(max(n_ev) AS BIGINT)  AS max_session_events
 FROM s GROUP BY user_id
-""",
+"""
+
+
+@register(
+    "q199_session_window_native",
+    tier="T2",
+    oracle=SESSION_CENSUS_SQL,
 )
 def q199_session_window_native(spark, sf_dir):
     """Per-user session census via the NATIVE batch ``session_window``

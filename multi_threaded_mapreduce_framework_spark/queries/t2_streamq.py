@@ -1392,3 +1392,123 @@ def q265_stream_update_changelog(spark, sf_dir):
         )
         _MATVIEW_STATE_CACHE[key] = cached
     return cached
+
+
+# ------------------------------------------------------------------ q269
+# q199's oracle VERBATIM (one law, two engine paths) + its gap constant.
+from multi_threaded_mapreduce_framework_spark.queries.t2_spark4 import (  # noqa: E402
+    SESSION_CENSUS_SQL,
+)
+from multi_threaded_mapreduce_framework_spark.queries.t2_text import (  # noqa: E402
+    SESSION_GAP_US,
+)
+
+
+@register(
+    "q269_stream_session_census",
+    tier="T2",
+    oracle=SESSION_CENSUS_SQL,
+)
+def q269_stream_session_census(spark, sf_dir):
+    """STREAMING ``session_window`` under the oracle gate — the §2.4
+    session demo promoted (r9 verdict item 7's sanctioned class): the
+    per-user session census computed by a REAL watermarked append-mode
+    stream over the time-ordered replay, hash-gated against q199's
+    gaps-and-islands oracle VERBATIM (``SESSION_CENSUS_SQL`` — one law,
+    two engine paths: q199 is the batch merging aggregate, THIS is the
+    stateful-streaming form whose per-(user, open-session) state merges
+    windows across micro-batches and finalizes them only when the
+    watermark passes session end = last_event + gap).  Eighteenth
+    streaming-backed row; with q256/q258 (tumbling/sliding) the three
+    event-time window SHAPES are all oracle-gated.
+
+    Determinism (q256's discipline): time-ordered replay keeps every
+    event inside the 2-hour watermark delay, and time-ordered chunks
+    make mid-replay finalization safe — a session can finalize early
+    only when the watermark passes last_event + gap, and every future
+    event in a time-ordered replay is newer than the chunk max, hence
+    > gap beyond that session's last event, so early finalization can
+    never split a true session.  The far-future sentinel (distinct
+    user) advances the final watermark past every real session's end;
+    its own session can never finalize (nothing arrives after it), so
+    it is provably absent from the append output — no readback filter.
+
+    Scale shape: state = one interval-set per user with an OPEN
+    session — bounded by active users per watermark horizon, evicted
+    on finalization; this is exactly how a 100 TB/day clickstream is
+    sessionized (the batch q199 needs the full history per user;
+    the streaming form's state is the live frontier only)."""
+    import pyspark.sql.functions as F
+
+    from multi_threaded_mapreduce_framework_spark.streaming import events_stream
+    from multi_threaded_mapreduce_framework_spark.streaming.windowed import (
+        _data_files,
+        bump_new_file_mtimes,
+        replay_events_time_ordered,
+    )
+
+    SENTINEL = 999_999_999
+    key = (spark.sparkContext.applicationId, sf_dir, "session_census")
+    cached = _MATVIEW_STATE_CACHE.get(key)
+    if cached is None:
+        base = os.path.join(
+            tempfile.gettempdir(),
+            "mtmrf_layout",
+            layout_tag(spark, sf_dir),
+            "session_census",
+        )
+        replay = os.path.join(base, "replay")
+        replay_events_time_ordered(spark, sf_dir, replay, n_chunks=4)
+        ev = spark.read.parquet(replay)
+        vt = ev.schema["value"].dataType.simpleString()
+        sent = (
+            ev.orderBy(F.desc("ts"))
+            .limit(1)
+            .selectExpr(
+                f"CAST({SENTINEL} AS BIGINT) AS event_id",
+                f"CAST({SENTINEL} AS BIGINT) AS user_id",
+                "'click' AS event_type",
+                "ts + INTERVAL 30 DAYS AS ts",
+                f"CAST(0.0 AS {vt}) AS value",
+                "'{}' AS props",
+            )
+            .select(*ev.columns)
+        )
+        pre_sentinel = set(_data_files(replay))
+        sent.coalesce(1).write.mode("append").parquet(replay)
+        bump_new_file_mtimes(replay, pre_sentinel)  # sentinel replays last
+        gap = f"{SESSION_GAP_US // 1_000_000} seconds"
+        per_session = (
+            events_stream(spark, replay)
+            .withWatermark("ts", "2 hours")
+            .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_ev"))
+            .select(
+                "user_id",
+                "n_ev",
+                (
+                    F.unix_micros(F.col("sw.end"))
+                    - F.unix_micros(F.col("sw.start"))
+                ).alias("dur_us"),
+            )
+        )
+        table = f"q269_session_{abs(hash(key)) % 10**9}"
+        q = (
+            per_session.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(table)
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        cached = spark.table(table).localCheckpoint()
+        _MATVIEW_STATE_CACHE[key] = cached
+    return cached.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.sum("n_ev").cast("bigint").alias("n_events"),
+        F.sum("dur_us").cast("bigint").alias("sum_dur_us"),
+        F.max("n_ev").cast("bigint").alias("max_session_events"),
+    )

@@ -2,9 +2,11 @@
 round-trip census (q267) replayed against an independent numpy
 nearest-neighbor resample (the FLOAT kernel law, independently of the
 oracle's integer closed form), the float-vs-integer floor equivalence
-the q267 oracle rests on, and the jsonl writer round trip (q268) —
+the q267 oracle rests on, the jsonl writer round trip (q268) —
 census equality vs the parquet fixture plus the committed-manifest
-invariants of the two-phase commit."""
+invariants of the two-phase commit — and the streaming session_window
+census (q269) pinned to q199's batch form plus its sentinel-absence
+guarantee."""
 
 from __future__ import annotations
 
@@ -133,3 +135,32 @@ def test_q268_manifest_invariants(spark, sf_dir):
         f for f in os.listdir(out) if f.endswith(".jsonl") and not f.startswith("_")
     }
     assert on_disk == named  # no strays, no surviving temp files
+
+
+# ------------------------------------------------------------------ q269
+def test_q269_stream_census_equals_batch_q199(spark, sf_dir):
+    """One session law, two engine paths: the streaming session_window
+    census (watermarked append-mode state machine) equals q199's batch
+    merging-aggregate census exactly, per user."""
+    cols = ("n_sessions", "n_events", "sum_dur_us", "max_session_events")
+    got = {
+        r.user_id: tuple(r[c] for c in cols)
+        for r in QUERIES["q269_stream_session_census"](spark, sf_dir).collect()
+    }
+    batch = {
+        r.user_id: tuple(r[c] for c in cols)
+        for r in QUERIES["q199_session_window_native"](spark, sf_dir).collect()
+    }
+    assert got == batch and len(got) > 0
+
+
+def test_q269_sentinel_absent_from_readback(spark, sf_dir):
+    """The far-future sentinel's session can never finalize, so it is
+    provably absent from the append-mode readback — no filter needed."""
+    users = {
+        r.user_id
+        for r in QUERIES["q269_stream_session_census"](spark, sf_dir)
+        .select("user_id")
+        .collect()
+    }
+    assert 999_999_999 not in users
