@@ -80,27 +80,30 @@ def test_driver_priority_names_all_registered():
     assert len(set(_DRIVER_PRIORITY)) == len(_DRIVER_PRIORITY)  # no dupes
     ordered = list(all_queries())
     num = lambda n: int(n[1:].split("_", 1)[0])  # noqa: E731
-    # round-9 rotation (VERDICT r08 item 1): this round's debuts lead
+    # round-10 rotation (VERDICT r09 item 1): this round's debuts lead
     # the window (never driven; ascending numeric order)...
-    n_new_debuts = 20  # q247-q266; bump as round-9 queries land
+    n_new_debuts = 4  # q267-q270; bump as round-10 queries land
     debut_nums = [num(n) for n in ordered[:n_new_debuts]]
     assert debut_nums == sorted(debut_nums) and all(
-        x >= 247 for x in debut_nums
+        x >= 267 for x in debut_nums
     ), ordered[:n_new_debuts]
-    assert ordered[0] == "q247_multimodal_meta_census"
-    # ...then the 50 names last driven r04 — the oldest stale band:
-    # q127-q170 + the cluster/contamination trio first, with the
-    # TWENTY documented lowest-risk rows closing the window tail
-    # since debuts + 50 stale rows overfill a 50-row window by
-    # twenty (shared-law rationale per tail row in registry.py)
-    stale = ordered[n_new_debuts : n_new_debuts + 50]
-    assert {num(n) for n in stale} == (
-        set(range(127, 171)) | {94, 98, 102, 23, 24, 171}
-    ), sorted(num(n) for n in stale)
-    assert [num(n) for n in stale[-20:]] == [
-        144, 145, 147, 150, 151, 132, 149, 127, 148, 158, 166, 130, 153,
-        164, 165, 162, 163, 23, 24, 171,
-    ], stale[-20:]
+    assert ordered[0] == "q267_image_resize_census"
+    # ...then the 20 names last driven r04 — the oldest stale band the
+    # r9 verdict names — staleness-first...
+    stale = ordered[n_new_debuts : n_new_debuts + 20]
+    assert {num(n) for n in stale} == {
+        23, 24, 127, 130, 132, 144, 145, 147, 148, 149, 150, 151, 153,
+        158, 162, 163, 164, 165, 166, 171,
+    }, sorted(num(n) for n in stale)
+    # ...then the window's remaining 26 slots retire the OLDEST r05
+    # rows (the 21-row tail defers with per-row rationale in
+    # registry.py — q53/q54/q55/q64-q66/q72-q75/q86/q87/q89-q93/q25/
+    # q109/q110/q172 are the deferred set)
+    r05 = ordered[n_new_debuts + 20 : n_new_debuts + 20 + 26]
+    assert {num(n) for n in r05} == {
+        26, 27, 28, 57, 58, 59, 60, 61, 62, 63, 68, 69, 70, 71, 95, 96,
+        97, 99, 100, 101, 103, 104, 105, 106, 107, 108,
+    }, sorted(num(n) for n in r05)
 
 
 def test_every_query_has_a_survey_inventory_row():

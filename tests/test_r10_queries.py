@@ -4,9 +4,11 @@ nearest-neighbor resample (the FLOAT kernel law, independently of the
 oracle's integer closed form), the float-vs-integer floor equivalence
 the q267 oracle rests on, the jsonl writer round trip (q268) —
 census equality vs the parquet fixture plus the committed-manifest
-invariants of the two-phase commit — and the streaming session_window
+invariants of the two-phase commit — the streaming session_window
 census (q269) pinned to q199's batch form plus its sentinel-absence
-guarantee."""
+guarantee, and the VARIANT shredded-write round trip (q270) pinned to
+the in-memory expression law plus a physical-footer proof that the
+files really shred."""
 
 from __future__ import annotations
 
@@ -164,3 +166,63 @@ def test_q269_sentinel_absent_from_readback(spark, sf_dir):
         .collect()
     }
     assert 999_999_999 not in users
+
+
+# ------------------------------------------------------------------ q270
+def test_q270_census_equals_unshredded_expression_path(spark, sf_dir):
+    """The shredded-write round trip equals q201's in-memory expression
+    law, extended with the event_id binding column."""
+    got = {
+        (r.event_type, r.k_bucket): (r.cnt, r.sum_id, r.sum_k, r.n_distinct_k)
+        for r in QUERIES["q270_variant_shredded_write_census"](
+            spark, sf_dir
+        ).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'bigint')")
+    batch = {
+        (r.event_type, r.k_bucket): (r.cnt, r.sum_id, r.sum_k, r.n_distinct_k)
+        for r in (
+            ev.select("event_id", "event_type", k.alias("k"))
+            .groupBy("event_type", F.expr("k div 25").alias("k_bucket"))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("cnt"),
+                F.sum("event_id").cast("bigint").alias("sum_id"),
+                F.sum("k").cast("bigint").alias("sum_k"),
+                F.countDistinct("k").cast("bigint").alias("n_distinct_k"),
+            )
+            .collect()
+        )
+    }
+    assert got == batch and len(got) > 0
+
+
+def test_q270_files_are_physically_shredded(spark, sf_dir):
+    """Read the written parquet footer with parquet-java: the variant
+    column must carry the SHREDDED structure (a ``typed_value`` group
+    next to metadata/value) — the gate cannot silently pass on an
+    unshredded write."""
+    import glob
+
+    QUERIES["q270_variant_shredded_write_census"](spark, sf_dir).collect()
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "mtmrf_layout",
+        layout_tag(spark, sf_dir),
+        "variant_shred",
+        "events",
+    )
+    files = glob.glob(os.path.join(out, "*.parquet"))
+    assert files
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    inputfile = jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        jvm.org.apache.hadoop.fs.Path(files[0]), hconf
+    )
+    reader = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(inputfile)
+    try:
+        schema = reader.getFooter().getFileMetaData().getSchema().toString()
+    finally:
+        reader.close()
+    assert "VARIANT" in schema
+    assert "typed_value" in schema  # shredded, not a plain binary pair
