@@ -38,12 +38,17 @@ def bump_new_file_mtimes(out_dir: str, before: set[str], bump: float = 1.0) -> N
     so the file stream's mtime-based listing order is deterministic even
     on filesystems with coarse mtime granularity (r9 advisor fix — the
     previous sub-second ``sleep`` could tie there and replay chunks out
-    of order, tripping watermark-driven late drops)."""
+    of order, tripping watermark-driven late drops).
+
+    The FIRST stamp anchors one hour in the PAST, so the whole stamped
+    chain stays strictly below wall clock: a later append with a
+    natural mtime (code outside this helper) still sorts after every
+    stamped file, i.e. stamping composes with naive writers."""
     names = _data_files(out_dir)
     old = [
         os.path.getmtime(os.path.join(out_dir, f)) for f in names if f in before
     ]
-    t = (max(old) if old else _time.time()) + bump
+    t = (max(old) if old else _time.time() - 3600.0) + bump
     for f in names:
         if f not in before:
             p = os.path.join(out_dir, f)
