@@ -77,6 +77,31 @@ def time_query(spark, q, sf_dir: str, runs: int) -> float:
     return statistics.median(samples)
 
 
+def host_probe() -> float:
+    """~80 ms single-core probe (seconds; lower = faster host RIGHT
+    NOW).  Interleaved through the suite (every PROBE_EVERY queries)
+    into ``calib_track`` so transient host interference — CPU steal,
+    a co-tenant burst — is VISIBLE IN THE RECORD, aligned with the
+    suite positions it contaminated.  This mechanizes the q76
+    adjudication protocol (BASELINE.md): three rounds straight, a
+    >2x drift cluster in ADJACENT suite positions had to be
+    re-measured isolated by hand to prove it was environment, not
+    plan; with the track, a cluster whose probe points rise with it
+    is adjudicated by the record itself (probes flat + queries slow =
+    real regression; probes slow too = host artifact)."""
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        x = 0
+        for i in range(2_000_000):
+            x += i
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+PROBE_EVERY = 10  # ~27 probes over the full suite, <1% wall overhead
+
+
 def host_calibration() -> float:
     """Fixed pure-CPU workload (seconds; lower = faster host): a
     single-core Python loop + one numpy GEMM.  Recorded into the bench
@@ -143,13 +168,18 @@ def main() -> None:
                     pass
 
     per_query: dict[str, float] = {}
+    calib_track: dict[str, float] = {}
     t_suite0 = time.time()
-    for name, q in qs.items():
+    calib_track["__start__"] = round(host_probe(), 4)
+    for qi, (name, q) in enumerate(qs.items()):
         try:
             per_query[name] = round(time_query(spark, q, args.sf_dir, args.runs), 3)
         except Exception as e:  # noqa: BLE001
             print(f"# {name} ERROR {type(e).__name__}: {e}", file=sys.stderr)
             per_query[name] = -1.0
+        if (qi + 1) % PROBE_EVERY == 0:
+            calib_track[name] = round(host_probe(), 4)
+    calib_track["__end__"] = round(host_probe(), 4)
     suite_wall = round(time.time() - t_suite0, 3)
 
     timings = [v for v in per_query.values() if v >= 0]
@@ -170,6 +200,13 @@ def main() -> None:
         # times by (calib / prior-round calib) before reading a diff as
         # a regression
         "calib_s": host_calibration(),
+        # interleaved probe series (see host_probe): keyed by the query
+        # each probe ran AFTER; max/min >~1.5 marks the run's own
+        # evidence of transient host interference in that segment
+        "calib_track": calib_track,
+        "calib_track_max_over_min": round(
+            max(calib_track.values()) / max(min(calib_track.values()), 1e-9), 2
+        ),
     }
     # Full-precision record on disk for BASELINE.md round-over-round
     # diffs (full-suite runs only — a name-filtered run must not clobber
@@ -184,6 +221,9 @@ def main() -> None:
     # as null.  Print a compact line (2 dp, no separator spaces): ~2 KB
     # for 85 queries, comfortably inside the tail window.
     compact = dict(payload, queries={k: round(v, 2) for k, v in per_query.items()})
+    # the full probe series lives in BENCH.json; the stdout line keeps
+    # only its one-number summary to stay inside the driver's tail window
+    compact.pop("calib_track", None)
     print(json.dumps(compact, separators=(",", ":")))
 
 
