@@ -718,6 +718,67 @@ def sample_frames(df: DataFrame, every_ms: int = 500, fake: bool = True) -> Data
     )
 
 
+def extract_frames(df: DataFrame, every_ms: int = 500) -> DataFrame:
+    """REAL video -> image FRAME EXTRACTION over concatenated-P6
+    stream payloads — the vision-training-data pattern (ffmpeg's
+    ``-vf fps=...`` thumbnail pass): walk the stream's frame headers
+    (``_parse_ppm_at``), pick the frame covering each ``every_ms``
+    grid instant (``sample_frame_features``'s selection law,
+    verbatim), and SLICE each sampled frame out of the stream as a
+    standalone P6 IMAGE payload.  Zero decode, zero re-encode: each
+    frame inside an image2pipe stream is itself a complete P6 image,
+    so extraction is a byte slice — the slices are first-class inputs
+    to every image operator (``resize_images``, ``decode_images``,
+    ``media_census``).
+
+    flatMap-shaped ``mapInPandas`` (one row out per sampled frame);
+    payload bytes enter and leave the kernel on the same executor —
+    never shuffled, never pixel-decoded here."""
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            out = {
+                "media_id": [],
+                "frame_idx": [],
+                "frame_ts_ms": [],
+                "kind": [],
+                "payload": [],
+            }
+            for mid, payload, meta in zip(
+                pdf["media_id"], pdf["payload"], pdf["meta"]
+            ):
+                raw = bytes(payload)
+                duration = int(meta["duration_ms"])
+                offsets = []
+                pos = 0
+                while pos < len(raw):
+                    _, _, _, nxt = _parse_ppm_at(raw, pos)
+                    offsets.append(pos)
+                    pos = nxt
+                n_frames = len(offsets)
+                if n_frames == 0:
+                    continue
+                ends = offsets[1:] + [len(raw)]
+                for ts in range(0, duration, every_ms):
+                    f = min(ts * n_frames // max(duration, 1), n_frames - 1)
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(f)
+                    out["frame_ts_ms"].append(ts)
+                    out["kind"].append("image")
+                    out["payload"].append(raw[offsets[f] : ends[f]])
+            yield pd.DataFrame(out)
+
+    return df.filter(F.col("kind") == "video").mapInPandas(
+        kernel,
+        schema=(
+            "media_id bigint, frame_idx int, frame_ts_ms int,"
+            " kind string, payload binary"
+        ),
+    )
+
+
 def media_census(df: DataFrame) -> DataFrame:
     """All-INTEGER content census decoded from the payload bytes alone
     — the hash-gateable core of the multimodal tier (q247).

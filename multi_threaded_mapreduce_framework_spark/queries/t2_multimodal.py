@@ -219,43 +219,15 @@ def q172_multimodal_image(spark, sf_dir):
     )
 
 
-@register(
-    "q173_multimodal_video",
-    tier="T2",
-    oracle=None,  # rows-only by contract: binary decode is not SQL-expressible
-)
-def q173_multimodal_video(spark, sf_dir):
-    """Multimodal VIDEO pipeline as a DECLARED query — completing the
-    modality triple (audio q171, image q172) with REAL codec-free
-    bytes: each document gets a GENUINE raw-video payload synthesized
-    ON THE EXECUTORS (a concatenated-P6 stream — ffmpeg image2pipe's
-    ppm format — of ``2 + d%4`` frames on an ``(8 + d%5) x (6 + d%3)``
-    grid at 4 fps, frame f pixel byte k of doc d being
-    ``(d + 7*f + k) % 256``), and the real frame-sampling kernel
-    (``operators/multimodal.py::sample_frame_features``) walks the
-    frame headers, picks the frame covering each 500 ms grid instant,
-    and decodes ONLY those frames to raw-RGB mean intensities.  The
-    features roll up per language: media count, frames sampled, and
-    average sampled-frame intensity.
-
-    Driver contract: rows-only (binary decode has no SQL oracle);
-    value-level checks — exact per-doc sampled-frame means against an
-    independently computed numpy oracle — live in
-    tests/test_struct_queries.py.
-
-    Scale shape (q171/q172's discipline): synthesis and frame sampling
-    are two chained ``mapInPandas`` kernels in ONE scan stage — the
-    video bytes never cross a shuffle or reach the driver
-    (plan-asserted); the flatMap expansion (rows out > rows in, one row
-    per sampled frame) happens INSIDE the kernel, and only per-frame
-    feature scalars shuffle for the rollup.  Frame sampling decodes
-    only the frames the 500 ms grid touches — at 100 TB the difference
-    between decoding every frame and ~2 per second of footage."""
-    from multi_threaded_mapreduce_framework_spark.operators.multimodal import (
-        sample_frame_features,
-    )
-
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+def _video_media(docs):
+    """The declared video corpus, shared VERBATIM by q173 (float
+    feature tier, rows-only) and q271 (integer census tier,
+    hash-gated) so the two rows audit the same payloads — the
+    q171/q247 and q172/q267 pairing pattern: doc d gets a GENUINE
+    concatenated-P6 stream (ffmpeg image2pipe's ppm format) of
+    ``2 + d%4`` frames on an ``(8 + d%5) x (6 + d%3)`` RGB grid at
+    4 fps, frame f pixel byte k being ``(d + 7*f + k) % 256``;
+    synthesized ON THE EXECUTORS inside the scan stage."""
 
     def synth(batches):
         import numpy as np
@@ -295,7 +267,7 @@ def q173_multimodal_video(spark, sf_dir):
                 }
             )
 
-    media = docs.mapInPandas(
+    return docs.select("doc_id").mapInPandas(
         synth,
         schema=(
             "media_id bigint, kind string, payload binary,"
@@ -303,6 +275,46 @@ def q173_multimodal_video(spark, sf_dir):
             " duration_ms:int, sample_rate:int>"
         ),
     )
+
+
+@register(
+    "q173_multimodal_video",
+    tier="T2",
+    oracle=None,  # rows-only by contract: binary decode is not SQL-expressible
+)
+def q173_multimodal_video(spark, sf_dir):
+    """Multimodal VIDEO pipeline as a DECLARED query — completing the
+    modality triple (audio q171, image q172) with REAL codec-free
+    bytes: each document gets a GENUINE raw-video payload synthesized
+    ON THE EXECUTORS (a concatenated-P6 stream — ffmpeg image2pipe's
+    ppm format — of ``2 + d%4`` frames on an ``(8 + d%5) x (6 + d%3)``
+    grid at 4 fps, frame f pixel byte k of doc d being
+    ``(d + 7*f + k) % 256``), and the real frame-sampling kernel
+    (``operators/multimodal.py::sample_frame_features``) walks the
+    frame headers, picks the frame covering each 500 ms grid instant,
+    and decodes ONLY those frames to raw-RGB mean intensities.  The
+    features roll up per language: media count, frames sampled, and
+    average sampled-frame intensity.
+
+    Driver contract: rows-only (binary decode has no SQL oracle);
+    value-level checks — exact per-doc sampled-frame means against an
+    independently computed numpy oracle — live in
+    tests/test_struct_queries.py.
+
+    Scale shape (q171/q172's discipline): synthesis and frame sampling
+    are two chained ``mapInPandas`` kernels in ONE scan stage — the
+    video bytes never cross a shuffle or reach the driver
+    (plan-asserted); the flatMap expansion (rows out > rows in, one row
+    per sampled frame) happens INSIDE the kernel, and only per-frame
+    feature scalars shuffle for the rollup.  Frame sampling decodes
+    only the frames the 500 ms grid touches — at 100 TB the difference
+    between decoding every frame and ~2 per second of footage."""
+    from multi_threaded_mapreduce_framework_spark.operators.multimodal import (
+        sample_frame_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    media = _video_media(docs)
     frames = sample_frame_features(media, every_ms=500)
     return (
         frames.join(docs.withColumnRenamed("doc_id", "media_id"), "media_id")
@@ -563,4 +575,97 @@ def q267_image_resize_census(spark, sf_dir):
         )
         .cast("bigint")
         .alias("known_bytes"),
+    )
+
+
+# ------------------------------------------------------------------ q271
+@register(
+    "q271_video_frame_extract_census",
+    tier="T2",
+    oracle="""
+WITH d AS (SELECT doc_id,
+                  CAST(8 + doc_id % 5 AS BIGINT) AS w,
+                  CAST(6 + doc_id % 3 AS BIGINT) AS h,
+                  CAST(2 + doc_id % 4 AS BIGINT) AS nf
+           FROM documents),
+s AS (SELECT d.doc_id, d.w, d.h, d.nf, 2 * j.j AS f
+      FROM d, generate_series(0, 2) j(j)
+      WHERE 2 * j.j < d.nf),
+px AS (SELECT s.doc_id, (s.doc_id + 7 * s.f + k.k) % 256 AS v
+       FROM s, generate_series(0, 287) k(k)
+       WHERE k.k < s.w * s.h * 3),
+vid AS (SELECT doc_id % 4 AS dur_class,
+               CAST(count(*) AS BIGINT) AS n_videos
+        FROM d GROUP BY 1),
+fr AS (SELECT doc_id % 4 AS dur_class,
+              CAST(count(*) AS BIGINT) AS frames_sampled,
+              CAST(sum(w) AS BIGINT) AS w_sum,
+              CAST(sum(h) AS BIGINT) AS h_sum,
+              CAST(sum(w * h * 3) AS BIGINT) AS pix_bytes,
+              CAST(sum(10 + CASE WHEN w >= 10 THEN 2 ELSE 1 END
+                        + w * h * 3) AS BIGINT) AS bytes_sum
+       FROM s GROUP BY 1),
+ps AS (SELECT doc_id % 4 AS dur_class, CAST(sum(v) AS BIGINT) AS pix_sum
+       FROM px GROUP BY 1)
+SELECT CAST(v.dur_class AS BIGINT) AS dur_class, v.n_videos AS n_videos,
+       f.frames_sampled AS frames_sampled, f.w_sum AS w_sum,
+       f.h_sum AS h_sum, f.pix_bytes AS pix_bytes, p.pix_sum AS pix_sum,
+       f.bytes_sum AS bytes_sum, 'ppm' AS fmt
+FROM vid v JOIN fr f USING (dur_class) JOIN ps p USING (dur_class)
+""",
+)
+def q271_video_frame_extract_census(spark, sf_dir):
+    """HASH-GATED video FRAME-EXTRACTION census — the video-tier
+    promotion in the q247/q267 series (audio meta r9, image resize
+    r10-early, video frames now): q173's GENUINE concatenated-P6
+    video corpus (``_video_media``, shared verbatim so the rows-only
+    float row and this integer gate audit the SAME payloads) flows
+    through the REAL ``extract_frames`` operator
+    (``operators/multimodal.py``) — walk the stream's frame headers,
+    pick the frame covering each 500 ms grid instant, SLICE it out as
+    a standalone P6 image payload — and ``media_census`` recovers the
+    all-integer census from the extracted bytes alone (format from
+    MAGIC BYTES, dims/pixel sums through the real ``_parse_ppm``).
+
+    The DuckDB oracle replays the selection law in closed integer
+    form: at 4 fps, ``duration = 250*nf`` and the sampled instants
+    ``ts = 500*j`` map to ``f = min(500*j*nf // (250*nf), nf-1) =
+    2*j`` — the EVEN-indexed frames, ``2*j < nf`` — so each doc
+    contributes ``ceil(nf/2)`` frames and the pixel census is the sum
+    of mod-256 ramps ``(d + 7*f + k) % 256`` over each sampled
+    frame's ``3*w*h`` bytes.  ``bytes_sum`` pins the SLICED payload
+    sizes to the P6 container law (``10 + len(str(w)) + 3*w*h``
+    bytes per frame — exact, unlike PNG's codec-dependent size), and
+    ``fmt`` pins the magic bytes: one mis-sliced boundary, one
+    off-by-one frame pick, or one corrupt byte anywhere breaks the
+    hash.  One duplicated-sample clamp (the ``min``) is exercised by
+    construction at ``nf=2`` (single instant).
+
+    Scale shape (q173's discipline): synth -> extract -> census are
+    three chained Arrow kernels in ONE scan stage — video bytes are
+    born, sliced, and consumed on the same executor, never shuffled,
+    never driver-side; only |dur_class| = 4 integer census rows
+    aggregate (one partial-agg shuffle).  At 100 TB this is the
+    vision-pipeline shape: frame extraction is embarrassingly
+    parallel over payload bytes, and the downstream image tier
+    (resize/decode/census) consumes the slices without re-encoding."""
+    from multi_threaded_mapreduce_framework_spark.operators.multimodal import (
+        extract_frames,
+        media_census,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    frames = extract_frames(_video_media(docs), every_ms=500)
+    census = media_census(frames.select("media_id", "kind", "payload"))
+    return census.groupBy(
+        (F.col("media_id") % 4).cast("bigint").alias("dur_class")
+    ).agg(
+        F.count_distinct("media_id").cast("bigint").alias("n_videos"),
+        F.count(F.lit(1)).cast("bigint").alias("frames_sampled"),
+        F.sum("width").cast("bigint").alias("w_sum"),
+        F.sum("height").cast("bigint").alias("h_sum"),
+        F.sum("pix_bytes").cast("bigint").alias("pix_bytes"),
+        F.sum("pix_sum").cast("bigint").alias("pix_sum"),
+        F.sum("byte_len").cast("bigint").alias("bytes_sum"),
+        F.min("format").alias("fmt"),
     )

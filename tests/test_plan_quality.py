@@ -651,6 +651,19 @@ def test_q173_payload_never_shuffles(spark, sf_dir):
     assert "Exchange" not in between, plan
 
 
+def test_q271_payload_never_shuffles(spark, sf_dir):
+    """All THREE video-tier kernels (synth, frame extraction, census)
+    must chain in the scan stage: no Exchange between the first and
+    last MapInPandas, so the stream bytes and the sliced frame
+    payloads live and die on the same executor — only the |dur_class|
+    integer census rows reach the aggregate's shuffle."""
+    df = QUERIES["q271_video_frame_extract_census"].builder(spark, sf_dir)
+    plan = executed_plan(df)
+    assert plan.count("MapInPandas") == 3, plan
+    between = plan[plan.index("MapInPandas") : plan.rindex("MapInPandas")]
+    assert "Exchange" not in between, plan
+
+
 def test_plan_lint_rules_on_synthetic_plans():
     """Pin tools/plan_lint.py's rule detection on hand-built plan
     strings, independent of any real query: each antipattern string

@@ -226,3 +226,117 @@ def test_q270_files_are_physically_shredded(spark, sf_dir):
         reader.close()
     assert "VARIANT" in schema
     assert "typed_value" in schema  # shredded, not a plain binary pair
+
+
+# ------------------------------------------------------------------ q271
+def test_q271_matches_python_frame_replay(spark, sf_dir):
+    """Replay q271's census in pure Python with the KERNEL's own
+    selection loop (``range(0, duration, every_ms)`` + min clamp),
+    NOT the oracle's even-frames closed form — so this test
+    arbitrates between the two if they ever diverge."""
+    got = {
+        r.dur_class: (
+            r.n_videos,
+            r.frames_sampled,
+            r.w_sum,
+            r.h_sum,
+            r.pix_bytes,
+            r.pix_sum,
+            r.bytes_sum,
+            r.fmt,
+        )
+        for r in QUERIES["q271_video_frame_extract_census"](
+            spark, sf_dir
+        ).collect()
+    }
+    doc_ids = [
+        r.doc_id
+        for r in load_table(spark, sf_dir, "documents").select("doc_id").collect()
+    ]
+    exp: dict[int, list[int]] = {}
+    vids: dict[int, set[int]] = {}
+    for did in doc_ids:
+        d = int(did)
+        w, h, nf = 8 + d % 5, 6 + d % 3, 2 + d % 4
+        cls = d % 4
+        vids.setdefault(cls, set()).add(d)
+        a = exp.setdefault(cls, [0, 0, 0, 0, 0])
+        duration = nf * 250
+        for ts in range(0, duration, 500):
+            f = min(ts * nf // max(duration, 1), nf - 1)
+            n = w * h * 3
+            a[0] += 1
+            a[1] += w
+            a[2] += h
+            a[3] += n
+            a[4] += sum((d + 7 * f + k) % 256 for k in range(n))
+    assert set(got) == set(exp)
+    for cls, (fr, ws, hs, pb, psum) in exp.items():
+        w_bytes = sum(
+            10 + len(str(8 + d % 5)) + (8 + d % 5) * (6 + d % 3) * 3
+            for d in vids[cls]
+            for _ in range(0, (2 + d % 4) * 250, 500)
+        )
+        assert got[cls] == (
+            len(vids[cls]), fr, ws, hs, pb, psum, w_bytes, "ppm",
+        )
+
+
+def test_q271_extracted_slices_are_standalone_frames(spark):
+    """Unit-pin extract_frames on a hand-built 3-frame stream: each
+    sampled slice must parse back (via the REAL _parse_ppm) to the
+    exact pixels of the frame the selection law picks, and a stream
+    shorter than the grid must clamp to a single ts=0 sample."""
+    import numpy as np
+    import pandas as pd
+
+    from multi_threaded_mapreduce_framework_spark.operators.multimodal import (
+        _parse_ppm,
+        extract_frames,
+        ppm_stream_bytes,
+    )
+
+    frames = [
+        (np.arange(4 * 3 * 3, dtype=np.int64) * (f + 1) % 256)
+        .astype(np.uint8)
+        .reshape(3, 4, 3)
+        for f in range(3)
+    ]
+    meta = {
+        "width": 4, "height": 3, "format": "ppm-stream",
+        "duration_ms": 750, "sample_rate": 0,
+    }
+    short_meta = dict(meta, duration_ms=250)
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "media_id": [1, 2],
+                "kind": ["video", "video"],
+                "payload": [
+                    ppm_stream_bytes(frames),
+                    ppm_stream_bytes(frames[:1]),
+                ],
+                "meta": [meta, short_meta],
+            }
+        ),
+        schema=(
+            "media_id bigint, kind string, payload binary,"
+            " meta struct<width:int, height:int, format:string,"
+            " duration_ms:int, sample_rate:int>"
+        ),
+    )
+    rows = extract_frames(df, every_ms=500).collect()
+    by_media: dict[int, list] = {}
+    for r in rows:
+        by_media.setdefault(r.media_id, []).append(r)
+    # media 1: 750ms @ 3 frames -> ts {0, 500} -> frames {0, 2}
+    picks = sorted((r.frame_ts_ms, r.frame_idx) for r in by_media[1])
+    assert picks == [(0, 0), (500, 2)]
+    for r in by_media[1]:
+        w, h, px = _parse_ppm(bytes(r.payload))
+        assert (w, h) == (4, 3)
+        assert (px.reshape(3, 4, 3) == frames[r.frame_idx]).all()
+    # media 2: duration < grid step -> exactly one ts=0 sample, frame 0
+    assert [(r.frame_ts_ms, r.frame_idx) for r in by_media[2]] == [(0, 0)]
+    w, h, px = _parse_ppm(bytes(by_media[2][0].payload))
+    assert (px.reshape(3, 4, 3) == frames[0]).all()
