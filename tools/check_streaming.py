@@ -949,6 +949,166 @@ def update_changelog_emissions_per_batch(spark, sf_dir, replay_dir, work):
     return sum(len(v) for v in captured.values())
 
 
+@scenario
+def session_window_recovery_across_restart(spark, sf_dir, replay_dir, work):
+    """q269's open-session MERGE state across a mid-replay RESTART —
+    the scenario-pin discipline extended to the newest streaming row
+    (q262 pins restart recovery for hash-agg state; session_window
+    state is interval-MERGING, a different store layout): run the
+    watermarked session census over the time-ordered FIRST half of
+    the events, STOP the query (open sessions parked in the state
+    store), deliver the second half plus a far-future sentinel during
+    the downtime, restart from the same checkpoint into the same
+    parquet FILE sink, and require the per-user census readback to
+    equal q199's batch law.  A straddle assertion first proves that
+    at least one true session spans the stop boundary — so the
+    equality demonstrates recovered-state interval merging, not
+    merely absorption of disjoint halves."""
+    from multi_threaded_mapreduce_framework_spark.queries.t2_text import (
+        SESSION_GAP_US,
+    )
+    from multi_threaded_mapreduce_framework_spark.sources import load_table
+    from multi_threaded_mapreduce_framework_spark.streaming.windowed import (
+        _data_files,
+        bump_new_file_mtimes,
+    )
+
+    src = os.path.join(work, "swr_events")
+    ckpt = os.path.join(work, "swr_ckpt")
+    sink = os.path.join(work, "swr_sink")
+    ev = load_table(spark, sf_dir, "events")
+    # adaptive boundary: the MEDIAN intra-session consecutive pair —
+    # the stop lands strictly inside a true session by construction
+    # (a fixed time split can fall between sessions and prove nothing)
+    pairs = (
+        ev.selectExpr("user_id", "event_id", "unix_micros(ts) AS us")
+        .selectExpr(
+            "user_id",
+            "us",
+            "lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)"
+            " AS prev",
+        )
+        .filter((F.col("us") - F.col("prev")) <= F.lit(SESSION_GAP_US))
+        .orderBy("prev", "user_id")
+        .collect()
+    )
+    _check(pairs, "fixture has no intra-session pair to split")
+    mid = pairs[len(pairs) // 2]
+    boundary_us = (int(mid.prev) + int(mid.us)) // 2
+    # two time-ordered chunks per wave, mtime-pinned replay order
+    halves = (
+        ev.filter(F.unix_micros("ts") <= boundary_us),
+        ev.filter(F.unix_micros("ts") > boundary_us),
+    )
+    seen: set[str] = set()
+
+    def write_wave(df):
+        nonlocal seen
+        tiled = df.join(
+            df.selectExpr(
+                "ntile(2) OVER (ORDER BY ts, event_id) AS tile",
+                "ts",
+                "event_id",
+            ),
+            ["ts", "event_id"],
+        )
+        for i in (1, 2):
+            tiled.filter(F.col("tile") == i).drop("tile").coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+            bump_new_file_mtimes(src, seen)
+            seen = set(_data_files(src))
+
+    write_wave(halves[0])
+    first_wave = spark.read.parquet(src).localCheckpoint()
+
+    gap = f"{SESSION_GAP_US // 1_000_000} seconds"
+
+    def run_once():
+        per_session = (
+            events_stream(spark, src)
+            .withWatermark("ts", "2 hours")
+            .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_ev"))
+            .select(
+                "user_id",
+                "n_ev",
+                (
+                    F.unix_micros(F.col("sw.end"))
+                    - F.unix_micros(F.col("sw.start"))
+                ).alias("dur_us"),
+            )
+        )
+        q = (
+            per_session.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run_once()  # open sessions at the boundary are parked in state
+    # downtime: the second half + a far-future sentinel (advances the
+    # final watermark past every real session; its own session never
+    # finalizes, so it is provably absent from the sink)
+    second_wave = halves[1]
+    write_wave(second_wave)
+    vt = ev.schema["value"].dataType.simpleString()
+    sent = (
+        ev.orderBy(F.desc("ts"))
+        .limit(1)
+        .selectExpr(
+            "CAST(999999999 AS BIGINT) AS event_id",
+            "CAST(999999999 AS BIGINT) AS user_id",
+            "'click' AS event_type",
+            "ts + INTERVAL 30 DAYS AS ts",
+            f"CAST(0.0 AS {vt}) AS value",
+            "'{}' AS props",
+        )
+        .select(*ev.columns)
+    )
+    sent.coalesce(1).write.mode("append").parquet(src)
+    bump_new_file_mtimes(src, seen)
+    # the boundary must split >=1 true session or the test proves nothing
+    straddle = (
+        first_wave.groupBy("user_id")
+        .agg(F.max("ts").alias("last_before"))
+        .join(
+            second_wave.groupBy("user_id").agg(F.min("ts").alias("first_after")),
+            "user_id",
+        )
+        .filter(
+            F.unix_micros("first_after") - F.unix_micros("last_before")
+            <= F.lit(SESSION_GAP_US)
+        )
+        .count()
+    )
+    _check(straddle >= 1, "no session straddles the restart boundary")
+    run_once()  # restart: recovers open-session intervals, merges, drains
+    got = {
+        tuple(r)
+        for r in spark.read.parquet(sink)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+            F.sum("n_ev").cast("bigint").alias("n_events"),
+            F.sum("dur_us").cast("bigint").alias("sum_dur_us"),
+            F.max("n_ev").cast("bigint").alias("max_session_events"),
+        )
+        .collect()
+    }
+    batch = {
+        tuple(r)
+        for r in all_queries()["q199_session_window_native"]
+        .builder(spark, sf_dir)
+        .collect()
+    }
+    _check(got == batch, f"stream={len(got)} batch={len(batch)}")
+    return len(got)
+
+
 def main():
     args = sys.argv[1:]
     sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.001"
