@@ -86,13 +86,14 @@ _REGISTRY: dict[str, Query] = {}
 # (never driven) — q267 (image-resize round-trip census, the q172
 # promotion), q268 (jsonl Python-DataSource WRITER write->readback
 # law), q269 (streaming session_window under q199's verbatim
-# oracle), q270 (VARIANT shredded-write census), and q271 (video
+# oracle), q270 (VARIANT shredded-write census), q271 (video
 # frame-extraction census, the q173 promotion — completing the
-# q247/q267 integer-gate series over all three modalities); (2) the
-# 20 rows last driven r04 — the oldest band, four rounds unverified
-# (VERDICT r9 item 1 names them) — staleness-first; (3) the
-# remaining ~25 slots retire the oldest r05 rows.  22 r05 rows
-# (incl. q108/q109/q110, see the tuple tail note) defer
+# q247/q267 integer-gate series over all three modalities), and q272
+# (collation-aware grouping census — the t2_spark4 band's last
+# surface); (2) the 20 rows last driven r04 — the oldest band, four
+# rounds unverified (VERDICT r9 item 1 names them) — staleness-first;
+# (3) the remaining ~24 slots retire the oldest r05 rows.  23 r05 rows
+# (incl. q107/q108/q109/q110, see the tuple tail note) defer
 # to r11, lowest-risk last: q172 is rows-only AND its integer decode
 # law is hash-gated by the q267 debut THIS round (plus q247, r09);
 # q55 is contractual rows-only (HLL sketch, accuracy-bounded in
@@ -115,6 +116,7 @@ _DRIVER_PRIORITY = (
     "q269_stream_session_census",
     "q270_variant_shredded_write_census",
     "q271_video_frame_extract_census",
+    "q272_collation_census",
     # --- last driver row r04: the oldest stale band (VERDICT r9 #1) ---
     "q23_sessionize",
     "q24_window_tumbling",
@@ -161,13 +163,14 @@ _DRIVER_PRIORITY = (
     "q104_length_histogram",
     "q105_funnel_conversion",
     "q106_variant_json",
-    "q107_retention_cohorts",
-    # q108_mixture_allocation, q109_rolling_wau and q110_unpivot defer
-    # to r11 with the other 19 r05 rows: the window holds 50 and the
-    # q269/q270/q271 debuts take their slots; q108's integer-allocation
-    # law is the r09-green q253 apportionment / q257 temperature-mixture
-    # form, q109's rolling-WAU law is q165's bitmap form (in THIS
-    # window), and q110's unpivot law is the r06-green q198 Expand form.
+    # q107_retention_cohorts, q108_mixture_allocation, q109_rolling_wau
+    # and q110_unpivot defer to r11 with the other 19 r05 rows: the
+    # window holds 50 and the q269-q272 debuts take their slots;
+    # q107's cohort-retention law is q164's bitmap-retention form (in
+    # THIS window), q108's integer-allocation law is the r09-green
+    # q253 apportionment / q257 temperature-mixture form, q109's
+    # rolling-WAU law is q165's bitmap form (in THIS window), and
+    # q110's unpivot law is the r06-green q198 Expand form.
 )
 
 

@@ -438,3 +438,73 @@ def q270_variant_shredded_write_census(spark, sf_dir):
         )
         _SHRED_CACHE[key] = cached
     return cached
+
+
+# ------------------------------------------------------------------ q272
+@register(
+    "q272_collation_census",
+    tier="T2",
+    oracle="""
+WITH src AS (SELECT CASE WHEN doc_id % 2 = 1 THEN upper(lang)
+                         ELSE lang END AS lang_m,
+                    doc_id
+             FROM documents)
+SELECT lower(lang_m) AS lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS upper_docs,
+       CAST(sum(CASE WHEN lower(lang_m) = 'en' THEN 1 ELSE 0 END)
+         AS BIGINT) AS en_matches
+FROM src GROUP BY lower(lang_m)
+""",
+)
+def q272_collation_census(spark, sf_dir):
+    """String COLLATIONS (Spark 4's collation-aware comparison/
+    grouping — the last headline Spark-4 SQL surface not yet
+    oracle-declared; completes the t2_spark4 band: unpivot q198,
+    session_window q199, recursive CTE q200, VARIANT q201/q270, XML
+    q202, pipe syntax q241, SQL scripting q251): the corpus's lang
+    column is deterministically case-MIXED in-query (odd doc_id ->
+    ``upper(lang)``), declared ``COLLATE UTF8_LCASE``, and then
+    GROUPED and COMPARED under the collation — mixed-case variants
+    must land in one group, and the literal predicate
+    ``lang_ci = 'EN'`` must match lower-case 'en' rows through
+    collation-aware equality, not through any explicit fold.
+    ``upper_docs`` proves the merged groups really contain both case
+    families; the output key is ``lower(lang_ci)`` so the emitted
+    row set is deterministic regardless of which variant the
+    aggregate surfaces.
+
+    Oracle law: UTF8_LCASE equality coincides with ``lower()``
+    normalization on this ASCII lang domain, so DuckDB replays the
+    census with an explicit case fold — one law, collation-aware
+    engine path vs explicit-fold oracle path.
+
+    Plan note (the honest cost of collations, visible in the plan
+    snapshot): non-binary-collated group keys are NOT hash-aggregable
+    in Spark 4.1 — the census plans as a partial/final SortAggregate
+    pair sharing ONE hash exchange on the collated key (collation key
+    hashing keeps partitioning correct; within-partition grouping
+    sorts).  Still one shuffle of |lang| partial rows per partition —
+    the scale shape is unchanged, the per-partition sort replaces the
+    hash table.  At 100 TB the guidance this row pins: collate the
+    COMPARISON columns, keep high-cardinality group keys binary."""
+    from multi_threaded_mapreduce_framework_spark.sources import table_path
+
+    path = table_path(sf_dir, "documents")
+    return spark.sql(
+        f"""
+WITH src AS (
+  SELECT CASE WHEN doc_id % 2 = 1 THEN upper(lang) ELSE lang END
+           COLLATE UTF8_LCASE AS lang_ci,
+         doc_id
+  FROM parquet.`{path}`)
+SELECT lower(lang_ci) AS lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS upper_docs,
+       CAST(sum(CASE WHEN lang_ci = 'EN' THEN 1 ELSE 0 END) AS BIGINT)
+         AS en_matches
+FROM src GROUP BY lang_ci
+"""
+    )

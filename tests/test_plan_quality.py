@@ -651,6 +651,19 @@ def test_q173_payload_never_shuffles(spark, sf_dir):
     assert "Exchange" not in between, plan
 
 
+def test_q272_collated_groupby_is_one_exchange_sort_agg(spark, sf_dir):
+    """Collated group keys are not hash-aggregable in Spark 4.1: the
+    census must plan as a partial/final SortAggregate pair sharing
+    EXACTLY ONE exchange on the collated key (the documented honest
+    cost of collations — q272's plan note).  If a future Spark makes
+    collated keys hash-aggregable this assertion flips to
+    HashAggregate and the docstring note should be retired."""
+    df = QUERIES["q272_collation_census"].builder(spark, sf_dir)
+    plan = executed_plan(df)
+    assert "SortAggregate" in plan, plan
+    assert plan.count("Exchange") - plan.count("ReusedExchange") == 1, plan
+
+
 def test_q271_payload_never_shuffles(spark, sf_dir):
     """All THREE video-tier kernels (synth, frame extraction, census)
     must chain in the scan stage: no Exchange between the first and

@@ -82,7 +82,7 @@ def test_driver_priority_names_all_registered():
     num = lambda n: int(n[1:].split("_", 1)[0])  # noqa: E731
     # round-10 rotation (VERDICT r09 item 1): this round's debuts lead
     # the window (never driven; ascending numeric order)...
-    n_new_debuts = 5  # q267-q271; bump as round-10 queries land
+    n_new_debuts = 6  # q267-q272; bump as round-10 queries land
     debut_nums = [num(n) for n in ordered[:n_new_debuts]]
     assert debut_nums == sorted(debut_nums) and all(
         x >= 267 for x in debut_nums
@@ -95,14 +95,14 @@ def test_driver_priority_names_all_registered():
         23, 24, 127, 130, 132, 144, 145, 147, 148, 149, 150, 151, 153,
         158, 162, 163, 164, 165, 166, 171,
     }, sorted(num(n) for n in stale)
-    # ...then the window's remaining 25 slots retire the OLDEST r05
-    # rows (the 22-row tail defers with per-row rationale in
+    # ...then the window's remaining 24 slots retire the OLDEST r05
+    # rows (the 23-row tail defers with per-row rationale in
     # registry.py — q53/q54/q55/q64-q66/q72-q75/q86/q87/q89-q93/q25/
-    # q108/q109/q110/q172 are the deferred set)
-    r05 = ordered[n_new_debuts + 20 : n_new_debuts + 20 + 25]
+    # q107/q108/q109/q110/q172 are the deferred set)
+    r05 = ordered[n_new_debuts + 20 : n_new_debuts + 20 + 24]
     assert {num(n) for n in r05} == {
         26, 27, 28, 57, 58, 59, 60, 61, 62, 63, 68, 69, 70, 71, 95, 96,
-        97, 99, 100, 101, 103, 104, 105, 106, 107,
+        97, 99, 100, 101, 103, 104, 105, 106,
     }, sorted(num(n) for n in r05)
 
 

@@ -340,3 +340,27 @@ def test_q271_extracted_slices_are_standalone_frames(spark):
     assert [(r.frame_ts_ms, r.frame_idx) for r in by_media[2]] == [(0, 0)]
     w, h, px = _parse_ppm(bytes(by_media[2][0].payload))
     assert (px.reshape(3, 4, 3) == frames[0]).all()
+
+
+# ------------------------------------------------------------------ q272
+def test_q272_matches_explicit_fold_replay(spark, sf_dir):
+    """Replay q272's collation census in pure Python with an explicit
+    case fold — independent of BOTH engine paths (Spark's
+    collation-aware grouping AND the oracle's lower() SQL)."""
+    got = {
+        r.lang: (r.n_docs, r.upper_docs, r.en_matches)
+        for r in QUERIES["q272_collation_census"](spark, sf_dir).collect()
+    }
+    rows = (
+        load_table(spark, sf_dir, "documents").select("doc_id", "lang").collect()
+    )
+    exp: dict[str, list[int]] = {}
+    for r in rows:
+        mixed = r.lang.upper() if r.doc_id % 2 == 1 else r.lang
+        a = exp.setdefault(mixed.lower(), [0, 0, 0])
+        a[0] += 1
+        a[1] += 1 if r.doc_id % 2 == 1 else 0
+        a[2] += 1 if mixed.lower() == "en" else 0
+    assert got == {k: tuple(v) for k, v in exp.items()}
+    # the merged groups really contain BOTH case families
+    assert all(0 < v[1] < v[0] for v in got.values())
