@@ -630,11 +630,34 @@ def ppm_stream_bytes(frames) -> bytes:
     return bytes(out)
 
 
+def _walk_p6_offsets(raw: bytes) -> list[int]:
+    """Byte offsets of every frame in a concatenated-P6 stream — the
+    ONE header-walk shared by every video kernel (sample_frame_features
+    and extract_frames must index identically or the float row and the
+    hash gate would sample different frames from the same payloads)."""
+    offsets = []
+    pos = 0
+    while pos < len(raw):
+        _, _, _, nxt = _parse_ppm_at(raw, pos)
+        offsets.append(pos)
+        pos = nxt
+    return offsets
+
+
+def _pick_frame(ts: int, n_frames: int, duration: int) -> int:
+    """The ONE frame-selection law (uniform frame spacing across the
+    declared duration, clamped): the frame covering grid instant
+    ``ts``.  q271's oracle encodes its closed form (even-indexed
+    frames at 4 fps / 500 ms grid) — change it here and the oracle,
+    or nowhere."""
+    return min(ts * n_frames // max(duration, 1), n_frames - 1)
+
+
 def sample_frame_features(df: DataFrame, every_ms: int = 500) -> DataFrame:
     """REAL video frame sampling + decode over concatenated-P6 stream
-    payloads: walk the payload's frame headers (``_parse_ppm_at``),
-    pick the frame covering each ``every_ms`` grid instant (uniform
-    frame spacing across ``meta.duration_ms``), and decode ONLY the
+    payloads: walk the payload's frame headers (``_walk_p6_offsets``),
+    pick the frame covering each ``every_ms`` grid instant
+    (``_pick_frame``), and decode ONLY the
     sampled frames — one output row per sampled frame with its raw-RGB
     mean intensity.  This is the genuine bytes-to-frames kernel of the
     video tier (``sample_frames`` below is the metadata-driven stub /
@@ -659,13 +682,7 @@ def sample_frame_features(df: DataFrame, every_ms: int = 500) -> DataFrame:
             ):
                 raw = bytes(payload)
                 duration = int(meta["duration_ms"])
-                # index the stream: offsets of every frame
-                offsets = []
-                pos = 0
-                while pos < len(raw):
-                    w, h, _, nxt = _parse_ppm_at(raw, pos)
-                    offsets.append(pos)
-                    pos = nxt
+                offsets = _walk_p6_offsets(raw)
                 n_frames = len(offsets)
                 if n_frames == 0:
                     # Empty payload: no frames to sample.  Skip the row
@@ -673,7 +690,7 @@ def sample_frame_features(df: DataFrame, every_ms: int = 500) -> DataFrame:
                     # IndexError inside the executor.
                     continue
                 for k, ts in enumerate(range(0, duration, every_ms)):
-                    f = min(ts * n_frames // max(duration, 1), n_frames - 1)
+                    f = _pick_frame(ts, n_frames, duration)
                     w, h, px, _ = _parse_ppm_at(raw, offsets[f])
                     out["media_id"].append(mid)
                     out["frame_idx"].append(f)
@@ -722,9 +739,10 @@ def extract_frames(df: DataFrame, every_ms: int = 500) -> DataFrame:
     """REAL video -> image FRAME EXTRACTION over concatenated-P6
     stream payloads — the vision-training-data pattern (ffmpeg's
     ``-vf fps=...`` thumbnail pass): walk the stream's frame headers
-    (``_parse_ppm_at``), pick the frame covering each ``every_ms``
-    grid instant (``sample_frame_features``'s selection law,
-    verbatim), and SLICE each sampled frame out of the stream as a
+    (``_walk_p6_offsets``), pick the frame covering each ``every_ms``
+    grid instant (``_pick_frame`` — the SAME shared law
+    ``sample_frame_features`` uses, by construction not by copy), and
+    SLICE each sampled frame out of the stream as a
     standalone P6 IMAGE payload.  Zero decode, zero re-encode: each
     frame inside an image2pipe stream is itself a complete P6 image,
     so extraction is a byte slice — the slices are first-class inputs
@@ -751,18 +769,13 @@ def extract_frames(df: DataFrame, every_ms: int = 500) -> DataFrame:
             ):
                 raw = bytes(payload)
                 duration = int(meta["duration_ms"])
-                offsets = []
-                pos = 0
-                while pos < len(raw):
-                    _, _, _, nxt = _parse_ppm_at(raw, pos)
-                    offsets.append(pos)
-                    pos = nxt
+                offsets = _walk_p6_offsets(raw)
                 n_frames = len(offsets)
                 if n_frames == 0:
                     continue
                 ends = offsets[1:] + [len(raw)]
                 for ts in range(0, duration, every_ms):
-                    f = min(ts * n_frames // max(duration, 1), n_frames - 1)
+                    f = _pick_frame(ts, n_frames, duration)
                     out["media_id"].append(mid)
                     out["frame_idx"].append(f)
                     out["frame_ts_ms"].append(ts)

@@ -108,45 +108,14 @@ def q171_multimodal_audio(spark, sf_dir):
     )
 
 
-@register(
-    "q172_multimodal_image",
-    tier="T2",
-    oracle=None,  # rows-only by contract: binary decode is not SQL-expressible
-)
-def q172_multimodal_image(spark, sf_dir):
-    """Multimodal IMAGE pipeline as a DECLARED query — the image-side
-    sibling of q171 over the REAL codec-free raster kernels: each
-    document gets a GENUINE image payload synthesized ON THE EXECUTORS
-    (even doc_id -> P6 PPM, odd -> PNG with zlib IDAT + CRC'd chunks;
-    both carry the same deterministic ramp law: pixel byte k of doc d
-    is ``(d + k) % 256`` on a ``(8 + d%8) x (6 + d%5)`` RGB grid), the
-    real nearest-neighbor resize (``operators/multimodal.py::
-    resize_images(fake=False)``) re-encodes every payload to 12x10 in
-    its SAME format, the real parse kernels (``_parse_ppm`` /
-    ``_parse_png``) recover dims + mean RGB intensity from the resized
-    bytes alone, and the features roll up per (lang, format).
-
-    Driver contract: rows-only (binary decode has no SQL oracle);
-    value-level checks — exact per-doc intensity against an
-    independently-computed NN-resampled ramp, and PPM-vs-PNG byte-law
-    agreement — live in tests/test_multimodal.py and
-    tests/test_struct_queries.py.
-
-    Scale shape (same discipline as q171): synth -> resize -> decode
-    are three chained ``mapInPandas`` kernels in ONE scan stage — the
-    payload bytes are born, rewritten, and consumed on the same
-    executor without ever crossing a shuffle or reaching the driver
-    (plan-asserted ``test_q172_payload_never_shuffles``); only the
-    per-doc feature scalars shuffle for the rollup.  ``max_w`` /
-    ``max_h`` pin, through the aggregate, that every payload really
-    was resized on the bytes (post-resize dims are read from the
-    re-encoded raster, not metadata)."""
-    from multi_threaded_mapreduce_framework_spark.operators.multimodal import (
-        decode_images,
-        resize_images,
-    )
-
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+def _image_media(docs):
+    """The declared image corpus, shared VERBATIM by q172 (float
+    intensity tier, rows-only) and q267 (integer resize-census tier,
+    hash-gated) so the two rows audit the same payloads — the same
+    single-source-of-law discipline as ``_video_media`` below: doc d
+    gets a GENUINE image payload synthesized ON THE EXECUTORS (even
+    doc_id -> P6 PPM, odd -> zlib/Paeth PNG; pixel byte k is
+    ``(d + k) % 256`` on an ``(8 + d%8) x (6 + d%5)`` RGB grid)."""
 
     def synth(batches):
         import numpy as np
@@ -189,7 +158,7 @@ def q172_multimodal_image(spark, sf_dir):
                 }
             )
 
-    media = docs.mapInPandas(
+    return docs.select("doc_id").mapInPandas(
         synth,
         schema=(
             "media_id bigint, kind string, payload binary,"
@@ -197,6 +166,48 @@ def q172_multimodal_image(spark, sf_dir):
             " duration_ms:int, sample_rate:int>"
         ),
     )
+
+
+@register(
+    "q172_multimodal_image",
+    tier="T2",
+    oracle=None,  # rows-only by contract: binary decode is not SQL-expressible
+)
+def q172_multimodal_image(spark, sf_dir):
+    """Multimodal IMAGE pipeline as a DECLARED query — the image-side
+    sibling of q171 over the REAL codec-free raster kernels: each
+    document gets a GENUINE image payload synthesized ON THE EXECUTORS
+    (even doc_id -> P6 PPM, odd -> PNG with zlib IDAT + CRC'd chunks;
+    both carry the same deterministic ramp law: pixel byte k of doc d
+    is ``(d + k) % 256`` on a ``(8 + d%8) x (6 + d%5)`` RGB grid), the
+    real nearest-neighbor resize (``operators/multimodal.py::
+    resize_images(fake=False)``) re-encodes every payload to 12x10 in
+    its SAME format, the real parse kernels (``_parse_ppm`` /
+    ``_parse_png``) recover dims + mean RGB intensity from the resized
+    bytes alone, and the features roll up per (lang, format).
+
+    Driver contract: rows-only (binary decode has no SQL oracle);
+    value-level checks — exact per-doc intensity against an
+    independently-computed NN-resampled ramp, and PPM-vs-PNG byte-law
+    agreement — live in tests/test_multimodal.py and
+    tests/test_struct_queries.py.
+
+    Scale shape (same discipline as q171): synth -> resize -> decode
+    are three chained ``mapInPandas`` kernels in ONE scan stage — the
+    payload bytes are born, rewritten, and consumed on the same
+    executor without ever crossing a shuffle or reaching the driver
+    (plan-asserted ``test_q172_payload_never_shuffles``); only the
+    per-doc feature scalars shuffle for the rollup.  ``max_w`` /
+    ``max_h`` pin, through the aggregate, that every payload really
+    was resized on the bytes (post-resize dims are read from the
+    re-encoded raster, not metadata)."""
+    from multi_threaded_mapreduce_framework_spark.operators.multimodal import (
+        decode_images,
+        resize_images,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    media = _image_media(docs)
     resized = resize_images(media, width=12, height=10, fake=False).withColumn(
         "kind", F.lit("image")
     )
@@ -520,46 +531,17 @@ def q267_image_resize_census(spark, sf_dir):
     resize -> census are three chained Arrow kernels in ONE scan
     stage — payload bytes are born, rewritten, and consumed on the
     same executor, never shuffled, never driver-side; only |format| =
-    2 integer census rows aggregate."""
+    2 integer census rows aggregate.  The corpus comes from
+    ``_image_media`` — the SAME synth q172 runs, so the rows-only
+    float row and this hash gate audit one payload law by
+    construction."""
     from multi_threaded_mapreduce_framework_spark.operators.multimodal import (
         media_census,
         resize_images,
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-
-    def synth(batches):
-        import numpy as np
-        import pandas as pd
-
-        from multi_threaded_mapreduce_framework_spark.operators.multimodal import (
-            encode_png,
-        )
-
-        for pdf in batches:
-            payloads = []
-            for did in pdf["doc_id"]:
-                d = int(did)
-                w, h = 8 + d % 8, 6 + d % 5
-                px = ((np.arange(w * h * 3, dtype=np.int64) + d) % 256).astype(
-                    np.uint8
-                )
-                payloads.append(
-                    encode_png(px.reshape(h, w, 3))
-                    if d % 2
-                    else b"P6\n%d %d\n255\n" % (w, h) + px.tobytes()
-                )
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["doc_id"],
-                    "kind": ["image"] * len(pdf),
-                    "payload": payloads,
-                }
-            )
-
-    media = docs.mapInPandas(
-        synth, schema="media_id bigint, kind string, payload binary"
-    )
+    media = _image_media(docs).select("media_id", "kind", "payload")
     resized = resize_images(media, width=12, height=10, fake=False)
     census = media_census(resized)
     return census.groupBy("format").agg(
@@ -644,8 +626,12 @@ def q271_video_frame_extract_census(spark, sf_dir):
     Scale shape (q173's discipline): synth -> extract -> census are
     three chained Arrow kernels in ONE scan stage — video bytes are
     born, sliced, and consumed on the same executor, never shuffled,
-    never driver-side; only |dur_class| = 4 integer census rows
-    aggregate (one partial-agg shuffle).  At 100 TB this is the
+    never driver-side.  The census aggregates in TWO exchanges (plan
+    snapshot: exchanges=2): the ``count_distinct(media_id)`` compiles
+    to Spark's standard two-phase distinct aggregate, so the first
+    exchange carries (dur_class, media_id) partial rows — bounded by
+    the VIDEO count, not the frame count — and the second carries the
+    4-row class census.  At 100 TB this is the
     vision-pipeline shape: frame extraction is embarrassingly
     parallel over payload bytes, and the downstream image tier
     (resize/decode/census) consumes the slices without re-encoding."""

@@ -40,10 +40,17 @@ def bump_new_file_mtimes(out_dir: str, before: set[str], bump: float = 1.0) -> N
     previous sub-second ``sleep`` could tie there and replay chunks out
     of order, tripping watermark-driven late drops).
 
-    The FIRST stamp anchors one hour in the PAST, so the whole stamped
-    chain stays strictly below wall clock: a later append with a
-    natural mtime (code outside this helper) still sorts after every
-    stamped file, i.e. stamping composes with naive writers."""
+    The FIRST stamp anchors one hour in the PAST, so a chain stamped
+    from an empty directory stays strictly below wall clock and a
+    later append with a natural mtime (code outside this helper)
+    still sorts after every stamped file.  Scope of that composition
+    guarantee: it holds only while EVERY file in the directory was
+    stamped by this helper.  When a wave is stamped ON TOP of files
+    carrying natural (~now) mtimes — the q244/q248/q262/q263 flows —
+    the stamp lands at natural-max + bump, i.e. up to ~bump seconds
+    in the FUTURE, and a subsequent naive append within that window
+    could tie or sort before it: any later write to such a directory
+    must also go through this helper."""
     names = _data_files(out_dir)
     old = [
         os.path.getmtime(os.path.join(out_dir, f)) for f in names if f in before

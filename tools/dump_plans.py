@@ -67,7 +67,7 @@ SHOWCASE = {
     "q195_winnowing_fingerprints": "the whole MOSS selection (gram hashes, window minima, distinct positions) is a single projected higher-order expression INSIDE the scan stage — no Exchange below the 5-key lang censuses, and the fingerprint explode feeds a partial-agg distinct count.",
     "q198_unpivot_doc_metrics": "unpivot plans as ONE Expand node ABOVE the per-lang aggregate (single parquet Scan in the whole plan) — the wide->long reshape multiplies 5 post-agg rows by 4 metrics, never re-scanning the table the way a UNION ALL formulation would.",
     "q200_recursive_cte_depths": "WITH RECURSIVE plans as Catalyst's UnionLoop — the engine owns the fixed-point iteration (frontier join per step against the parent relation) and the census above it is one partial agg; no driver-side loop exists anywhere in the query.",
-    "q271_video_frame_extract_census": "THREE chained MapInPandas (synth -> frame-slice -> census) with no Exchange between them — the video streams and the sliced frame payloads are born and consumed inside the scan stage; the lone shuffle carries the 4-row dur_class census.",
+    "q271_video_frame_extract_census": "THREE chained MapInPandas (synth -> frame-slice -> census) with no Exchange between them — the video streams and the sliced frame payloads are born and consumed inside the scan stage; the two exchanges above carry the count_distinct's (dur_class, media_id) partials (bounded by videos, not frames) and the 4-row class census — never payload bytes.",
 }
 
 HEADER = """# PLANS — physical plans of representative queries
