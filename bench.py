@@ -101,6 +101,39 @@ def host_probe() -> float:
 
 PROBE_EVERY = 10  # ~27 probes over the full suite, <1% wall overhead
 
+# Clean-run guideline (BASELINE.md "Interleaved probe track"): a probe
+# spread beyond this marks transient host interference somewhere in the
+# suite — r10's three discarded attempts all read 1.6-1.9 here while
+# every clean record reads ~1.1-1.3.
+CALIB_TRACK_CLEAN_MAX_OVER_MIN = 1.5
+
+
+def track_ratio(calib_track: dict[str, float]) -> float:
+    """max/min over the interleaved probe series (2 dp)."""
+    return round(
+        max(calib_track.values()) / max(min(calib_track.values()), 1e-9), 2
+    )
+
+
+def is_contaminated(calib_track: dict[str, float]) -> bool:
+    """True when the run's own probe track shows host interference."""
+    return track_ratio(calib_track) > CALIB_TRACK_CLEAN_MAX_OVER_MIN
+
+
+def bless_record(payload: dict, path: str) -> bool:
+    """Write ``payload`` into the committed-record slot ``path`` ONLY if
+    its own probe track is clean (VERDICT r10 item 3: a dirty run must
+    never silently become the committed baseline).  A contaminated
+    payload is preserved at ``<path>.dirty`` for adjudication instead
+    and the function returns False."""
+    if payload.get("contaminated"):
+        with open(path + ".dirty", "w") as f:
+            json.dump(payload, f, indent=1)
+        return False
+    with open(path, "w") as f:
+        json.dump(payload, f, indent=1)
+    return True
+
 
 def host_calibration() -> float:
     """Fixed pure-CPU workload (seconds; lower = faster host): a
@@ -204,18 +237,29 @@ def main() -> None:
         # each probe ran AFTER; max/min >~1.5 marks the run's own
         # evidence of transient host interference in that segment
         "calib_track": calib_track,
-        "calib_track_max_over_min": round(
-            max(calib_track.values()) / max(min(calib_track.values()), 1e-9), 2
-        ),
+        "calib_track_max_over_min": track_ratio(calib_track),
+        # self-adjudication (VERDICT r10 item 3): when true, this run's
+        # numbers carry their own contamination evidence — the payload
+        # is NOT blessed as BENCH.json and per-query diffs against it
+        # must go through the probe-track protocol first
+        "contaminated": is_contaminated(calib_track),
     }
     # Full-precision record on disk for BASELINE.md round-over-round
     # diffs (full-suite runs only — a name-filtered run must not clobber
-    # the last complete record).
+    # the last complete record; a CONTAMINATED run must not clobber the
+    # last clean one — it lands in BENCH.json.dirty instead).
     if not args.names:
-        with open(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.json"), "w"
-        ) as f:
-            json.dump(payload, f, indent=1)
+        record = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH.json"
+        )
+        if not bless_record(payload, record):
+            print(
+                f"# CONTAMINATED run (calib_track_max_over_min="
+                f"{payload['calib_track_max_over_min']} > "
+                f"{CALIB_TRACK_CLEAN_MAX_OVER_MIN}): record refused, "
+                f"payload kept at {record}.dirty",
+                file=sys.stderr,
+            )
     # The driver captures only the tail (~4 KB) of stdout; round 1's
     # 3-dp line with default separators truncated mid-object and parsed
     # as null.  Print a compact line (2 dp, no separator spaces): ~2 KB
