@@ -270,7 +270,13 @@ def q201_variant_payload(spark, sf_dir):
     Scale shape: at 100 TB the parse-once property is the difference
     between O(accesses) and O(1) JSON scans per row; bucketed grouping
     (k div 25) keeps the output domain bounded regardless of the key
-    cardinality underneath."""
+    cardinality underneath.
+
+    Declared domain (r10 advisor): the bucketing law assumes k >= 0 —
+    Spark's ``div`` truncates toward zero while DuckDB's ``//`` floors,
+    so the two sides diverge on negative k (-3 div 25 = 0 vs
+    -3 // 25 = -1).  Every fixture pins props.k to 0..99; a signed-key
+    deployment must bucket with an explicit floor on both sides."""
     ev = load_table(spark, sf_dir, "events")
     k = F.expr("variant_get(parse_json(props), '$.k', 'bigint')")
     return (
@@ -384,7 +390,9 @@ def q270_variant_shredded_write_census(spark, sf_dir):
     ``pushVariantIntoScan``) pruned reads for path accesses, vs
     re-decoding a binary blob per row; the write is one pass, the
     census one partial agg over (event_type, k div 25) — q201's
-    bounded output domain."""
+    bounded output domain, under q201's declared k >= 0 domain
+    (Spark ``div`` truncates, DuckDB ``//`` floors — they agree only
+    on nonnegative k; fixtures pin props.k to 0..99)."""
     key = (spark.sparkContext.applicationId, sf_dir, "variant_shred")
     cached = _SHRED_CACHE.get(key)
     if cached is None:

@@ -43,23 +43,41 @@ def bump_new_file_mtimes(out_dir: str, before: set[str], bump: float = 1.0) -> N
     The FIRST stamp anchors one hour in the PAST, so a chain stamped
     from an empty directory stays strictly below wall clock and a
     later append with a natural mtime (code outside this helper)
-    still sorts after every stamped file.  Scope of that composition
-    guarantee: it holds only while EVERY file in the directory was
-    stamped by this helper.  When a wave is stamped ON TOP of files
-    carrying natural (~now) mtimes — the q244/q248/q262/q263 flows —
-    the stamp lands at natural-max + bump, i.e. up to ~bump seconds
-    in the FUTURE, and a subsequent naive append within that window
-    could tie or sort before it: any later write to such a directory
-    must also go through this helper."""
+    still sorts after every stamped file.  When a wave is stamped ON
+    TOP of files carrying natural (~now) mtimes — the q244/q248/q262/
+    q263 flows — the stamp would land at natural-max + bump, i.e. up
+    to ~bump seconds in the FUTURE; the r10 advisor noted that window
+    left an unenforced contract (a naive append inside it could tie or
+    sort before the stamp).  Mechanized here: a future-landing stamp is
+    capped to a few ms past max(natural-max, now) and the helper BLOCKS
+    until wall clock passes it before returning — so by the time any
+    caller can write again, every possible mtime (helper-stamped or
+    natural) sorts strictly after this wave.  A post-stamp readback
+    asserts the filesystem stored a strict order (a coarse-granularity
+    fs would truncate the ms increment into a tie)."""
     names = _data_files(out_dir)
     old = [
         os.path.getmtime(os.path.join(out_dir, f)) for f in names if f in before
     ]
-    t = (max(old) if old else _time.time() - 3600.0) + bump
+    natural_max = max(old) if old else _time.time() - 3600.0
+    t = natural_max + bump
+    now = _time.time()
+    if t > now:
+        t = min(t, max(natural_max, now) + 0.005)
+    stamped = []
     for f in names:
         if f not in before:
             p = os.path.join(out_dir, f)
             os.utime(p, (t, t))
+            stamped.append(os.path.getmtime(p))
+    if stamped and old:
+        assert min(stamped) > natural_max, (
+            f"filesystem mtime granularity too coarse for strict ordering: "
+            f"stamped {min(stamped)} vs pre-existing max {natural_max}"
+        )
+    # never return while the stamp is in the future (see docstring)
+    while _time.time() <= t:
+        _time.sleep(max(t - _time.time(), 0.0) + 0.001)
 
 
 def replay_events(
