@@ -521,15 +521,15 @@ def q253_eval_apportionment(spark, sf_dir):
 
 
 # ------------------------------------------------------------------ q254
-def _kappa_oracle() -> str:
-    from multi_threaded_mapreduce_framework_spark.queries.t2_loader import (
-        CT_PRED_CTES,
-    )
-
-    return f"""
-WITH {CT_PRED_CTES},
-conf AS (SELECT lang, predicted, CAST(count(*) AS BIGINT) AS cnt
-         FROM p1 GROUP BY lang, predicted),
+# Oracle arithmetic over a `conf(lang, predicted, cnt)` confusion
+# relation, shared between the registered oracle (conf = the q224
+# prediction census) and the law test (conf = synthetic counts with
+# n >> 3e6, proving the staged-division envelope).  All divisions are
+# EXACT integer ops: DuckDB `//` and Spark `div` both truncate toward
+# zero (verified both engines), `%` follows the dividend on both, and
+# the one term that can exceed int64 (micro * a value bounded by n^2)
+# is staged through HUGEINT here / DECIMAL(38,0) on the Spark side.
+_KAPPA_TAIL_SQL = """
 tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n,
                CAST(sum(CASE WHEN lang = predicted THEN cnt ELSE 0 END)
                     AS BIGINT) AS agree
@@ -539,57 +539,48 @@ rm AS (SELECT lang AS lbl, CAST(sum(cnt) AS BIGINT) AS r
 cm AS (SELECT predicted AS lbl, CAST(sum(cnt) AS BIGINT) AS c
        FROM conf GROUP BY predicted),
 s AS (SELECT CAST(coalesce(sum(rm.r * cm.c), 0) AS BIGINT) AS s
-      FROM rm JOIN cm USING (lbl))
-SELECT tot.n AS n_docs, tot.agree AS n_agree,
-       CAST((1000000 * tot.agree) // tot.n AS BIGINT) AS po_micro,
-       CAST((1000000 * s.s) // (tot.n * tot.n) AS BIGINT) AS pe_micro,
-       CAST(floor(1000000.0 * (tot.n * tot.agree - s.s)
-                  / greatest(tot.n * tot.n - s.s, 1)) AS BIGINT)
+      FROM rm JOIN cm USING (lbl)),
+nd AS (SELECT tot.n AS n, tot.agree AS agree, s.s AS s,
+              tot.n * tot.agree - s.s AS kn,
+              greatest(tot.n * tot.n - s.s, CAST(1 AS BIGINT)) AS kd
+       FROM tot, s),
+kf AS (SELECT n, agree, s, kn, kd,
+              kn // kd + (CASE WHEN kn % kd <> 0 AND kn < 0
+                          THEN -1 ELSE 0 END) AS ka
+       FROM nd),
+kb AS (SELECT n, agree, s, kn, kd, ka,
+              CAST(kn AS HUGEINT) - CAST(ka AS HUGEINT) * kd AS kr
+       FROM kf)
+SELECT n AS n_docs, agree AS n_agree,
+       CAST((1000000 * agree) // n AS BIGINT) AS po_micro,
+       CAST((1000000 * CAST(s AS HUGEINT))
+            // (CAST(n AS HUGEINT) * n) AS BIGINT) AS pe_micro,
+       CAST(1000000 * CAST(ka AS HUGEINT)
+            + (1000000 * kr) // CAST(kd AS HUGEINT) AS BIGINT)
          AS kappa_micro
-FROM tot, s
+FROM kb
 """
 
 
-@register("q254_langid_agreement_kappa", tier="T2", oracle=_kappa_oracle())
-def q254_langid_agreement_kappa(spark, sf_dir):
-    """Cohen's kappa between the declared ``lang`` labels and the
-    Cavnar-Trenkle n-gram identifier — the CHANCE-CORRECTED agreement
-    score a labeling audit actually reports (q224 shows the raw
-    confusion matrix; kappa answers "is this agreement better than
-    guessing the marginals", which raw accuracy cannot: a 90%-majority
-    corpus gets 82% agreement for free).  Shares q224's prediction
-    relation verbatim (``ct_langid_predictions`` / ``CT_PRED_CTES``),
-    so the two rows audit the same classifier.
-
-    Exactness: po and pe are integer micro by construction (nonneg
-    integer division).  kappa itself can be negative, where Spark's
-    ``div`` (truncate) and DuckDB's ``//`` (floor) disagree — so
-    kappa_micro is ONE floor() over one IEEE multiply+divide on
-    bitwise-equal integer inputs, the identical-expression-tree class
-    q239 established (both engines compute the same correctly-rounded
-    double, so the floor agrees bit-exactly).  Declared envelope
-    (r9 advisor): the binding term is ``1000000 * s`` with
-    ``s = sum(r_i * c_i) <= n^2`` — int64-safe only while
-    ``10^6 * n^2 < 2^63``, i.e. n <= ~3.0e6 docs; the ``n*n - s``
-    double path stays 2^53-exact to the same point, so the row's
-    declared domain is n <= 3e6 docs per audit slice.  Beyond that,
-    rescale per-slice (audit per source/shard — the operational
-    shape anyway) or divide s by n before the micro multiply.
-
-    Plan: q224's plan (one distinct-trigram explode, broadcast
-    profiles, doc-bounded argmax windows) feeding label-domain-bounded
-    aggregates (<= |langs|+1 rows), then 1-row scalar arithmetic — the
-    kappa adds nothing that scales with the corpus."""
+def _kappa_oracle() -> str:
     from multi_threaded_mapreduce_framework_spark.queries.t2_loader import (
-        ct_langid_predictions,
+        CT_PRED_CTES,
     )
 
-    conf = (
-        ct_langid_predictions(spark, sf_dir)
-        .groupBy("lang", "predicted")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
-        .localCheckpoint()
-    )
+    return f"""
+WITH {CT_PRED_CTES},
+conf AS (SELECT lang, predicted, CAST(count(*) AS BIGINT) AS cnt
+         FROM p1 GROUP BY lang, predicted),
+{_KAPPA_TAIL_SQL}
+"""
+
+
+def kappa_from_conf(conf):
+    """Exact-integer Cohen's-kappa census over a ``(lang, predicted,
+    cnt)`` confusion DataFrame — the Spark half of q254's staged-
+    division law (see the q254 docstring for the envelope math).
+    Factored out so the law test can drive the identical arithmetic
+    over synthetic counts with n far beyond the old 2^53 cliff."""
     tot = conf.agg(
         F.sum("cnt").cast("bigint").alias("n"),
         F.sum(F.when(F.col("lang") == F.col("predicted"), F.col("cnt")).otherwise(0))
@@ -606,16 +597,80 @@ def q254_langid_agreement_kappa(spark, sf_dir):
         rm.join(cm, "lbl")
         .agg(F.coalesce(F.sum(F.col("r") * F.col("c")), F.lit(0)).cast("bigint").alias("s"))
     )
-    return tot.crossJoin(F.broadcast(s)).select(
-        F.col("n").alias("n_docs"),
-        F.col("agree").alias("n_agree"),
-        F.expr("CAST((1000000 * agree) div n AS BIGINT)").alias("po_micro"),
-        F.expr("CAST((1000000 * s) div (n * n) AS BIGINT)").alias("pe_micro"),
-        F.expr(
-            "CAST(floor(1000000.0 * (n * agree - s)"
-            " / greatest(n * n - s, 1)) AS BIGINT)"
-        ).alias("kappa_micro"),
+    nd = tot.crossJoin(F.broadcast(s)).selectExpr(
+        "n",
+        "agree",
+        "s",
+        "n * agree - s AS kn",
+        "greatest(n * n - s, CAST(1 AS BIGINT)) AS kd",
     )
+    kf = nd.selectExpr(
+        "*",
+        "kn div kd + (CASE WHEN kn % kd <> 0 AND kn < 0 THEN -1 ELSE 0 END) AS ka",
+    )
+    kb = kf.selectExpr(
+        "*", "CAST(kn AS DECIMAL(38,0)) - CAST(ka AS DECIMAL(38,0)) * kd AS kr"
+    )
+    return kb.selectExpr(
+        "n AS n_docs",
+        "agree AS n_agree",
+        "CAST((1000000 * agree) div n AS BIGINT) AS po_micro",
+        "CAST((1000000 * CAST(s AS DECIMAL(38,0)))"
+        " div (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT) AS pe_micro",
+        "CAST(1000000 * CAST(ka AS DECIMAL(38,0))"
+        " + (1000000 * kr) div CAST(kd AS DECIMAL(38,0)) AS BIGINT)"
+        " AS kappa_micro",
+    )
+
+
+@register("q254_langid_agreement_kappa", tier="T2", oracle=_kappa_oracle())
+def q254_langid_agreement_kappa(spark, sf_dir):
+    """Cohen's kappa between the declared ``lang`` labels and the
+    Cavnar-Trenkle n-gram identifier — the CHANCE-CORRECTED agreement
+    score a labeling audit actually reports (q224 shows the raw
+    confusion matrix; kappa answers "is this agreement better than
+    guessing the marginals", which raw accuracy cannot: a 90%-majority
+    corpus gets 82% agreement for free).  Shares q224's prediction
+    relation verbatim (``ct_langid_predictions`` / ``CT_PRED_CTES``),
+    so the two rows audit the same classifier.
+
+    Exactness (r10 rescale — VERDICT r10 item 4): every reported value
+    is EXACT integer arithmetic end to end; the old
+    floor-of-IEEE-double kappa and its ~3e6-doc 2^53 cliff are gone.
+    Both engines truncate integer division toward zero (Spark ``div``,
+    DuckDB ``//`` — verified) and ``%`` follows the dividend on both,
+    so floor division for the possibly-negative kappa numerator is the
+    explicit two-term form in ``kf``.  The only products that can
+    exceed int64 — ``10^6 * s`` and ``10^6 * kr`` with ``s, kr <= n^2``
+    — are staged through DECIMAL(38,0) (Spark) / HUGEINT (DuckDB),
+    whose integral division both engines compute exactly.  New
+    declared envelope: the int64 terms ``n*agree``, ``n*n - s`` bind
+    at ``n^2 < 2^63``, i.e. **n <= ~3.0e9 docs per audit slice**
+    (1000x the old cliff; Spark runs ANSI so an over-envelope slice
+    fails loudly instead of wrapping).  Degenerate corner out of
+    domain: a single-label marginal with disagreement (pe = 1) makes
+    kappa mathematically undefined; the ``greatest(kd, 1)`` guard
+    keeps the expression total but the sentinel value overflows the
+    final BIGINT cast beyond n ~ 3e6 there.  Law test
+    ``test_q254_kappa_exact_beyond_int53`` drives the same arithmetic
+    (``kappa_from_conf`` + ``_KAPPA_TAIL_SQL``) over synthetic
+    confusion counts with n ~ 1.2e9 against exact Python integers.
+
+    Plan: q224's plan (one distinct-trigram explode, broadcast
+    profiles, doc-bounded argmax windows) feeding label-domain-bounded
+    aggregates (<= |langs|+1 rows), then 1-row scalar arithmetic — the
+    kappa adds nothing that scales with the corpus."""
+    from multi_threaded_mapreduce_framework_spark.queries.t2_loader import (
+        ct_langid_predictions,
+    )
+
+    conf = (
+        ct_langid_predictions(spark, sf_dir)
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .localCheckpoint()
+    )
+    return kappa_from_conf(conf)
 
 
 # ------------------------------------------------------------------ q255

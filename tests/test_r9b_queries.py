@@ -109,10 +109,105 @@ def test_q254_kappa_replays_from_q224_confusion(spark, sf_dir):
     assert len(row) == 1
     r0 = row[0]
     assert (r0.n_docs, r0.n_agree) == (n, agree)
-    assert r0.po_micro == (1_000_000 * agree) // n
-    assert r0.pe_micro == (1_000_000 * s) // (n * n)
+    assert (r0.po_micro, r0.pe_micro, r0.kappa_micro) == _kappa_exact(n, agree, s)
+
+
+def _kappa_exact(n: int, agree: int, s: int) -> tuple[int, int, int]:
+    """The kappa census in arbitrary-precision Python integers (Python
+    ``//`` floors, matching the staged floor-division law)."""
     den = max(n * n - s, 1)
-    assert r0.kappa_micro == math.floor(1000000.0 * (n * agree - s) / den)
+    return (
+        (1_000_000 * agree) // n,
+        (1_000_000 * s) // (n * n),
+        (1_000_000 * (n * agree - s)) // den,
+    )
+
+
+def _synthetic_kappa_case(spark, conf_rows):
+    """Drive BOTH halves of the q254 law (``kappa_from_conf`` on Spark,
+    ``_KAPPA_TAIL_SQL`` on DuckDB) over a synthetic confusion relation
+    and return (spark_row, duck_row, exact_triple)."""
+    import duckdb
+
+    from multi_threaded_mapreduce_framework_spark.queries.t2_r9 import (
+        _KAPPA_TAIL_SQL,
+        kappa_from_conf,
+    )
+
+    conf = spark.createDataFrame(
+        conf_rows, "lang string, predicted string, cnt bigint"
+    )
+    got = kappa_from_conf(conf).collect()
+    assert len(got) == 1
+    values = ", ".join(
+        f"('{lang}', '{pred}', CAST({cnt} AS BIGINT))"
+        for lang, pred, cnt in conf_rows
+    )
+    con = duckdb.connect()
+    duck = con.sql(
+        f"WITH conf(lang, predicted, cnt) AS (VALUES {values}),"
+        f"{_KAPPA_TAIL_SQL}"
+    ).fetchall()
+    con.close()
+    assert len(duck) == 1
+    n = sum(c for _, _, c in conf_rows)
+    agree = sum(c for lang, pred, c in conf_rows if lang == pred)
+    rm: dict[str, int] = {}
+    cm: dict[str, int] = {}
+    for lang, pred, c in conf_rows:
+        rm[lang] = rm.get(lang, 0) + c
+        cm[pred] = cm.get(pred, 0) + c
+    s = sum(v * cm.get(k, 0) for k, v in rm.items())
+    return got[0], duck[0], (n, agree) + _kappa_exact(n, agree, s)
+
+
+def test_q254_kappa_exact_beyond_int53(spark):
+    """VERDICT r10 item 4: the staged-division rescale must stay exact
+    (and Spark/DuckDB hash-identical) for slices FAR beyond the old
+    ~3e6-doc cliff — here n ~ 1.2e9 docs, where the old ``1000000 * s``
+    int64 term (s ~ 2.6e17) would have overflowed by 10 orders of
+    magnitude and the double path would have been ~2^7 past 2^53."""
+    rows = [
+        ("en", "en", 500_000_000),
+        ("en", "de", 1_000_003),
+        ("de", "de", 400_000_007),
+        ("de", "en", 77),
+        ("fr", "fr", 300_000_001),
+        ("fr", "en", 12_345),
+    ]
+    got, duck, exact = _synthetic_kappa_case(spark, rows)
+    assert tuple(got) == exact
+    assert tuple(duck) == exact
+    assert exact[0] > 1_000_000_000  # really beyond the old envelope
+
+
+def test_q254_kappa_negative_floor_branch_at_scale(spark):
+    """Worse-than-chance agreement at n ~ 1.1e9: the kappa numerator is
+    negative, so the explicit floor-division branch (trunc-toward-zero
+    minus one on nonzero remainder) is what both engines exercise —
+    the corner the old floor(double) handled implicitly."""
+    rows = [
+        ("a", "b", 600_000_000),
+        ("b", "a", 500_000_000),
+        ("a", "a", 3),
+        ("b", "b", 7),
+    ]
+    got, duck, exact = _synthetic_kappa_case(spark, rows)
+    assert tuple(got) == exact
+    assert tuple(duck) == exact
+    assert exact[4] < 0  # kappa_micro really negative
+
+
+def test_q254_kappa_small_slice_unchanged(spark):
+    """The rescale must not move any value inside the old envelope —
+    a small confusion relation still matches exact integers (and the
+    old floor(double) law, which was exact there)."""
+    rows = [("en", "en", 40), ("en", "de", 10), ("de", "de", 30), ("de", "en", 20)]
+    got, duck, exact = _synthetic_kappa_case(spark, rows)
+    assert tuple(got) == exact
+    assert tuple(duck) == exact
+    n, agree, s = 100, 70, (50 * 60 + 50 * 40)
+    assert exact[4] == math.floor(1000000.0 * (n * agree - s) / (n * n - s))
 
 
 # ------------------------------------------------------------------ q255
