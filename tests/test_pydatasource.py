@@ -288,3 +288,90 @@ def test_docgen_stream_restart_from_checkpoint(spark, tmp_path):
     batch = spark.read.format("docgen").option("rows", 240).load()
     # exactly once: equality as multisets (no dupes, no gaps)
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, batch.collect()))
+
+
+# ---------------------------------------------------- concurrent appends
+def test_manifest_lock_serializes_concurrent_merges(tmp_path):
+    """The lost-update race pinned directly (VERDICT r10 item 6): 8 raw
+    threads x 25 read-merge-write cycles each against one manifest.
+    Without the lock, two merges reading the same previous state drop
+    each other's entries; with it, every one of the 200 unique files
+    must survive into the final committed set."""
+    import threading
+
+    from multi_threaded_mapreduce_framework_spark.sources.pydatasource import (
+        _with_manifest_lock,
+    )
+
+    path = str(tmp_path / "_MANIFEST.json")
+
+    def merge_one(name):
+        def body():
+            manifest = {"rows": 0, "files": []}
+            if os.path.exists(path):
+                with open(path) as fh:
+                    manifest = json.load(fh)
+            manifest = {
+                "rows": manifest["rows"] + 1,
+                "files": sorted(set(manifest["files"]) | {name}),
+            }
+            tmp = path + ".tmp-" + name
+            with open(tmp, "w") as fh:
+                json.dump(manifest, fh)
+            os.replace(tmp, path)
+
+        _with_manifest_lock(path, body)
+
+    def hammer(tid):
+        for i in range(25):
+            merge_one(f"part-{tid:02d}-{i:02d}.jsonl")
+
+    threads = [threading.Thread(target=hammer, args=(t,)) for t in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    final = json.load(open(path))
+    assert final["rows"] == 200
+    assert len(final["files"]) == 200
+    assert not os.path.exists(path + ".lock")  # released
+
+
+def test_jsonl_concurrent_append_jobs_lose_nothing(spark, tmp_path):
+    """Two APPEND jobs racing the manifest merge end to end: both jobs'
+    shards (job-uuid names — never colliding) and both jobs' manifest
+    entries must be visible to the committed-files reader afterwards."""
+    import threading
+
+    d = str(tmp_path / "race")
+    lo = spark.read.format("docgen").option("rows", 60).option(
+        "partitions", 3
+    ).load().filter("doc_id < 30")
+    hi = spark.read.format("docgen").option("rows", 60).option(
+        "partitions", 3
+    ).load().filter("doc_id >= 30")
+    errs = []
+
+    def append(df):
+        try:
+            # py4j pins each Python thread to its own JVM thread, whose
+            # active-session ThreadLocal is unset — without it the JVM
+            # can't see the session's Python data source registry
+            spark._jvm.org.apache.spark.sql.classic.SparkSession.setActiveSession(
+                spark._jsparkSession
+            )
+            df.write.format("jsonl").mode("append").option("path", d).save()
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [threading.Thread(target=append, args=(df,)) for df in (lo, hi)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errs == []
+    manifest = json.load(open(os.path.join(d, "_MANIFEST.json")))
+    assert manifest["rows"] == 60
+    back = spark.read.format("jsonl").schema(DDL).option("path", d).load()
+    batch = spark.read.format("docgen").option("rows", 60).load()
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, batch.collect()))
