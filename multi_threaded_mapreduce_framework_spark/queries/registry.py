@@ -81,96 +81,82 @@ _REGISTRY: dict[str, Query] = {}
 # q23/q24/q94/q98/q102; r05 the q50-q75/q86-q110 bands + q25-q28 +
 # q172; r06 q173-q222; r07 q223-q229 + q217(renamed) + q29-q49/q67
 # + the 6 r7 debuts + q76-q85/q88/q56/q111/q112; r08 the 11 r8 debuts
-# + the 36 r03-stale rows + q50-q52 (50 rows, 0 failures).
-# Round-10 priority (the r9 verdict's item 1): (1) this round's debuts
-# (never driven) — q267 (image-resize round-trip census, the q172
-# promotion), q268 (jsonl Python-DataSource WRITER write->readback
-# law), q269 (streaming session_window under q199's verbatim
-# oracle), q270 (VARIANT shredded-write census), q271 (video
-# frame-extraction census, the q173 promotion — completing the
-# q247/q267 integer-gate series over all three modalities), and q272
-# (collation-aware grouping census — the t2_spark4 band's last
-# surface); (2) the 20 rows last driven r04 — the oldest band, four
-# rounds unverified (VERDICT r9 item 1 names them) — staleness-first;
-# (3) the remaining ~24 slots retire the oldest r05 rows.  23 r05 rows
-# (incl. q107/q108/q109/q110, see the tuple tail note) defer
-# to r11, lowest-risk last: q172 is rows-only AND its integer decode
-# law is hash-gated by the q267 debut THIS round (plus q247, r09);
-# q55 is contractual rows-only (HLL sketch, accuracy-bounded in
-# tests/test_approx.py) so the driver gate is weaker regardless; q86
-# was judge-spot-checked green at sf0.1 in the r9 session; the TPC-H
-# band (q53/q54/q64/q65/q66/q72-q75/q87/q89-q93) are pure relational
-# plans with no Python kernels or derived fixtures — their operator
-# surface (multi-join order, filtered aggs, exists/anti forms) is
-# exercised by in-window relational rows and judge TPC-H spot checks
-# hit the band every round (q86 r9, q01/q111 r9); q25's exact-dedup
-# law is the oracle of the r09-green q244/q248 streaming dedup rows.
-# The full set is ALSO re-proven locally each session via
-# tools/check_oracle.py at BOTH sf0.01 and sf0.1 — every deferred row
-# has same-round local oracle evidence even when the driver window
-# cuts off.
+# + the 36 r03-stale rows + q50-q52 (50 rows, 0 failures); r09 the 20
+# r9 debuts + the r04-stale q94-q170 band (50 rows); r10 the 6 r10
+# debuts + the 20 r04-stale rows + 24 r05 rows (50 rows, 49 hash-green
+# + q171's contractual rows-only).
+# Round-11 priority (the r10 verdict's items 1 and 5): (1) the q273
+# debut — the stream-stream LEFT-OUTER join readback (never driven);
+# (2) q254, whose law CHANGED this round (the exact staged-division
+# kappa rescale, VERDICT r10 item 4) and therefore needs a fresh
+# driver row even though it was driven r09; (3) all 23 rows last
+# driven r05 — the oldest band, six rounds unverified (VERDICT r10
+# item 1 names them; their r10 deferral rationale is retired with
+# them); (4) the remaining 25 slots start retiring the r06 band in
+# ascending order (q173-q197).  The 24 r06 rows q198-q222 defer to
+# r12: they are the youngest of the stale bands, the deferred set is
+# dominated by the Spark-4 SQL-surface family whose operator forms
+# are re-exercised by the in-window q194/q196/q197 and the r10-green
+# q269/q270/q272 siblings, and judge spot checks hit the band (q203
+# r10 at sf0.1).  The full set is ALSO re-proven locally each session
+# via tools/check_oracle.py at BOTH sf0.01 and sf0.1 — every deferred
+# row has same-round local oracle evidence even when the driver
+# window cuts off.
 _DRIVER_PRIORITY = (
-    # --- round-10 debuts (never driven) lead the window ---
-    "q267_image_resize_census",
-    "q268_jsonl_write_readback",
-    "q269_stream_session_census",
-    "q270_variant_shredded_write_census",
-    "q271_video_frame_extract_census",
-    "q272_collation_census",
-    # --- last driver row r04: the oldest stale band (VERDICT r9 #1) ---
-    "q23_sessionize",
-    "q24_window_tumbling",
-    "q127_vocab_ids",
-    "q130_sequence_packing",
-    "q132_quality_gates",
-    "q144_incremental_agg_merge",
-    "q145_time_weighted_avg",
-    "q147_survivorship_merge",
-    "q148_tokenize_to_ids",
-    "q149_skew_audit",
-    "q150_triangle_count",
-    "q151_session_attribution",
-    "q153_bitmap_distinct",
-    "q158_watermark_replay",
-    "q162_bitmap_set_algebra",
-    "q163_bitmap_distinct_rollup",
-    "q164_bitmap_retention",
-    "q165_bitmap_rolling_wau",
-    "q166_session_window",
-    "q171_multimodal_audio",
-    # --- last driver row r05: oldest-next band, ascending ---
-    "q26_ngram_bigrams",
-    "q27_jaccard_neardup",
-    "q28_cosine_topk",
-    "q57_date_arith",
-    "q58_string_funcs2",
-    "q59_window_range_frame",
-    "q60_min_max_by",
-    "q61_deterministic_split",
-    "q62_tfidf_top_terms",
-    "q63_event_transitions",
-    "q68_longest_streak",
-    "q69_regr_slope",
-    "q70_asof_join",
-    "q71_interval_join",
-    "q95_corpus_select",
-    "q96_repetition_stats",
-    "q97_trigram_lm",
-    "q99_stratified_sample",
-    "q100_pii_redact",
-    "q101_repeated_passages",
-    "q103_stratum_topk_sample",
-    "q104_length_histogram",
-    "q105_funnel_conversion",
-    "q106_variant_json",
-    # q107_retention_cohorts, q108_mixture_allocation, q109_rolling_wau
-    # and q110_unpivot defer to r11 with the other 19 r05 rows: the
-    # window holds 50 and the q269-q272 debuts take their slots;
-    # q107's cohort-retention law is q164's bitmap-retention form (in
-    # THIS window), q108's integer-allocation law is the r09-green
-    # q253 apportionment / q257 temperature-mixture form, q109's
-    # rolling-WAU law is q165's bitmap form (in THIS window), and
-    # q110's unpivot law is the r06-green q198 Expand form.
+    # --- round-11 debut (never driven) leads the window ---
+    "q273_stream_left_join_readback",
+    # --- law changed this round (exact kappa rescale): re-drive ---
+    "q254_langid_agreement_kappa",
+    # --- last driver row r05: the oldest stale band, ascending ---
+    "q25_exact_dedup",
+    "q53_tpch_q5",
+    "q54_tpch_q10",
+    "q55_approx_count_distinct",
+    "q64_tpch_q7",
+    "q65_tpch_q16",
+    "q66_tpch_q2",
+    "q72_tpch_q6",
+    "q73_tpch_q4",
+    "q74_tpch_q14",
+    "q75_tpch_q18",
+    "q86_tpch_q8",
+    "q87_tpch_q9",
+    "q89_tpch_q13",
+    "q90_tpch_q15",
+    "q91_tpch_q17",
+    "q92_tpch_q20",
+    "q93_tpch_q21",
+    "q107_retention_cohorts",
+    "q108_mixture_allocation",
+    "q109_rolling_wau",
+    "q110_unpivot",
+    "q172_multimodal_image",
+    # --- last driver row r06: oldest-next band, ascending ---
+    "q173_multimodal_video",
+    "q174_greedy_coverage",
+    "q175_tree_depth_pointer_jumping",
+    "q176_interval_sweep_concurrency",
+    "q177_portable_hll",
+    "q178_cogroup_conversion_lag",
+    "q179_regex_pretokenize",
+    "q180_arrow_doc_stats",
+    "q181_grouped_agg_iqr",
+    "q182_udtf_chunk_census",
+    "q183_quarantine_rows",
+    "q184_pq_codebook_census",
+    "q185_three_step_funnel",
+    "q186_bitmap_matview_readback",
+    "q187_value_histogram_percentile",
+    "q188_incremental_matview_readback",
+    "q189_tws_state_readback",
+    "q190_tws_timer_sessions",
+    "q191_training_corpus_pipeline",
+    "q192_docgen_census",
+    "q193_semantic_dedup",
+    "q194_rollup_hierarchy",
+    "q195_winnowing_fingerprints",
+    "q196_stream_stream_join_readback",
+    "q197_quality_terciles",
 )
 
 

@@ -85,3 +85,45 @@ def test_q196_cache_and_lag_bounds(spark, sf_dir):
         assert 0 <= min_lag <= hour_us
         assert min_lag <= sum_lag <= n_pairs * hour_us
         assert 1 <= n_clicks <= n_pairs and 1 <= n_purchases <= n_pairs
+
+def test_q273_left_join_flushes_and_reconciles(spark, sf_dir):
+    """The left-outer readback census must (a) reuse its session cache,
+    (b) really contain NULL-FLUSHED rows (some user has unmatched
+    clicks — otherwise the row degenerates to q196), (c) account for
+    every click exactly once across matched+unmatched (n_clicks per
+    user == that user's raw click count, and n_rows == n_matched +
+    n_unmatched), and (d) respect the join's range bound on lags."""
+    from multi_threaded_mapreduce_framework_spark.queries.t2_streamq import (
+        _MATVIEW_STATE_CACHE,
+    )
+    from multi_threaded_mapreduce_framework_spark.sources import load_table
+
+    build = QUERIES["q273_stream_left_join_readback"].builder
+    rows = {r.user_id: r for r in build(spark, sf_dir).collect()}
+    key = (spark.sparkContext.applicationId, sf_dir, "ssljoin")
+    assert key in _MATVIEW_STATE_CACHE
+    sentinel = _MATVIEW_STATE_CACHE[key]
+    again = {r.user_id: r for r in build(spark, sf_dir).collect()}
+    assert _MATVIEW_STATE_CACHE[key] is sentinel, "stream must not re-run"
+    assert rows.keys() == again.keys() and rows
+
+    clicks = {
+        r.user_id: r.n
+        for r in load_table(spark, sf_dir, "events")
+        .filter("event_type = 'click'")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    # every clicking user appears (left join drops no left rows)
+    assert rows.keys() == clicks.keys()
+    hour_us = 3_600 * 1_000_000
+    total_unmatched = 0
+    for uid, r in rows.items():
+        assert r.n_rows == r.n_matched + r.n_unmatched_clicks
+        assert r.n_clicks == clicks[uid]
+        assert 0 <= r.sum_lag_us <= r.n_matched * hour_us
+        if r.n_matched == 0:
+            assert r.sum_lag_us == 0
+        total_unmatched += r.n_unmatched_clicks
+    assert total_unmatched > 0, "no null-flushed outer rows — gate degenerate"

@@ -80,30 +80,25 @@ def test_driver_priority_names_all_registered():
     assert len(set(_DRIVER_PRIORITY)) == len(_DRIVER_PRIORITY)  # no dupes
     ordered = list(all_queries())
     num = lambda n: int(n[1:].split("_", 1)[0])  # noqa: E731
-    # round-10 rotation (VERDICT r09 item 1): this round's debuts lead
-    # the window (never driven; ascending numeric order)...
-    n_new_debuts = 6  # q267-q272; bump as round-10 queries land
-    debut_nums = [num(n) for n in ordered[:n_new_debuts]]
-    assert debut_nums == sorted(debut_nums) and all(
-        x >= 267 for x in debut_nums
-    ), ordered[:n_new_debuts]
-    assert ordered[0] == "q267_image_resize_census"
-    # ...then the 20 names last driven r04 — the oldest stale band the
-    # r9 verdict names — staleness-first...
-    stale = ordered[n_new_debuts : n_new_debuts + 20]
-    assert {num(n) for n in stale} == {
-        23, 24, 127, 130, 132, 144, 145, 147, 148, 149, 150, 151, 153,
-        158, 162, 163, 164, 165, 166, 171,
-    }, sorted(num(n) for n in stale)
-    # ...then the window's remaining 24 slots retire the OLDEST r05
-    # rows (the 23-row tail defers with per-row rationale in
-    # registry.py — q53/q54/q55/q64-q66/q72-q75/q86/q87/q89-q93/q25/
-    # q107/q108/q109/q110/q172 are the deferred set)
-    r05 = ordered[n_new_debuts + 20 : n_new_debuts + 20 + 24]
+    # round-11 rotation (VERDICT r10 items 1 and 5): the q273 debut
+    # leads, then q254 whose law changed this round (exact kappa
+    # rescale -> fresh driver row)...
+    assert ordered[0] == "q273_stream_left_join_readback"
+    assert ordered[1] == "q254_langid_agreement_kappa"
+    # ...then ALL 23 names last driven r05 — the oldest stale band,
+    # retired in full per VERDICT r10 item 1...
+    r05 = ordered[2 : 2 + 23]
     assert {num(n) for n in r05} == {
-        26, 27, 28, 57, 58, 59, 60, 61, 62, 63, 68, 69, 70, 71, 95, 96,
-        97, 99, 100, 101, 103, 104, 105, 106,
+        25, 53, 54, 55, 64, 65, 66, 72, 73, 74, 75, 86, 87, 89, 90, 91,
+        92, 93, 107, 108, 109, 110, 172,
     }, sorted(num(n) for n in r05)
+    # ...then the window's remaining 25 slots start retiring the r06
+    # band ascending (q198-q222 defer to r12 with rationale in
+    # registry.py)
+    r06 = ordered[2 + 23 : 2 + 23 + 25]
+    assert {num(n) for n in r06} == set(range(173, 198)), sorted(
+        num(n) for n in r06
+    )
 
 
 def test_every_query_has_a_survey_inventory_row():
