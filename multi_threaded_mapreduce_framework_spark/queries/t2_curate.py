@@ -956,3 +956,379 @@ def q273_stream_left_join_readback(spark, sf_dir):
             .alias("sum_lag_us"),
         )
     )
+
+
+# ------------------------------------------------------------------ q274
+@register(
+    "q274_stream_static_enrich_readback",
+    tier="T2",
+    oracle="""
+WITH dim AS (SELECT n_nationkey, n_name FROM nation WHERE n_nationkey < 8),
+e AS (SELECT user_id, event_id, value, user_id % 10 AS nk FROM events)
+SELECT coalesce(d.n_name, '<unmatched>') AS nation,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users,
+       CAST(sum(CAST(CAST(e.value AS DECIMAL(18,6)) * 1000000 AS BIGINT))
+            AS BIGINT) AS sum_value_micro,
+       CAST(min(e.event_id) AS BIGINT) AS min_event,
+       CAST(max(e.event_id) AS BIGINT) AS max_event
+FROM e LEFT JOIN dim d ON e.nk = d.n_nationkey
+GROUP BY 1
+""",
+)
+def q274_stream_static_enrich_readback(spark, sf_dir):
+    """STREAM-STATIC enrichment under the oracle gate — the remaining
+    streaming-join family after q196/q273 (stream-stream inner/left):
+    the events stream LEFT-joins a static dimension snapshot (nation,
+    keyed ``user_id % 10``, RESTRICTED to ``n_nationkey < 8`` so a
+    fifth of the key domain — residues 8-9, present at every sf —
+    is genuinely dimension-less), and the
+    readback census per enriched nation (events, distinct users,
+    integer-micro value sum, event-id extrema) is hash-gated against
+    the identical batch LEFT join in DuckDB.
+
+    The declared contract is STATELESSNESS: a stream-static join
+    buffers nothing — every micro-batch plans an ordinary batch join
+    against the (re-resolved) static files, and an unmatched stream
+    row emits its null-padded form IMMEDIATELY, in the batch it
+    arrived (q273's null flush must wait for the watermark; this one
+    must not wait at all).  No watermark, no sentinel drain, no state
+    store — the law test asserts the running query reports ZERO
+    stateful operators, so the gate cannot pass on a quietly stateful
+    plan.
+
+    Scale shape: the dim is broadcast-hinted (streaming/joins.py::
+    stream_static_join) — the 100 TB/day stream side never shuffles
+    for the enrichment, every executor holds the dim copy and the
+    join rides the scan tasks; Spark re-lists the static relation per
+    trigger, which is exactly the slowly-changing-dimension refresh
+    pattern (swap the snapshot dir, next trigger picks it up).
+    Non-negative ``user_id`` is a declared fixture domain (Spark %
+    and DuckDB % agree on it; q270's k >= 0 discipline).
+    """
+    from multi_threaded_mapreduce_framework_spark.streaming import (
+        events_stream,
+        stream_static_join,
+    )
+    from multi_threaded_mapreduce_framework_spark.streaming.windowed import (
+        replay_events_time_ordered,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir, "ssenrich")
+    cached = _MATVIEW_STATE_CACHE.get(key)
+    if cached is None:
+        base = os.path.join(
+            tempfile.gettempdir(),
+            "mtmrf_layout",
+            layout_tag(spark, sf_dir),
+            "ssenrich_readback",
+        )
+        replay = os.path.join(base, "replay")
+        replay_events_time_ordered(spark, sf_dir, replay, n_chunks=3)
+        dim = (
+            load_table(spark, sf_dir, "nation")
+            .filter(F.col("n_nationkey") < 8)
+            .select("n_nationkey", "n_name")
+        )
+        stream = events_stream(spark, replay)
+        enriched = stream_static_join(
+            stream,
+            dim,
+            stream["user_id"] % 10 == dim["n_nationkey"],
+            "left_outer",
+        ).select("user_id", "event_id", "value", "n_name")
+        table = f"q274_sse_{abs(hash(key)) % 10**9}"
+        q = (
+            enriched.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(table)
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        cached = spark.table(table).localCheckpoint()
+        _MATVIEW_STATE_CACHE[key] = cached
+    micro = F.expr("CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)")
+    return (
+        cached.select(
+            F.coalesce(F.col("n_name"), F.lit("<unmatched>")).alias("nation"),
+            "user_id",
+            "event_id",
+            micro.alias("value_micro"),
+        )
+        .groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.sum("value_micro").cast("bigint").alias("sum_value_micro"),
+            F.min("event_id").cast("bigint").alias("min_event"),
+            F.max("event_id").cast("bigint").alias("max_event"),
+        )
+    )
+
+
+# ------------------------------------------------------------------ q275
+@register(
+    "q275_stream_full_join_readback",
+    tier="T2",
+    oracle="""
+WITH l AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+     r AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
+j AS (
+  SELECT coalesce(l.user_id, r.user_id) AS user_id,
+         l.event_id AS l_event, r.event_id AS r_event,
+         CASE WHEN l.event_id IS NULL OR r.event_id IS NULL THEN NULL
+              ELSE epoch_us(r.ts) - epoch_us(l.ts) END AS lag_us
+  FROM l FULL JOIN r ON l.user_id = r.user_id
+   AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN l_event IS NOT NULL AND r_event IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+       CAST(sum(CASE WHEN r_event IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_click_only,
+       CAST(sum(CASE WHEN l_event IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_purchase_only,
+       CAST(count(DISTINCT l_event) AS BIGINT) AS n_clicks,
+       CAST(count(DISTINCT r_event) AS BIGINT) AS n_purchases,
+       CAST(coalesce(sum(lag_us), 0) AS BIGINT) AS sum_lag_us
+FROM j GROUP BY user_id
+""",
+)
+def q275_stream_full_join_readback(spark, sf_dir):
+    """Stream-stream FULL-OUTER join under the oracle gate — with q196
+    (inner) and q273 (left-outer) this completes the outer-join matrix:
+    BOTH sides' unmatched rows must null-flush on watermark advance —
+    a click with no purchase in its 1-hour window AND a purchase no
+    click preceded — so the census additionally reconciles the
+    purchase side (``n_purchase_only``), which q273 cannot see.
+
+    The two-generation sentinel drain is q273's verbatim (gen 1
+    advances both watermarks past every real event; gen 2 triggers the
+    batch in which the expired state on BOTH sides emits); sentinel
+    rows carry negative user_ids on both sides and are filtered before
+    the census, so the batch oracle never sees them.  The gate's
+    strength over the left form: a full join that loses an unmatched
+    RIGHT row (or emits it twice, or emits it before the left
+    watermark proves no older click can arrive) breaks n_rows,
+    n_purchase_only, or the distinct-purchase reconciliation.
+
+    Scale shape: identical to q273 — state bounded by watermark + the
+    1-hour range bound on both sides, hash-partitioned by user_id;
+    the full form is the audit view of an attribution pipeline (every
+    event accounted for exactly once: matched, click-only, or
+    purchase-only — the three rows of a daily reconciliation report).
+    """
+    import datetime
+
+    from multi_threaded_mapreduce_framework_spark.streaming import (
+        events_stream,
+        stream_stream_full_join,
+    )
+    from multi_threaded_mapreduce_framework_spark.streaming.windowed import (
+        _data_files,
+        bump_new_file_mtimes,
+        replay_events_time_ordered,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir, "ssfjoin")
+    cached = _MATVIEW_STATE_CACHE.get(key)
+    if cached is None:
+        base = os.path.join(
+            tempfile.gettempdir(),
+            "mtmrf_layout",
+            layout_tag(spark, sf_dir),
+            "ssfjoin_readback",
+        )
+        replay = os.path.join(base, "replay")
+        replay_events_time_ordered(spark, sf_dir, replay, n_chunks=3)
+        joined = stream_stream_full_join(
+            events_stream(spark, replay).filter(F.col("event_type") == "click"),
+            events_stream(spark, replay).filter(
+                F.col("event_type") == "purchase"
+            ),
+            max_lag="1 hour",
+            watermark="2 days",
+        )
+
+        def write_sentinels(days_ahead: int) -> None:
+            t0 = datetime.datetime(2025, 1, 1) + datetime.timedelta(
+                days=days_ahead
+            )
+            rows = [
+                (-1, t0, -1, "click", 0.0, "{}"),
+                (-2, t0 + datetime.timedelta(hours=6), -2, "purchase", 0.0, "{}"),
+            ]
+            seen = set(_data_files(replay))
+            schema = spark.read.parquet(replay).schema
+            sdf = spark.createDataFrame(
+                rows,
+                "user_id bigint, ts timestamp, event_id bigint,"
+                " event_type string, value double, props string",
+            ).select(*schema.fieldNames())
+            sdf.coalesce(1).write.mode("append").parquet(replay)
+            bump_new_file_mtimes(replay, seen)
+
+        table = f"q275_ssf_{abs(hash(key)) % 10**9}"
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(table)
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            write_sentinels(0)
+            q.processAllAvailable()
+            write_sentinels(30)
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        cached = spark.table(table).localCheckpoint()
+        _MATVIEW_STATE_CACHE[key] = cached
+    lag = F.expr(
+        "CASE WHEN l_event IS NULL OR r_event IS NULL THEN NULL"
+        " ELSE unix_micros(r_ts) - unix_micros(l_ts) END"
+    )
+    return (
+        cached.filter(F.coalesce(F.col("l_user"), F.col("r_user")) >= 0)
+        .select(
+            F.coalesce(F.col("l_user"), F.col("r_user")).alias("user_id"),
+            "l_event",
+            "r_event",
+            lag.alias("lag_us"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(
+                F.when(
+                    F.col("l_event").isNotNull() & F.col("r_event").isNotNull(),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_matched"),
+            F.sum(F.when(F.col("r_event").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_click_only"),
+            F.sum(F.when(F.col("l_event").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_purchase_only"),
+            F.countDistinct("l_event").cast("bigint").alias("n_clicks"),
+            F.countDistinct("r_event").cast("bigint").alias("n_purchases"),
+            F.coalesce(F.sum("lag_us"), F.lit(0))
+            .cast("bigint")
+            .alias("sum_lag_us"),
+        )
+    )
+
+
+# ------------------------------------------------------------------ q276
+@register(
+    "q276_stream_semi_join_readback",
+    tier="T2",
+    oracle="""
+WITH l AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+     r AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
+s AS (
+  SELECT user_id, ts, event_id FROM l
+  WHERE EXISTS (SELECT 1 FROM r
+                WHERE r.user_id = l.user_id
+                  AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR))
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_converted_clicks,
+       CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct_clicks,
+       CAST(sum(epoch_us(ts)) AS BIGINT) AS sum_click_ts_us,
+       CAST(min(event_id) AS BIGINT) AS min_click_event,
+       CAST(max(event_id) AS BIGINT) AS max_click_event
+FROM s GROUP BY user_id
+""",
+)
+def q276_stream_semi_join_readback(spark, sf_dir):
+    """Stream-stream LEFT-SEMI join under the oracle gate — the
+    existence form completing the join-mode matrix (inner q196,
+    left-outer q273, full-outer q275, semi q276): "every click that
+    converted AT LEAST once", each emitted EXACTLY once with the left
+    columns only, the moment its first matching purchase arrives.
+
+    The gate pins the two laws the other modes don't: (1) exactly-once
+    left emission — a semi join that re-emits a click on its second
+    matching purchase breaks ``n_converted_clicks`` against
+    ``n_distinct_clicks`` (the census carries both so the hash is
+    sensitive to double emission specifically); (2) output bounded by
+    the LEFT stream — the inner join materializes every (click,
+    purchase) pair, the semi join at most one row per click, which at
+    100 TB/day is the difference between a feed sized by clicks and
+    one sized by the hot users' N x M pair blow-up.  Emission is eager
+    (first match), so like the inner form the bounded replay converges
+    with no sentinel drain; unmatched click state is silently evicted
+    when the watermark clears its window — dropped, never emitted
+    (the DuckDB EXISTS oracle sees exactly the converted set).
+
+    Scale shape: q196's two-sided watermark + range-bound state
+    discipline, hash-partitioned by user_id; integer-micro click
+    timestamps make the census bit-exact vs batch.
+    """
+    from multi_threaded_mapreduce_framework_spark.streaming import (
+        events_stream,
+        stream_stream_semi_join,
+    )
+    from multi_threaded_mapreduce_framework_spark.streaming.windowed import (
+        replay_events_time_ordered,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir, "sssemi")
+    cached = _MATVIEW_STATE_CACHE.get(key)
+    if cached is None:
+        base = os.path.join(
+            tempfile.gettempdir(),
+            "mtmrf_layout",
+            layout_tag(spark, sf_dir),
+            "sssemi_readback",
+        )
+        replay = os.path.join(base, "replay")
+        replay_events_time_ordered(spark, sf_dir, replay, n_chunks=3)
+        joined = stream_stream_semi_join(
+            events_stream(spark, replay).filter(F.col("event_type") == "click"),
+            events_stream(spark, replay).filter(
+                F.col("event_type") == "purchase"
+            ),
+            max_lag="1 hour",
+            watermark="2 days",
+        )
+        table = f"q276_sss_{abs(hash(key)) % 10**9}"
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(table)
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        cached = spark.table(table).localCheckpoint()
+        _MATVIEW_STATE_CACHE[key] = cached
+    return (
+        cached.select(
+            F.col("l_user").alias("user_id"),
+            F.col("l_event").alias("click_event"),
+            F.expr("unix_micros(l_ts)").alias("ts_us"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_converted_clicks"),
+            F.countDistinct("click_event")
+            .cast("bigint")
+            .alias("n_distinct_clicks"),
+            F.sum("ts_us").cast("bigint").alias("sum_click_ts_us"),
+            F.min("click_event").cast("bigint").alias("min_click_event"),
+            F.max("click_event").cast("bigint").alias("max_click_event"),
+        )
+    )

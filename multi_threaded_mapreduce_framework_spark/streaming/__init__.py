@@ -9,9 +9,11 @@ from multi_threaded_mapreduce_framework_spark.streaming.kafka_shim import (
 )
 from multi_threaded_mapreduce_framework_spark.streaming.joins import (
     funnel_daily_counts,
+    stream_static_join,
     stream_stream_full_join,
     stream_stream_inner_join,
     stream_stream_left_join,
+    stream_stream_semi_join,
 )
 from multi_threaded_mapreduce_framework_spark.streaming.matview import (
     compact_matview,
@@ -43,6 +45,8 @@ __all__ = [
     "real_kafka_stream",
     "write_kafka_replay",
     "funnel_daily_counts",
+    "stream_static_join",
+    "stream_stream_semi_join",
     "stream_stream_full_join",
     "stream_stream_inner_join",
     "stream_stream_left_join",

@@ -93,6 +93,52 @@ def stream_stream_full_join(
     return l.join(r, _range_cond(max_lag), "full_outer")
 
 
+def stream_stream_semi_join(
+    left: DataFrame,
+    right: DataFrame,
+    max_lag: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Left-SEMI variant — "which left events converted at all": each
+    left event is emitted AT MOST ONCE (its own columns only, no right
+    payload), as soon as its FIRST match arrives; unmatched left rows
+    are silently dropped when the watermark clears their join window.
+    Emission is eager like the inner join (no drain sentinel needed to
+    converge a bounded replay) while the output volume is bounded by
+    the LEFT stream, not the pair count — the shape of a 100 TB/day
+    "converted clicks" feed where a hot user's N×M pair explosion
+    (the inner join's output) is never materialized.
+    """
+    l, r = _sides(left, right, watermark)
+    return l.join(r, _range_cond(max_lag), "left_semi")
+
+
+def stream_static_join(
+    stream: DataFrame,
+    dim: DataFrame,
+    cond,
+    how: str = "left_outer",
+) -> DataFrame:
+    """STREAM-STATIC join — the stateless enrichment pattern (event
+    stream decorated with a slowly-changing dimension table): unlike
+    the stream-stream forms above this buffers NO state, because the
+    static side is fully known every micro-batch — each batch plans an
+    ordinary batch join against the dimension, and in a LEFT join the
+    unmatched stream rows emit their null-padded form IMMEDIATELY (no
+    watermark gate; contrast ``stream_stream_left_join``, where a null
+    flush must wait for the watermark to prove no match can arrive).
+
+    The dimension is broadcast-hinted: at 100 TB/day the stream side
+    never shuffles for this join — every executor holds the dim copy
+    and the enrichment rides the scan tasks.  Spark re-resolves the
+    static relation's FILES each micro-batch, which is what makes the
+    slowly-changing-dimension refresh pattern work without restarting
+    the query (a swapped-in dim snapshot is picked up on the next
+    trigger).
+    """
+    return stream.join(F.broadcast(dim), cond, how)
+
+
 def funnel_daily_counts(
     left: DataFrame,
     right: DataFrame,

@@ -127,3 +127,149 @@ def test_q273_left_join_flushes_and_reconciles(spark, sf_dir):
             assert r.sum_lag_us == 0
         total_unmatched += r.n_unmatched_clicks
     assert total_unmatched > 0, "no null-flushed outer rows — gate degenerate"
+
+
+def test_q274_stream_static_enrich_laws(spark, sf_dir):
+    """The stream-static readback must (a) reuse its session cache,
+    (b) cover exactly the batch LEFT-join group domain (every nation
+    0-7 that user_id%10 hits, plus '<unmatched>' for the 8-9
+    residues — the stateless null path really emitted), (c) conserve
+    events and users against the raw fixture."""
+    from multi_threaded_mapreduce_framework_spark.queries.t2_streamq import (
+        _MATVIEW_STATE_CACHE,
+    )
+    from multi_threaded_mapreduce_framework_spark.sources import load_table
+
+    build = QUERIES["q274_stream_static_enrich_readback"].builder
+    rows = {r.nation: r for r in build(spark, sf_dir).collect()}
+    key = (spark.sparkContext.applicationId, sf_dir, "ssenrich")
+    assert key in _MATVIEW_STATE_CACHE
+    sentinel = _MATVIEW_STATE_CACHE[key]
+    again = {r.nation: r for r in build(spark, sf_dir).collect()}
+    assert _MATVIEW_STATE_CACHE[key] is sentinel, "stream must not re-run"
+    assert rows.keys() == again.keys() and rows
+
+    ev = load_table(spark, sf_dir, "events")
+    n_events = ev.count()
+    batch: dict = {}
+    for r in (
+        ev.selectExpr("user_id % 10 AS nk", "user_id", "event_id")
+        .groupBy("nk")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("u"),
+        )
+        .collect()
+    ):
+        k = r.nk if r.nk < 8 else None  # residues 8-9 merge into <unmatched>
+        n, u = batch.get(k, (0, 0))
+        # distinct-user counts ADD across residues: user_id % 10 is a
+        # function of user_id, so residue groups partition the users
+        batch[k] = (n + r.n, u + r.u)
+    # events conserve across the enriched census
+    assert sum(r.n_events for r in rows.values()) == n_events
+    # the stateless null path really emitted (residues 8-9 exist in
+    # the fixture user domain at every sf — sf0.001 users are 0-14)
+    assert "<unmatched>" in rows and rows["<unmatched>"].n_events > 0
+    # per-group event counts match the batch law (users can repeat
+    # across nk groups only if user_id%25 differs — it can't — so the
+    # distinct-user counts match per group too)
+    dim = {
+        r.n_nationkey: r.n_name
+        for r in load_table(spark, sf_dir, "nation")
+        .filter("n_nationkey < 8")
+        .collect()
+    }
+    for nk, (n, u) in batch.items():
+        name = dim[nk] if nk is not None else "<unmatched>"
+        assert rows[name].n_events == n and rows[name].n_users == u
+
+
+def test_q275_full_join_reconciles_both_sides(spark, sf_dir):
+    """The full-outer readback must (a) reuse its session cache,
+    (b) partition every row into matched / click-only / purchase-only,
+    (c) account for every click AND every purchase of every user
+    exactly once in the distinct columns, (d) flush BOTH null
+    directions (some click-only and some purchase-only rows exist —
+    otherwise the row degenerates to q273/q196), (e) respect the lag
+    range bound."""
+    from multi_threaded_mapreduce_framework_spark.queries.t2_streamq import (
+        _MATVIEW_STATE_CACHE,
+    )
+    from multi_threaded_mapreduce_framework_spark.sources import load_table
+
+    build = QUERIES["q275_stream_full_join_readback"].builder
+    rows = {r.user_id: r for r in build(spark, sf_dir).collect()}
+    key = (spark.sparkContext.applicationId, sf_dir, "ssfjoin")
+    assert key in _MATVIEW_STATE_CACHE
+    sentinel = _MATVIEW_STATE_CACHE[key]
+    again = {r.user_id: r for r in build(spark, sf_dir).collect()}
+    assert _MATVIEW_STATE_CACHE[key] is sentinel, "stream must not re-run"
+    assert rows.keys() == again.keys() and rows
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = {
+        r.user_id: (r.c, r.p)
+        for r in ev.filter("event_type IN ('click','purchase')")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias(
+                "c"
+            ),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("p"),
+        )
+        .collect()
+        if r.c > 0 or r.p > 0
+    }
+    assert rows.keys() == per_user.keys()
+    hour_us = 3_600 * 1_000_000
+    tot_click_only = tot_purchase_only = 0
+    for uid, r in rows.items():
+        assert r.n_rows == r.n_matched + r.n_click_only + r.n_purchase_only
+        c, p = per_user[uid]
+        assert r.n_clicks == c and r.n_purchases == p
+        assert 0 <= r.sum_lag_us <= r.n_matched * hour_us
+        tot_click_only += r.n_click_only
+        tot_purchase_only += r.n_purchase_only
+    assert tot_click_only > 0, "no left null-flush — degenerate"
+    assert tot_purchase_only > 0, "no right null-flush — degenerate"
+
+
+def test_q276_semi_join_exactly_once_vs_q273(spark, sf_dir):
+    """The semi readback must (a) reuse its session cache, (b) emit
+    each converted click EXACTLY once (n_converted == n_distinct),
+    (c) agree with q273's census cross-query: per user,
+    converted == n_clicks - n_unmatched_clicks (the same replay, the
+    same window law, two join modes), and the semi user set is exactly
+    the users with at least one match."""
+    from multi_threaded_mapreduce_framework_spark.queries.t2_streamq import (
+        _MATVIEW_STATE_CACHE,
+    )
+
+    build = QUERIES["q276_stream_semi_join_readback"].builder
+    rows = {r.user_id: r for r in build(spark, sf_dir).collect()}
+    key = (spark.sparkContext.applicationId, sf_dir, "sssemi")
+    assert key in _MATVIEW_STATE_CACHE
+    sentinel = _MATVIEW_STATE_CACHE[key]
+    again = {r.user_id: r for r in build(spark, sf_dir).collect()}
+    assert _MATVIEW_STATE_CACHE[key] is sentinel, "stream must not re-run"
+    assert rows.keys() == again.keys() and rows
+
+    left = {
+        r.user_id: r
+        for r in QUERIES["q273_stream_left_join_readback"]
+        .builder(spark, sf_dir)
+        .collect()
+    }
+    expected = {
+        uid: r.n_clicks - r.n_unmatched_clicks
+        for uid, r in left.items()
+        if r.n_clicks - r.n_unmatched_clicks > 0
+    }
+    assert rows.keys() == expected.keys()
+    for uid, r in rows.items():
+        assert r.n_converted_clicks == r.n_distinct_clicks, "double emission"
+        assert r.n_converted_clicks == expected[uid]
+        assert r.min_click_event <= r.max_click_event

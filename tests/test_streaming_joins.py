@@ -208,3 +208,92 @@ def test_full_outer_join_flushes_both_sides(spark, replay_dir):
         assert any(row[0] is None for row in got)  # purchase, no click
     finally:
         q.stop()
+
+
+def test_semi_join_exactly_once_converges_to_batch(spark, replay_dir):
+    """Left-semi: each converted click emitted exactly once with left
+    columns only — compared as a counted multiset so a double emission
+    fails even where set equality would hide it."""
+    from collections import Counter
+
+    from multi_threaded_mapreduce_framework_spark.streaming import (
+        stream_stream_semi_join,
+    )
+
+    joined = stream_stream_semi_join(
+        events_stream(spark, replay_dir).filter(F.col("event_type") == "click"),
+        events_stream(spark, replay_dir).filter(F.col("event_type") == "purchase"),
+        max_lag=LAG,
+        watermark=WM,
+    )
+    q = joined.writeStream.outputMode("append").format("memory").queryName(
+        "ss_semi"
+    ).start()
+    try:
+        q.processAllAvailable()
+        got = Counter(tuple(row) for row in spark.table("ss_semi").collect())
+    finally:
+        q.stop()
+    ev = spark.read.parquet(replay_dir).filter(F.col("user_id") >= 0)
+    l = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("l_user"),
+        F.col("ts").alias("l_ts"),
+        F.col("event_id").alias("l_event"),
+    )
+    r = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("r_user"),
+        F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_event"),
+    )
+    cond = (
+        (l.l_user == r.r_user)
+        & (r.r_ts >= l.l_ts)
+        & (r.r_ts <= l.l_ts + F.expr(f"interval {LAG}"))
+    )
+    batch = Counter(tuple(row) for row in l.join(r, cond, "left_semi").collect())
+    assert got == batch and len(got) > 0
+    assert max(got.values()) == 1
+
+
+def test_stream_static_join_stateless_and_immediate(spark, replay_dir):
+    """Stream-static LEFT join: zero stateful operators reported, and
+    unmatched stream rows emit without any sentinel drain (the batch
+    LEFT join is reached by processAllAvailable alone)."""
+    from multi_threaded_mapreduce_framework_spark.sources import load_table
+    from multi_threaded_mapreduce_framework_spark.streaming import (
+        stream_static_join,
+    )
+
+    dim = (
+        load_table(spark, SF, "nation")
+        .filter(F.col("n_nationkey") < 8)
+        .select("n_nationkey", "n_name")
+    )
+    stream = events_stream(spark, replay_dir)
+    enriched = stream_static_join(
+        stream,
+        dim,
+        stream["user_id"] % 10 == dim["n_nationkey"],
+        "left_outer",
+    ).select("user_id", "event_id", "n_name")
+    q = enriched.writeStream.outputMode("append").format("memory").queryName(
+        "ss_static"
+    ).start()
+    try:
+        q.processAllAvailable()
+        progress = q.lastProgress
+        got = {tuple(r) for r in spark.table("ss_static").collect()}
+    finally:
+        q.stop()
+    assert progress is not None and progress["stateOperators"] == []
+    ev = spark.read.parquet(replay_dir)
+    batch = {
+        tuple(r)
+        for r in ev.join(
+            F.broadcast(dim), ev["user_id"] % 10 == dim["n_nationkey"], "left_outer"
+        )
+        .select("user_id", "event_id", "n_name")
+        .collect()
+    }
+    assert got == batch and len(got) > 0
+    assert any(row[2] is None for row in got)

@@ -863,6 +863,158 @@ def ss_inner_join_vs_batch(spark, sf_dir, replay_dir, work):
 
 
 @scenario
+def ss_full_join_flushes_both_sides(spark, sf_dir, replay_dir, work):
+    """q275's set-equality form: unmatched rows from BOTH sides must
+    null-flush once the watermark clears their windows — the left form
+    (ss_left_join_flushes_after_watermark) can only see click-side
+    flushes."""
+    from multi_threaded_mapreduce_framework_spark.streaming import (
+        stream_stream_full_join,
+    )
+
+    lag, wm = "1 hour", "45 days"
+    d = _own_replay(spark, sf_dir, work, "fj_replay")
+    joined = stream_stream_full_join(
+        events_stream(spark, d).filter(F.col("event_type") == "click"),
+        events_stream(spark, d).filter(F.col("event_type") == "purchase"),
+        max_lag=lag,
+        watermark=wm,
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("cs_ssf")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write_sentinels(spark, d, days_ahead=0)
+        q.processAllAvailable()
+        _write_sentinels(spark, d, days_ahead=30)
+        q.processAllAvailable()
+        got = {
+            tuple(row)
+            for row in spark.table("cs_ssf")
+            .filter(F.coalesce(F.col("l_user"), F.col("r_user")) >= 0)
+            .collect()
+        }
+    finally:
+        q.stop()
+    batch = _batch_range_join(spark, d, "full_outer", lag)
+    _check(got == batch, f"stream={len(got)} batch={len(batch)}")
+    _check(any(row[3] is None for row in got), "no left-side outer rows")
+    _check(any(row[0] is None for row in got), "no right-side outer rows")
+    return len(got)
+
+
+@scenario
+def ss_semi_join_exactly_once(spark, sf_dir, replay_dir, work):
+    """q276's set-equality form: each converted click emitted exactly
+    once with left columns only (batch left_semi equality doubles as
+    the no-double-emission law because the stream output is compared
+    as a COUNTED multiset)."""
+    from collections import Counter
+
+    from multi_threaded_mapreduce_framework_spark.streaming import (
+        stream_stream_semi_join,
+    )
+
+    lag, wm = "1 hour", "45 days"
+    joined = stream_stream_semi_join(
+        events_stream(spark, replay_dir).filter(F.col("event_type") == "click"),
+        events_stream(spark, replay_dir).filter(
+            F.col("event_type") == "purchase"
+        ),
+        max_lag=lag,
+        watermark=wm,
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("cs_sss")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = Counter(tuple(r) for r in spark.table("cs_sss").collect())
+    finally:
+        q.stop()
+    ev = spark.read.parquet(replay_dir).filter(F.col("user_id") >= 0)
+    l = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("l_user"),
+        F.col("ts").alias("l_ts"),
+        F.col("event_id").alias("l_event"),
+    )
+    r = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("r_user"),
+        F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_event"),
+    )
+    cond = (
+        (l.l_user == r.r_user)
+        & (r.r_ts >= l.l_ts)
+        & (r.r_ts <= l.l_ts + F.expr(f"interval {lag}"))
+    )
+    batch = Counter(tuple(row) for row in l.join(r, cond, "left_semi").collect())
+    _check(got == batch and len(got) > 0, f"stream={len(got)} batch={len(batch)}")
+    _check(max(got.values()) == 1, "a click emitted more than once")
+    return len(got)
+
+
+@scenario
+def stream_static_join_is_stateless(spark, sf_dir, replay_dir, work):
+    """q274's operator law: a stream-static LEFT join buffers NO state
+    (the running query must report zero stateful operators) and its
+    unmatched stream rows emit immediately — converged output equals
+    the batch LEFT join with no sentinel drain."""
+    from multi_threaded_mapreduce_framework_spark.sources import load_table
+    from multi_threaded_mapreduce_framework_spark.streaming import (
+        stream_static_join,
+    )
+
+    dim = (
+        load_table(spark, sf_dir, "nation")
+        .filter(F.col("n_nationkey") < 8)
+        .select("n_nationkey", "n_name")
+    )
+    stream = events_stream(spark, replay_dir)
+    enriched = stream_static_join(
+        stream,
+        dim,
+        stream["user_id"] % 10 == dim["n_nationkey"],
+        "left_outer",
+    ).select("user_id", "event_id", "n_name")
+    q = (
+        enriched.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("cs_sst")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        progress = q.lastProgress
+        got = {tuple(r) for r in spark.table("cs_sst").collect()}
+    finally:
+        q.stop()
+    _check(
+        progress is not None and progress["stateOperators"] == [],
+        f"stateful operators reported: {progress and progress['stateOperators']}",
+    )
+    ev = spark.read.parquet(replay_dir).filter(F.col("user_id") >= 0)
+    batch = {
+        tuple(r)
+        for r in ev.join(
+            F.broadcast(dim), ev["user_id"] % 10 == dim["n_nationkey"], "left_outer"
+        )
+        .select("user_id", "event_id", "n_name")
+        .collect()
+    }
+    _check(got == batch and len(got) > 0, f"stream={len(got)} batch={len(batch)}")
+    _check(any(row[2] is None for row in got), "no unmatched stream rows emitted")
+    return len(got)
+
+
+@scenario
 def kafka_wire_tumbling_vs_batch_q24(spark, sf_dir, replay_dir, work):
     wire = os.path.join(work, "kw_wire")
     write_kafka_replay(spark, sf_dir, wire, n_chunks=3)
