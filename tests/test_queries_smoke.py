@@ -80,22 +80,28 @@ def test_driver_priority_names_all_registered():
     assert len(set(_DRIVER_PRIORITY)) == len(_DRIVER_PRIORITY)  # no dupes
     ordered = list(all_queries())
     num = lambda n: int(n[1:].split("_", 1)[0])  # noqa: E731
-    # round-11 rotation (VERDICT r10 items 1 and 5): the q273 debut
-    # leads, then q254 whose law changed this round (exact kappa
-    # rescale -> fresh driver row)...
-    assert ordered[0] == "q273_stream_left_join_readback"
-    assert ordered[1] == "q254_langid_agreement_kappa"
+    # round-11 rotation (VERDICT r10 items 1 and 5): the four debuts
+    # lead (q273 left-outer, then the join-matrix completions
+    # q274/q275/q276), then q254 whose law changed this round (exact
+    # kappa rescale -> fresh driver row)...
+    assert ordered[:5] == [
+        "q273_stream_left_join_readback",
+        "q274_stream_static_enrich_readback",
+        "q275_stream_full_join_readback",
+        "q276_stream_semi_join_readback",
+        "q254_langid_agreement_kappa",
+    ]
     # ...then ALL 23 names last driven r05 — the oldest stale band,
     # retired in full per VERDICT r10 item 1...
-    r05 = ordered[2 : 2 + 23]
+    r05 = ordered[5 : 5 + 23]
     assert {num(n) for n in r05} == {
         25, 53, 54, 55, 64, 65, 66, 72, 73, 74, 75, 86, 87, 89, 90, 91,
         92, 93, 107, 108, 109, 110, 172,
     }, sorted(num(n) for n in r05)
-    # ...then the window's remaining 25 slots start retiring the r06
-    # band ascending (q198-q222 defer to r12 with rationale in
-    # registry.py)
-    r06 = ordered[2 + 23 : 2 + 23 + 25]
+    # ...then the remaining slots start retiring the r06 band ascending
+    # (the 50-row driver window cuts at ~q194; the tail plus q198-q222
+    # defer to r12 with rationale in registry.py)
+    r06 = ordered[5 + 23 : 5 + 23 + 25]
     assert {num(n) for n in r06} == set(range(173, 198)), sorted(
         num(n) for n in r06
     )
