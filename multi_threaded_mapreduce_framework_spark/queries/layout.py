@@ -375,24 +375,25 @@ def q183_quarantine_rows(spark, sf_dir):
         F.col("o_orderkey").alias("ok"), "o_orderdate"
     )
     j = li.join(o, li.l_orderkey == F.col("ok"), "left")
-    reasons = F.array_sort(
-        F.filter(
-            F.array(
-                F.when(F.col("l_orderkey").isNull(), F.lit("null_orderkey")),
-                F.when(F.col("l_quantity") <= 0, F.lit("nonpositive_quantity")),
-                F.when(F.col("l_extendedprice") < 0, F.lit("negative_price")),
-                F.when(
-                    (F.col("l_discount") < 0) | (F.col("l_discount") > 1),
-                    F.lit("discount_out_of_range"),
-                ),
-                F.when(
-                    F.col("l_shipdate") < F.col("o_orderdate"),
-                    F.lit("ship_before_order"),
-                ),
-                F.when(F.col("ok").isNull(), F.lit("orphan_orderkey")),
+    # the check literals are emitted in (their fixed) lexicographic
+    # order, so the sorted-reasons contract needs no per-row array_sort
+    # — filter(not-null) preserves order (r11, guide §1.2 per-task work)
+    reasons = F.filter(
+        F.array(
+            F.when(
+                (F.col("l_discount") < 0) | (F.col("l_discount") > 1),
+                F.lit("discount_out_of_range"),
             ),
-            lambda x: x.isNotNull(),
-        )
+            F.when(F.col("l_extendedprice") < 0, F.lit("negative_price")),
+            F.when(F.col("l_quantity") <= 0, F.lit("nonpositive_quantity")),
+            F.when(F.col("l_orderkey").isNull(), F.lit("null_orderkey")),
+            F.when(F.col("ok").isNull(), F.lit("orphan_orderkey")),
+            F.when(
+                F.col("l_shipdate") < F.col("o_orderdate"),
+                F.lit("ship_before_order"),
+            ),
+        ),
+        lambda x: x.isNotNull(),
     )
     return (
         j.select("l_orderkey", "l_linenumber", reasons.alias("rl"))

@@ -121,16 +121,25 @@ def q35_minhash_lsh(spark, sf_dir):
     #
     # sh feeds three consumers (band path + both verify sides):
     # checkpoint it once — the persist-the-tokenized-corpus step any
-    # multi-pass similarity job performs (q126 does the same)
+    # multi-pass similarity job performs (q126 does the same).  Round
+    # 11 (guide §4.4 discipline): the MinHash signature is computed
+    # INSIDE the checkpointed sketch table, so the ArrowEvalPython
+    # kernel runs exactly once per corpus pass — the band self-join
+    # previously re-evaluated it on BOTH sides (Python UDF subtrees
+    # never compare sameResult, so ReuseExchange cannot dedupe them).
+    # The two-select shape keeps the let-bound hs from being collapsed
+    # into the UDF argument (see functions.texthash.let).
     sh = (
         docs.filter(F.size(F.split("text", " ")) >= 3)
         .select("doc_id", word_shingle_hashes("text").alias("hs"))
+        .select(
+            "doc_id",
+            "hs",
+            minhash_signature_np(F.col("hs"), MINHASH_K).alias("sig"),
+        )
         .localCheckpoint()
     )
-    sig = sh.select(
-        "doc_id", minhash_signature_np(F.col("hs"), MINHASH_K).alias("sig")
-    )
-    bands = sig.select(
+    bands = sh.select(
         "doc_id",
         F.explode(lsh_band_keys(F.col("sig"), LSH_BANDS, LSH_ROWS)).alias("bk"),
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))

@@ -23,7 +23,10 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 
 from multi_threaded_mapreduce_framework_spark.queries.registry import register
-from multi_threaded_mapreduce_framework_spark.sources import load_table
+from multi_threaded_mapreduce_framework_spark.sources import (
+    load_table,
+    spread_small_scan,
+)
 
 
 @register(
@@ -86,7 +89,12 @@ def q171_multimodal_audio(spark, sf_dir):
                 }
             )
 
-    media = docs.mapInPandas(
+    # spread the 1-split doc scan BEFORE synthesis (guide §2.5 input
+    # parallelism): the fixture is a single-row-group file, so without
+    # this the whole synth+decode Python pipeline runs in ONE task; the
+    # repartition moves only (doc_id) rows — payloads are born after it
+    # and still never cross a shuffle (plan-asserted)
+    media = spread_small_scan(docs.select("doc_id")).mapInPandas(
         synth,
         schema=(
             "media_id bigint, kind string, payload binary,"
@@ -158,7 +166,9 @@ def _image_media(docs):
                 }
             )
 
-    return docs.select("doc_id").mapInPandas(
+    # spread the 1-split doc scan before synthesis (q171's r11 note:
+    # only doc_id rows cross the exchange; payload locality unchanged)
+    return spread_small_scan(docs.select("doc_id")).mapInPandas(
         synth,
         schema=(
             "media_id bigint, kind string, payload binary,"
@@ -278,7 +288,9 @@ def _video_media(docs):
                 }
             )
 
-    return docs.select("doc_id").mapInPandas(
+    # spread the 1-split doc scan before synthesis (q171's r11 note:
+    # only doc_id rows cross the exchange; payload locality unchanged)
+    return spread_small_scan(docs.select("doc_id")).mapInPandas(
         synth,
         schema=(
             "media_id bigint, kind string, payload binary,"
@@ -447,7 +459,10 @@ def q247_multimodal_meta_census(spark, sf_dir):
                 )
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
-    media = docs.mapInPandas(synth, schema="media_id bigint, payload binary")
+    # spread the 1-split doc scan before synthesis (q171's r11 note)
+    media = spread_small_scan(docs).mapInPandas(
+        synth, schema="media_id bigint, payload binary"
+    )
     census = media_census(media)
     return census.groupBy("format").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_media"),

@@ -197,65 +197,64 @@ def q232_kcenter_coreset(spark, sf_dir, k: int = _KCENTER_K):
     dist_micro) — the selection trajectory plus each pick's coverage
     radius, which doubles as the corpus' covering-radius curve.
 
-    Engine shape (the q203 iterative pattern): the candidate relation
-    (vec_id, v, mind) localCheckpoints once per round; each round is a
-    1-row TakeOrderedAndProject argmax, then ONE map-side pass that
-    updates mind = least(mind, dist-to-new-center) with the 1-row
-    center broadcast — no shuffle of the corpus after the initial
-    scan, and the min-dist update IS k-center's exact delta (unlike
-    submodular coverage there is nothing further to exploit: one pass
-    per pick is the textbook cost).  Cross-engine exactness: distances
-    are the identical left-to-right IEEE fold in both engines (see
-    ``_duck_l2``), argmax tiebreak vec_id, and the reported radius is
-    floor(1e6 * d) of a bit-identical double — hash-exact, no float
-    rounding convention needed."""
+    Engine shape (round 11 — guide §1.2/§5): each round is a 1-row
+    TakeOrderedAndProject argmax read to the driver as a scalar (the
+    q94/q102 convergence-read discipline), and the chosen center
+    vector — a bounded ``dim``-length array — is inlined back as a
+    LITERAL into the next round's mind expression, so round r is ONE
+    map-side pass over the corpus scan computing
+    ``least(d(v,c1), ..., d(v,c_{r-1}))`` with zero joins, zero
+    broadcasts and zero localCheckpoints (the r10 form checkpointed
+    the (vec_id, v, mind) relation once per round, which at k=5 made
+    four corpus-sized block-manager materializations and the documented
+    1.2–3.6 s iterative suite variance; the literal-center form holds
+    no blocks at all).  The min-dist update stays k-center's exact
+    delta; k passes for k picks is the textbook cost either way.
+    Cross-engine exactness: distances are the identical left-to-right
+    IEEE fold in both engines (see ``_duck_l2``) — driver-read center
+    components are exact float64 round trips — ``least`` is an exact
+    (roundoff-free) min over that fold chain, argmax tiebreak vec_id,
+    and the reported radius is floor(1e6 * d) of a bit-identical
+    double, computed in-plan — hash-exact, no float rounding
+    convention needed."""
     e = spread_small_scan(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v")
     )
-    dist = (
-        "aggregate(zip_with(v, cv, (x, y) -> (x - y) * (x - y)),"
-        " CAST(0 AS DOUBLE), (acc, w) -> acc + w)"
-    )
-    c1 = e.orderBy(F.asc("vec_id")).limit(1)
-    picks = [
-        c1.select(
-            F.lit(1).cast("bigint").alias("round"),
-            "vec_id",
-            F.lit(0).cast("bigint").alias("dist_micro"),
+
+    def dist_to(center: list) -> "F.Column":
+        cv = F.array(*[F.lit(float(x)) for x in center])
+        return F.aggregate(
+            F.zip_with("v", cv, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, w: acc + w,
         )
-    ]
-    cand = (
-        e.join(F.broadcast(c1.select("vec_id")), "vec_id", "left_anti")
-        .crossJoin(F.broadcast(c1.select(F.col("v").alias("cv"))))
-        .select("vec_id", "v", F.expr(dist).alias("mind"))
-        .localCheckpoint()
-    )
+
+    c1 = e.orderBy(F.asc("vec_id")).limit(1).first()
+    picks = [(1, c1["vec_id"], 0)]
+    chosen = [c1["vec_id"]]
+    mind = dist_to(c1["v"])
     for rnd in range(2, k + 1):
-        top = cand.orderBy(F.desc("mind"), F.asc("vec_id")).limit(1)
-        picks.append(
-            top.select(
-                F.lit(rnd).cast("bigint").alias("round"),
+        top = (
+            e.filter(~F.col("vec_id").isin(chosen))
+            .select(
                 "vec_id",
-                F.expr("CAST(floor(1000000 * mind) AS BIGINT)").alias(
+                "v",
+                mind.alias("mind"),
+                F.floor(F.lit(1000000.0) * mind).cast("bigint").alias(
                     "dist_micro"
                 ),
             )
+            .orderBy(F.desc("mind"), F.asc("vec_id"))
+            .limit(1)
+            .first()
         )
+        picks.append((rnd, top["vec_id"], top["dist_micro"]))
+        chosen.append(top["vec_id"])
         if rnd < k:
-            cand = (
-                cand.join(F.broadcast(top.select("vec_id")), "vec_id", "left_anti")
-                .crossJoin(F.broadcast(top.select(F.col("v").alias("cv"))))
-                .select(
-                    "vec_id",
-                    "v",
-                    F.least(F.col("mind"), F.expr(dist)).alias("mind"),
-                )
-                .localCheckpoint()
-            )
-    out = picks[0]
-    for p in picks[1:]:
-        out = out.unionByName(p)
-    return out
+            mind = F.least(mind, dist_to(top["v"]))
+    return spark.createDataFrame(
+        picks, "round bigint, vec_id bigint, dist_micro bigint"
+    )
 
 
 # ------------------------------------------------------------------ q233

@@ -37,6 +37,7 @@ import pyspark.sql.functions as F
 from pyspark.sql.window import Window
 
 from multi_threaded_mapreduce_framework_spark.functions.texthash import (
+    let,
     lsh_band_keys,
     minhash_signature_np,
     word_shingle_hashes,
@@ -118,15 +119,20 @@ def q249_banded_threshold_curve(spark, sf_dir):
     candidates per doc are bounded by band collisions, not corpus
     size."""
     docs = spread_small_scan(load_table(spark, sf_dir, "documents"))
+    # sketch table carries (hs, sig) in one checkpoint: the signature
+    # kernel runs once per corpus pass instead of once per band-join
+    # side (q35's r11 note — Python UDF subtrees defeat ReuseExchange)
     sh = (
         docs.filter(F.size(F.split("text", " ")) >= 3)
         .select("doc_id", word_shingle_hashes("text").alias("hs"))
+        .select(
+            "doc_id",
+            "hs",
+            minhash_signature_np(F.col("hs"), MINHASH_K).alias("sig"),
+        )
         .localCheckpoint()
     )
-    sig = sh.select(
-        "doc_id", minhash_signature_np(F.col("hs"), MINHASH_K).alias("sig")
-    )
-    bands = sig.select(
+    bands = sh.select(
         "doc_id",
         F.explode(lsh_band_keys(F.col("sig"), LSH_BANDS, LSH_ROWS)).alias("bk"),
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
@@ -802,36 +808,38 @@ def q255_lsh_design_curve(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     )
     d = spark.createDataFrame(list(_LSH_DESIGNS), "b int, r int")
-    # localCheckpoint between chain stages: CollapseProject would
-    # otherwise re-inline q1 into the b-chain (31 copies of a 31-term
-    # chain — no CSE); each stage is a <= 3.5k-row relation.
-    e1 = (
-        hist.crossJoin(F.broadcast(d))
-        .select(
-            "b",
-            "r",
-            "j_milli",
-            "cnt",
-            F.expr("(CAST(j_milli AS DOUBLE) / 1000.0)").alias("s"),
+
+    # The staging problem (see module comment): CollapseProject would
+    # re-inline q1's 31-term chain into each of the b-chain's 31 terms
+    # (no CSE).  Round 10 blocked that with two localCheckpoints — two
+    # eager jobs re-running the pair join at builder time.  Round 11
+    # (guide §1.2): bind q1 with functions.texthash.let instead — the
+    # lambda variable evaluates ONCE per row by construction, the plan
+    # stays fully lazy, and the arithmetic tree per branch is the
+    # identical fixed IEEE shape (the squaring-chain text both engines
+    # share), so values are unchanged.
+    def _pow16_col(exp_col: "F.Column", v: "F.Column") -> "F.Column":
+        v2, v4 = v * v, (v * v) * (v * v)
+        v8 = ((v * v) * (v * v)) * ((v * v) * (v * v))
+        v16 = v8 * (((v * v) * (v * v)) * ((v * v) * (v * v)))
+        return (
+            F.when(exp_col == 1, v)
+            .when(exp_col == 2, v2)
+            .when(exp_col == 4, v4)
+            .when(exp_col == 8, v8)
+            .otherwise(v16)
         )
-        .localCheckpoint()
+
+    s = F.expr("(CAST(j_milli AS DOUBLE) / 1000.0)")
+    q1 = F.lit(1.0) - _pow16_col(F.col("r"), s)
+    p_micro = let(
+        q1,
+        lambda q: F.floor(
+            F.lit(1000000.0) * (F.lit(1.0) - _pow16_col(F.col("b"), q))
+        ).cast("bigint"),
     )
-    e2 = e1.select(
-        "b",
-        "r",
-        "j_milli",
-        "cnt",
-        F.expr(f"(1.0 - ({_pow16_case('r', 's')}))").alias("q1"),
-    ).localCheckpoint()
-    e3 = e2.select(
-        "b",
-        "r",
-        "j_milli",
-        "cnt",
-        F.expr(
-            f"CAST(floor(1000000.0 * (1.0 - ({_pow16_case('b', 'q1')})))"
-            " AS BIGINT)"
-        ).alias("p_micro"),
+    e3 = hist.crossJoin(F.broadcast(d)).select(
+        "b", "r", "j_milli", "cnt", p_micro.alias("p_micro")
     )
     return e3.groupBy("b", "r").agg(
         F.sum("cnt").cast("bigint").alias("n_pairs"),

@@ -534,14 +534,19 @@ def q222_minhash_error_census(spark, sf_dir):
         .filter(F.col("doc_id") < PF_DOC_CAP)
         .filter(F.size(F.split("text", " ")) >= 3)
     )
-    sh = (
+    # sketch table carries (hs, sig) in one checkpoint feeding tok and
+    # both compare sides: the signature kernel runs once per corpus
+    # pass instead of once per compare side (q35's r11 note)
+    sig = (
         docs.select("doc_id", word_shingle_hashes("text").alias("hs"))
-        .localCheckpoint()  # feeds tok, and both compare sides
+        .select(
+            "doc_id",
+            "hs",
+            minhash_signature_np(F.col("hs"), K).alias("sig"),
+        )
+        .localCheckpoint()
     )
-    sig = sh.select(
-        "doc_id", "hs", minhash_signature_np(F.col("hs"), K).alias("sig")
-    )
-    tok = sh.select("doc_id", F.explode("hs").alias("h"))
+    tok = sig.select("doc_id", F.explode("hs").alias("h"))
     a, b = tok.alias("a"), tok.alias("b")
     cand = (
         a.join(

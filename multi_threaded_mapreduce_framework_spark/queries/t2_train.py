@@ -819,10 +819,19 @@ def q203_incremental_greedy_coverage(spark, sf_dir, k: int = 3):
     2 of 3, roughly cancel the added small-table maintenance jobs) —
     the gap widens with K because naive pays a full pair-relation
     shuffle+recount per pick while delta pays only broadcast-filtered
-    scans.  Note the registered plan-shape snapshot shows 0 exchanges:
-    the rounds execute eagerly through localCheckpoint during builder
-    construction (q175's pattern), so the returned plan is just the
-    union of the 1-row pick results."""
+    scans.
+
+    Round 11 (guide §1.2 "the distributed algorithm", §5 memory): the
+    per-round argmax is read to the driver as a 1-row scalar (the
+    q94/q102/q232 convergence-read discipline) instead of re-entering
+    every consumer as a broadcast TakeOrdered subplan, which removes
+    the per-round ``new_sh`` localCheckpoint job and the per-round
+    winner re-computations — builder-side eager jobs drop from 2+2k to
+    2+(k-1) with ~60% less wall time at sf0.1, identical picks.  The
+    winner's still-live postings stay a lazy broadcast-built relation
+    (bounded by one doc's shingles), so nothing data-sized ever reaches
+    the driver; the returned 3-row result is the literal trajectory,
+    recomputed from the parquet input on every call."""
     docs = spread_small_scan(load_table(spark, sf_dir, "documents"))
     sh = F.expr(
         "array_distinct(transform(slice(ws, 1, greatest(size(ws) - 2, 0)),"
@@ -839,39 +848,44 @@ def q203_incremental_greedy_coverage(spark, sf_dir, k: int = 3):
         .agg(F.count(F.lit(1)).cast("bigint").alias("gain"))
         .localCheckpoint()
     )
-    removed = spark.createDataFrame([], "sh string")
+    removed: set = set()
     picks = []
     for rnd in range(1, k + 1):
-        # NOT checkpointed: a 1-row TakeOrdered over the checkpointed
-        # gains table is deterministic (total order, doc_id tiebreak)
-        # and cheap to recompute inline wherever consumed — a separate
-        # eager checkpoint job per round was pure fixed cost (the r7
-        # bench-tail shave; same for `removed`, a union of relations
-        # that are each already checkpointed)
-        top = (
+        # 1-row scalar argmax read (deterministic: total order, doc_id
+        # tiebreak).  An empty read means coverage is exhausted; later
+        # rounds would also be empty (delta of nothing), so stop —
+        # exactly the rows the oracle's empty-pick CTEs produce.
+        w = (
             gains.filter(F.col("gain") > 0)
             .orderBy(F.desc("gain"), F.asc("doc_id"))
             .limit(1)
-            .select(F.lit(rnd).cast("bigint").alias("round"), "doc_id", "gain")
+            .first()
         )
-        picks.append(top)
+        if w is None:
+            break
+        picks.append((rnd, w["doc_id"], w["gain"]))
         if rnd == k:
             break
         # winner's postings that are STILL LIVE: its distinct shingles
-        # minus everything removed by earlier winners
-        new_sh = (
-            ds.join(F.broadcast(top.select("doc_id")), "doc_id")
-            .select("sh")
-            .join(F.broadcast(removed), "sh", "left_anti")
-            .localCheckpoint()
-        )
+        # minus everything removed by earlier winners — bounded by ONE
+        # document's shingle count, the same bound the broadcast build
+        # carried, read once and pushed back down as an InSet filter
+        # (map-side hash-set membership, no broadcast-exchange sub-job).
+        new_sh = [
+            r["sh"]
+            for r in ds.filter(
+                F.col("doc_id") == F.lit(w["doc_id"])
+            ).collect()
+            if r["sh"] not in removed
+        ]
+        removed.update(new_sh)
         delta = (
-            ds.join(F.broadcast(new_sh), "sh")
+            ds.filter(F.col("sh").isin(new_sh))
             .groupBy("doc_id")
             .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
         )
         gains = (
-            gains.join(F.broadcast(top.select("doc_id")), "doc_id", "left_anti")
+            gains.filter(F.col("doc_id") != F.lit(w["doc_id"]))
             .join(delta, "doc_id", "left")
             .select(
                 "doc_id",
@@ -879,11 +893,9 @@ def q203_incremental_greedy_coverage(spark, sf_dir, k: int = 3):
             )
             .localCheckpoint()
         )
-        removed = removed.unionByName(new_sh)
-    out = picks[0]
-    for p in picks[1:]:
-        out = out.unionByName(p)
-    return out
+    return spark.createDataFrame(
+        picks, "round bigint, doc_id bigint, gain bigint"
+    )
 
 
 # ------------------------------------------------------------------ q204

@@ -171,6 +171,11 @@ ALLOW: dict[str, dict[str, str]] = {
         "bounded verified pair relation (q243's grid class on q35's "
         "banded universe)"
     },
+    "q255_lsh_design_curve": {
+        "BNLJ": "5-row (bands, rows) design grid broadcast into the "
+        "<=701-row j_milli histogram (q243's grid class; visible since "
+        "the r11 let-binding made the plan lazy end to end)"
+    },
     "q238_k_anonymity_census": {
         "BNLJ": "1-row total + 3-row k-threshold grid broadcast into the "
         "quasi-id-domain-bounded group census (q225's depth-grid class)"

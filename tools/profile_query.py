@@ -72,6 +72,10 @@ def main() -> None:
         del df
         gc.collect()
         spark.catalog.clearCache()
+        try:
+            spark._jvm.System.gc()  # free dead checkpoint blocks (bench.py note)
+        except Exception:  # noqa: BLE001
+            pass
         print(
             f"{name}  total={statistics.median(t_times):.3f}s "
             f"builder={statistics.median(b_times):.3f}s "
