@@ -65,14 +65,33 @@ def q96_repetition_stats(spark, sf_dir):
     their ROUND rules differ at x.xx5.
     """
     docs = load_table(spark, sf_dir, "documents")
+    # r11 (guide §1.2 per-task work): the old form counted each distinct
+    # token with a higher-order filter — O(tokens x distinct) string
+    # compares per row.  Sort the tokens once and read run lengths
+    # instead (q140's run trick): run starts give the distinct count,
+    # the max gap between consecutive starts gives the max frequency —
+    # O(n log n), all-integer, value-identical by construction.
     stats = F.expr(
-        "struct(size(ws) AS n, size(array_distinct(ws)) AS nd,"
-        " array_max(transform(array_distinct(ws),"
-        "   t -> size(filter(ws, x -> x = t)))) AS mf)"
+        "struct(size(ws) AS n, size(starts) AS nd,"
+        " array_max(zip_with("
+        "   starts,"
+        "   concat(slice(starts, 2, greatest(size(starts) - 1, 0)),"
+        "          array(size(ws))),"
+        "   (a, b) -> b - a)) AS mf)"
+    )
+    starts = F.expr(
+        "filter(transform("
+        " zip_with(st, concat(array(cast(NULL as string)),"
+        "                     slice(st, 1, greatest(size(st) - 1, 0))),"
+        "          (c, p) -> IF(p IS NULL OR c <> p, 1, 0)),"
+        " (f, i) -> IF(f = 1, i, -1)),"
+        " v -> v >= 0)"
     )
     return (
         docs.select("doc_id", F.split("text", " ").alias("ws"))
         .filter(F.size("ws") > 0)
+        .withColumn("st", F.array_sort("ws"))
+        .withColumn("starts", starts)
         .select("doc_id", stats.alias("st"))
         .select(
             "doc_id",

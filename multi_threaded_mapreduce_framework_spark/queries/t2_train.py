@@ -137,14 +137,24 @@ def q128_train_holdout_leakage(spark, sf_dir):
     hold = base.filter(F.col("bucket") >= 80).select(
         "doc_id", F.explode("sh").alias("p")
     )
-    leaked = (
-        hold.join(train_p, "p", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_leaked"))
+    # r11 (guide §2.4): the hit test is a LEFT join against the
+    # deduplicated index (at most one match per shingle, so row counts
+    # are preserved) carrying a hit marker, and n_shingles/n_leaked
+    # fold in ONE per-doc aggregation — previously a semi join and a
+    # separate totals pass re-evaluated the holdout explode and paid a
+    # second doc_id shuffle plus a reconciliation join.  Same probe-side
+    # bare shuffle stage, so AQE's skew splitter still applies
+    # (tests/test_skew.py::test_q128_hot_shingle_aqe_skew_split).
+    marked = hold.join(
+        train_p.withColumn("hit", F.lit(1)), "p", "left"
     )
-    totals = hold.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     return (
-        totals.join(leaked, "doc_id")  # inner: only docs with >= 1 leak
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("hit").alias("n_leaked"),
+        )
+        .filter(F.col("n_leaked") >= 1)  # inner-join parity: leakers only
         .select(
             "doc_id",
             "n_shingles",
@@ -380,16 +390,36 @@ def q132_quality_gates(spark, sf_dir):
     report is map-side and the predicate pushes into any downstream
     scan that filters on keep.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    n = F.size(F.split("text", " "))
+    # r11 (guide §1.2 per-task work): the old form re-split the text on
+    # every reference (~6 interpreted splits per row — HOFs are
+    # CodegenFallback, no CSE) and counted the top token with the
+    # O(tokens x distinct) filter.  Bind ws once under a named column
+    # and read the max frequency from the sorted-run structure (q96's
+    # r11 trick) — the same integers, O(n log n) per row.
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.split("text", " ").alias("ws")
+    )
+    n = F.size("ws")
     mwl = F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) / n.cast("double")
     stopf = F.expr(
-        "size(filter(split(text, ' '), w -> w = 'the' OR w = 'a'))"
+        "size(filter(ws, w -> w = 'the' OR w = 'a'))"
     ) / n.cast("double")
+    # max run length of the sorted token array == max single-token count
     topf = F.expr(
-        "array_max(transform(array_distinct(split(text, ' ')),"
-        " w -> size(filter(split(text, ' '), x -> x = w))))"
+        "array_max(zip_with("
+        " starts,"
+        " concat(slice(starts, 2, greatest(size(starts) - 1, 0)),"
+        "        array(size(ws))),"
+        " (a, b) -> b - a))"
     ) / n.cast("double")
+    starts = F.expr(
+        "filter(transform("
+        " zip_with(st, concat(array(cast(NULL as string)),"
+        "                     slice(st, 1, greatest(size(st) - 1, 0))),"
+        "          (c, p) -> IF(p IS NULL OR c <> p, 1, 0)),"
+        " (f, i) -> IF(f = 1, i, -1)),"
+        " v -> v >= 0)"
+    )
     gate_len = (n < 15) | (n > 1000)
     gate_mwl = (mwl < 3.0) | (mwl > 8.0)
     gate_stop = stopf > 0.15
@@ -400,14 +430,18 @@ def q132_quality_gates(spark, sf_dir):
         + F.when(gate_stop, 4).otherwise(0)
         + F.when(gate_top, 8).otherwise(0)
     )
-    return docs.select(
-        "doc_id",
-        n.cast("bigint").alias("n_tokens"),
-        mask.cast("bigint").alias("fail_mask"),
-        F.when(gate_len | gate_mwl | gate_stop | gate_top, 0)
-        .otherwise(1)
-        .cast("int")
-        .alias("keep"),
+    return (
+        docs.withColumn("st", F.array_sort("ws"))
+        .withColumn("starts", starts)
+        .select(
+            "doc_id",
+            n.cast("bigint").alias("n_tokens"),
+            mask.cast("bigint").alias("fail_mask"),
+            F.when(gate_len | gate_mwl | gate_stop | gate_top, 0)
+            .otherwise(1)
+            .cast("int")
+            .alias("keep"),
+        )
     )
 
 
