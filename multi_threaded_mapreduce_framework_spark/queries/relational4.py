@@ -26,7 +26,10 @@ import pyspark.sql.functions as F
 from pyspark.sql import Window
 
 from multi_threaded_mapreduce_framework_spark.queries.registry import register
-from multi_threaded_mapreduce_framework_spark.sources import load_table
+from multi_threaded_mapreduce_framework_spark.sources import (
+    load_table,
+    spread_small_scan,
+)
 
 
 def first_week_events(spark, sf_dir):
@@ -631,7 +634,10 @@ def q182_udtf_chunk_census(spark, sf_dir):
 
     name = "mtmrf_chunk_text_q182"
     register_chunk_udtf(spark, name=name, use_arrow=True)
-    docs = load_table(spark, sf_dir, "documents")
+    # spread the 1-split doc scan so the per-row UDTF eval parallelizes
+    # (q171's r11 note; no-op on multi-split production input) — the
+    # UDTF surface and chunk law are unchanged
+    docs = spread_small_scan(load_table(spark, sf_dir, "documents"))
     docs.createOrReplaceTempView("mtmrf_q182_docs")
     return spark.sql(
         f"""

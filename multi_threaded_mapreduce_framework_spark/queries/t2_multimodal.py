@@ -29,6 +29,23 @@ from multi_threaded_mapreduce_framework_spark.sources import (
 )
 
 
+def _spread_chain(df):
+    """cores/4-way spread for CHAINED (3-kernel) Python pipelines.
+
+    Each Python stage pays a per-task Arrow setup cost, so a 3-kernel
+    chain at full-core fan-out triples that fixed cost 32 ways over a
+    tiny fixture; measured optimum at sf0.1/local[32] is cores/4
+    (q267 0.93 s unspread / 1.06 s 32-way / 0.66 s 8-way; q271
+    0.91 / 1.33 / 0.71 — OPTIMIZATION_r11.md).  Derived from
+    defaultParallelism, no-op once the scan already has that many
+    splits, so production inputs are untouched."""
+    spark = df.sparkSession
+    n = max(spark.sparkContext.defaultParallelism // 4, 2)
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n)
+
+
 @register(
     "q171_multimodal_audio",
     tier="T2",
@@ -166,9 +183,10 @@ def _image_media(docs):
                 }
             )
 
-    # spread the 1-split doc scan before synthesis (q171's r11 note:
-    # only doc_id rows cross the exchange; payload locality unchanged)
-    return spread_small_scan(docs.select("doc_id")).mapInPandas(
+    # chain-spread the 1-split doc scan before synthesis (see
+    # _spread_chain: 3-kernel pipelines want cores/4 fan-out; only
+    # doc_id rows cross the exchange; payload locality unchanged)
+    return _spread_chain(docs.select("doc_id")).mapInPandas(
         synth,
         schema=(
             "media_id bigint, kind string, payload binary,"
@@ -288,9 +306,10 @@ def _video_media(docs):
                 }
             )
 
-    # spread the 1-split doc scan before synthesis (q171's r11 note:
-    # only doc_id rows cross the exchange; payload locality unchanged)
-    return spread_small_scan(docs.select("doc_id")).mapInPandas(
+    # chain-spread the 1-split doc scan before synthesis (see
+    # _spread_chain: 3-kernel pipelines want cores/4 fan-out; only
+    # doc_id rows cross the exchange; payload locality unchanged)
+    return _spread_chain(docs.select("doc_id")).mapInPandas(
         synth,
         schema=(
             "media_id bigint, kind string, payload binary,"

@@ -295,24 +295,25 @@ def dsir_doc_scores(spark, sf_dir):
     t = docs.select(
         "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
     )
-    # r11 (guide §2.3/§2.4): the raw and English token counts fuse into
-    # ONE conditional aggregation — previously two separate groupBy
-    # passes over the token explode plus a left join to reconcile them;
-    # a corpus pass, a shuffle, and a join removed at any scale.  The
-    # conditional count is 0 where the left join produced NULL, and the
-    # downstream arithmetic already coalesced NULL to 0, so every value
-    # is unchanged.
-    allc = t.groupBy("tok").agg(
-        F.count(F.lit(1)).cast("bigint").alias("c_all"),
-        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
-        .cast("bigint")
-        .alias("c_en"),
+    # r11 note: a fused conditional aggregation (count + sum(when
+    # lang='en')) was tried here to save the second groupBy pass and
+    # the reconciliation join; paired A/B measured it SLOWER (2.45 vs
+    # 2.03 s median at sf0.1) — the lang='en' filter pushes below the
+    # explode, so the "extra" English pass only explodes 1/5 of the
+    # corpus, while the fused form drags `lang` and a second agg
+    # buffer through the full-corpus aggregation.  The two-pass form
+    # stands (OPTIMIZATION_r11.md).
+    allc = t.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("c_all"))
+    enc = (
+        t.filter(F.col("lang") == "en")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_en"))
     )
     v = allc.agg(
         F.count(F.lit(1)).cast("bigint").alias("vocab"),
         F.sum("c_all").cast("bigint").alias("t_all"),
     )
-    te = allc.agg(F.coalesce(F.sum("c_en"), F.lit(0)).cast("bigint").alias("t_en"))
+    te = enc.agg(F.coalesce(F.sum("c_en"), F.lit(0)).cast("bigint").alias("t_en"))
 
     @pandas_udf("bigint")
     def lr_micro_udf(kl, kr, kdl, kdr):
@@ -334,7 +335,8 @@ def dsir_doc_scores(spark, sf_dir):
         return pd.Series(np.floor(1000000.0 * lr + 0.5).astype(np.int64))
 
     r = (
-        allc.crossJoin(F.broadcast(v))
+        allc.join(enc, "tok", "left")
+        .crossJoin(F.broadcast(v))
         .crossJoin(F.broadcast(te))
         .select(
             "tok",

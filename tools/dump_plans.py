@@ -38,7 +38,7 @@ SHOWCASE = {
     "q111_global_quantile_buckets": "no global sort anywhere: one partial-agg histogram Exchange, a single-partition window over the domain-bounded histogram, 1-row cut broadcast, map-side bucket assignment.",
     "q112_bucketed_join": "scans of the two bucketed tables feed SortMergeJoin with NO Exchange and NO Sort between scan and join; the only Exchange is the final groupBy.",
     "q115_partition_pruned_scan": "the ship_year filter appears under PartitionFilters on the scan (one partition directory read), not as a post-scan Filter.",
-    "q128_train_holdout_leakage": "the train-vs-holdout hit test is an equi-(semi-)join on the shingle key with partial aggregation above — nothing assumes the train side broadcasts.",
+    "q128_train_holdout_leakage": "the train-vs-holdout hit test is an equi-join on the shingle key against the materialized deduplicated index (hit-marker LEFT form, r11), folded by ONE per-doc aggregation — nothing assumes the train side broadcasts.",
     "q129_skipgram_pairs": "pair generation is one Generate over an in-row array expression; the ONLY Exchange is the partial-agg (center, context) count.",
     "q130_sequence_packing": "the packing window and the per-sequence rollup share one (lang, shard) Exchange; no global sort node exists.",
     "q131_kmeans_update": "assignment is a BroadcastNestedLoopJoin against the 8-row centroid side (corpus never shuffles); the only Exchange is the (centroid, pos) partial-agg mean.",
