@@ -405,17 +405,14 @@ def q140_char_entropy(spark, sf_dir):
         " (a, b) -> (b - a) / size(cs) * log2((b - a) / size(cs))),"
         " cast(0 as double), (acc, x) -> acc + x)"
     )
-    # r11 (guide §1.2 per-task work): sort/compare CODEPOINTS, not
-    # 1-char strings — ascii() is injective on single chars and UTF-8
-    # binary order equals codepoint order, so the sorted run structure
-    # (and therefore every entropy term, in the same left-to-right
-    # order) is bit-identical while the array_sort and the run
-    # comparisons run on longs instead of strings.
+    # r11 note: sorting CODEPOINTS (ascii() per char) instead of 1-char
+    # strings was tried — bit-identical run structure — and measured a
+    # WASH-to-slightly-slower paired A/B (1.43 vs 1.56 s median at
+    # sf0.1): the per-char ascii transform costs what the cheaper long
+    # sort saves.  The string form stands (OPTIMIZATION_r11.md).
     return (
         docs.select("doc_id", F.split("text", "").alias("cs"))
-        .withColumn(
-            "sc", F.array_sort(F.transform("cs", lambda c: F.ascii(c)))
-        )
+        .withColumn("sc", F.array_sort("cs"))
         .withColumn("starts", starts)
         .select(
             "doc_id",

@@ -35,10 +35,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 
 from multi_threaded_mapreduce_framework_spark.queries.registry import register
-from multi_threaded_mapreduce_framework_spark.sources import (
-    load_table,
-    spread_small_scan,
-)
+from multi_threaded_mapreduce_framework_spark.sources import load_table
 
 
 def _rev():
@@ -87,11 +84,12 @@ def q86_tpch_q8(spark, sf_dir):
     shuffle (lineitem) probes an orders side already cut to ASIA
     customers in the date window.
 
-    r11: the fact scan is spread (single-row-group fixture file — the
-    scan stage otherwise decodes 600k rows and feeds the join exchange
-    from ONE task; no-op on multi-split production input, measured
-    1.16 -> 0.90 s paired at sf0.1)."""
-    li = spread_small_scan(load_table(spark, sf_dir, "lineitem"))
+    r11 note: a spread of this fact scan was tried (single-row-group
+    fixture file) and REVERTED — an 8-pair A/B measured the spread
+    form slower (1.82 vs 2.39 s median; the round-robin exchange costs
+    more than the serial scan it relieves), agreeing with two full
+    suite runs (OPTIMIZATION_r11.md)."""
+    li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
@@ -400,10 +398,8 @@ def q93_tpch_q21(spark, sf_dir):
     7-lines-per-order schema, so collect_set state is O(1) per order.
     Measured 1.8x faster with bit-identical output; at 100 TB this is
     one fact-fact shuffle instead of three plus two join probes.
-
-    r11: the fact scan is spread (q86's note — single-row-group
-    fixture; all aggregates here are counts/sets, order-free)."""
-    li = spread_small_scan(load_table(spark, sf_dir, "lineitem"))
+    (A fact-scan spread was tried and reverted in r11 — q86's note.)"""
+    li = load_table(spark, sf_dir, "lineitem")
     o = (
         load_table(spark, sf_dir, "orders")
         .filter(F.col("o_orderstatus") == "F")
