@@ -46,6 +46,57 @@ def test_bless_record_writes_clean_payload(tmp_path):
     assert not os.path.exists(path + ".dirty")
 
 
+def test_stdout_line_is_tail_proof():
+    # VERDICT r11 item 2: the printed line must fit the driver's
+    # bounded stdout capture AT ANY QUERY COUNT — r10's 7.8 KB
+    # 272-query line parsed as null and destroyed the round-over-round
+    # table.  Pin the guarantee on a suite far larger than real.
+    payload = {
+        "metric": "suite_wall_s",
+        "value": 1234.567,
+        "unit": "sec",
+        "queries": {
+            f"q{i}_some_long_query_name_{i}": 0.123 for i in range(2000)
+        },
+        "sf": 0.1,
+        "worst_over_median": 5.2,
+        "calib_s": 0.576,
+        "calib_track": {f"q{i}_x": 0.08 for i in range(0, 2000, 10)},
+        "calib_track_max_over_min": 1.12,
+        "contaminated": False,
+    }
+    line = bench.stdout_line(payload, bench.LAST_RUN_FILE)
+    assert len(line) <= bench.STDOUT_LINE_MAX_BYTES
+    parsed = json.loads(line)
+    # suite-level keys survive; unbounded ones are in the pointed file
+    assert parsed["value"] == 1234.567
+    assert parsed["calib_s"] == 0.576
+    assert parsed["contaminated"] is False
+    assert parsed["n_queries"] == 2000
+    assert parsed["n_errored"] == 0
+    assert parsed["queries_file"] == bench.LAST_RUN_FILE
+    assert "queries" not in parsed and "calib_track" not in parsed
+
+
+def test_stdout_line_refuses_unbounded_keys():
+    # regression guard for the guarantee itself: if a future edit adds
+    # an unbounded key back into the compact dict, the bench must fail
+    # loudly rather than silently regress the driver contract
+    payload = {
+        "metric": "suite_wall_s",
+        "value": 1.0,
+        "unit": "sec",
+        "queries": {},
+        "giant_blob": "x" * 10000,
+    }
+    try:
+        bench.stdout_line(payload, bench.LAST_RUN_FILE)
+    except ValueError as e:
+        assert "tail-proof" in str(e)
+    else:  # pragma: no cover - the guard must fire
+        raise AssertionError("oversized stdout line was not refused")
+
+
 def test_bless_record_refuses_contaminated_payload(tmp_path):
     path = str(tmp_path / "BENCH.json")
     clean = {"value": 1.0, "contaminated": False}
