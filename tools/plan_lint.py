@@ -108,6 +108,10 @@ ALLOW: dict[str, dict[str, str]] = {
     "q133_embedding_outliers": {"BNLJ": "global mean/std stats scalar (1 row)"},
     "q134_bm25_topk": {"BNLJ": "corpus stats scalar (N, avgdl — 1 row)"},
     "q135_heavy_hitter_shingles": {"BNLJ": "total-count scalar (1 row) threshold"},
+    "q227_class_separability": {
+        "BNLJ": "centroid-array table (|labels| rows) broadcast cross "
+        "join — the r12 zero-explode cosine plan"
+    },
     "q136_bloom_prefilter_join": {
         "BNLJ": "the Bloom bitset itself (1 row) broadcast to the probe scan"
     },
