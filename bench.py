@@ -92,6 +92,48 @@ def time_query(spark, q, sf_dir: str, runs: int) -> float:
     return statistics.median(samples)
 
 
+# Streaming hot-path lane (VERDICT r11 item 9): the q240/q250/q256/...
+# readback rows bench at ~0.01 s because their builders memoize the
+# scenario result per session (the declared matview convention), so the
+# bench had ZERO coverage of streaming hot paths.  This lane times one
+# REAL watermarked append-mode session_window run (q269's exact
+# scenario via the factored build_session_replay/run_session_stream)
+# with a FRESH checkpoint + memory sink per run, so every sample pays
+# the state store, watermark advancement, and 5 micro-batches.  The
+# readback rows stay as-is — they gate correctness.
+STREAM_HOTPATH_NAME = "stream_session_hotpath"
+
+
+def time_stream_hotpath(spark, sf_dir: str, runs: int) -> float:
+    import shutil
+    import tempfile
+
+    from multi_threaded_mapreduce_framework_spark.queries.t2_streamq import (
+        build_session_replay,
+        run_session_stream,
+    )
+
+    base = tempfile.mkdtemp(prefix="mtmrf_stream_hotpath_")
+    try:
+        replay = os.path.join(base, "replay")
+        build_session_replay(spark, sf_dir, replay)  # untimed setup
+        samples = []
+        for i in range(runs + 1):
+            table = f"bench_stream_hotpath_{i}"
+            t0 = time.time()
+            df = run_session_stream(
+                spark, replay, os.path.join(base, f"ckpt{i}"), table
+            )
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            spark.catalog.dropTempView(table)
+            if i > 0:  # skip warm-up sample (bench protocol)
+                samples.append(dt)
+        return statistics.median(samples)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def host_probe() -> float:
     """~80 ms single-core probe (seconds; lower = faster host RIGHT
     NOW).  Interleaved through the suite (every PROBE_EVERY queries)
@@ -268,6 +310,20 @@ def main() -> None:
             per_query[name] = -1.0
         if (qi + 1) % PROBE_EVERY == 0:
             calib_track[name] = round(host_probe(), 4)
+    if not args.names:
+        # full-suite runs carry the streaming hot-path lane (an ADDED
+        # queries entry per the driver contract; never replaces a
+        # declared row)
+        try:
+            per_query[STREAM_HOTPATH_NAME] = round(
+                time_stream_hotpath(spark, args.sf_dir, args.runs), 3
+            )
+        except Exception as e:  # noqa: BLE001
+            print(
+                f"# {STREAM_HOTPATH_NAME} ERROR {type(e).__name__}: {e}",
+                file=sys.stderr,
+            )
+            per_query[STREAM_HOTPATH_NAME] = -1.0
     calib_track["__end__"] = round(host_probe(), 4)
     suite_wall = round(time.time() - t_suite0, 3)
 

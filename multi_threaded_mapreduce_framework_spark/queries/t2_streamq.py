@@ -1404,6 +1404,82 @@ from multi_threaded_mapreduce_framework_spark.queries.t2_text import (  # noqa: 
 )
 
 
+def build_session_replay(spark, sf_dir, replay):
+    """q269's stream input, factored (r12, VERDICT r11 item 9 — so the
+    bench's streaming hot-path lane runs the IDENTICAL scenario): the
+    time-ordered events replay plus the far-future sentinel appended
+    last (distinct user; advances the final watermark past every real
+    session's end; its own session can never finalize, so it is
+    provably absent from the append output)."""
+    import pyspark.sql.functions as F
+
+    from multi_threaded_mapreduce_framework_spark.streaming.windowed import (
+        _data_files,
+        bump_new_file_mtimes,
+        replay_events_time_ordered,
+    )
+
+    SENTINEL = 999_999_999
+    replay_events_time_ordered(spark, sf_dir, replay, n_chunks=4)
+    ev = spark.read.parquet(replay)
+    vt = ev.schema["value"].dataType.simpleString()
+    sent = (
+        ev.orderBy(F.desc("ts"))
+        .limit(1)
+        .selectExpr(
+            f"CAST({SENTINEL} AS BIGINT) AS event_id",
+            f"CAST({SENTINEL} AS BIGINT) AS user_id",
+            "'click' AS event_type",
+            "ts + INTERVAL 30 DAYS AS ts",
+            f"CAST(0.0 AS {vt}) AS value",
+            "'{}' AS props",
+        )
+        .select(*ev.columns)
+    )
+    pre_sentinel = set(_data_files(replay))
+    sent.coalesce(1).write.mode("append").parquet(replay)
+    bump_new_file_mtimes(replay, pre_sentinel)  # sentinel replays last
+
+
+def run_session_stream(spark, replay, ckpt, table):
+    """q269's stateful run, factored: one REAL watermarked append-mode
+    ``session_window`` stream over ``replay`` into a memory sink named
+    ``table``; returns the sink readback DataFrame.  Every call is a
+    fresh state-store run when ``ckpt`` is fresh — the bench hot-path
+    lane relies on that."""
+    import pyspark.sql.functions as F
+
+    from multi_threaded_mapreduce_framework_spark.streaming import events_stream
+
+    gap = f"{SESSION_GAP_US // 1_000_000} seconds"
+    per_session = (
+        events_stream(spark, replay)
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ev"))
+        .select(
+            "user_id",
+            "n_ev",
+            (
+                F.unix_micros(F.col("sw.end"))
+                - F.unix_micros(F.col("sw.start"))
+            ).alias("dur_us"),
+        )
+    )
+    q = (
+        per_session.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(table)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(table)
+
+
 @register(
     "q269_stream_session_census",
     tier="T2",
@@ -1440,14 +1516,6 @@ def q269_stream_session_census(spark, sf_dir):
     the streaming form's state is the live frontier only)."""
     import pyspark.sql.functions as F
 
-    from multi_threaded_mapreduce_framework_spark.streaming import events_stream
-    from multi_threaded_mapreduce_framework_spark.streaming.windowed import (
-        _data_files,
-        bump_new_file_mtimes,
-        replay_events_time_ordered,
-    )
-
-    SENTINEL = 999_999_999
     key = (spark.sparkContext.applicationId, sf_dir, "session_census")
     cached = _MATVIEW_STATE_CACHE.get(key)
     if cached is None:
@@ -1458,53 +1526,11 @@ def q269_stream_session_census(spark, sf_dir):
             "session_census",
         )
         replay = os.path.join(base, "replay")
-        replay_events_time_ordered(spark, sf_dir, replay, n_chunks=4)
-        ev = spark.read.parquet(replay)
-        vt = ev.schema["value"].dataType.simpleString()
-        sent = (
-            ev.orderBy(F.desc("ts"))
-            .limit(1)
-            .selectExpr(
-                f"CAST({SENTINEL} AS BIGINT) AS event_id",
-                f"CAST({SENTINEL} AS BIGINT) AS user_id",
-                "'click' AS event_type",
-                "ts + INTERVAL 30 DAYS AS ts",
-                f"CAST(0.0 AS {vt}) AS value",
-                "'{}' AS props",
-            )
-            .select(*ev.columns)
-        )
-        pre_sentinel = set(_data_files(replay))
-        sent.coalesce(1).write.mode("append").parquet(replay)
-        bump_new_file_mtimes(replay, pre_sentinel)  # sentinel replays last
-        gap = f"{SESSION_GAP_US // 1_000_000} seconds"
-        per_session = (
-            events_stream(spark, replay)
-            .withWatermark("ts", "2 hours")
-            .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("n_ev"))
-            .select(
-                "user_id",
-                "n_ev",
-                (
-                    F.unix_micros(F.col("sw.end"))
-                    - F.unix_micros(F.col("sw.start"))
-                ).alias("dur_us"),
-            )
-        )
+        build_session_replay(spark, sf_dir, replay)
         table = f"q269_session_{abs(hash(key)) % 10**9}"
-        q = (
-            per_session.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(table)
-            .option("checkpointLocation", os.path.join(base, "ckpt"))
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
-        cached = spark.table(table).localCheckpoint()
+        cached = run_session_stream(
+            spark, replay, os.path.join(base, "ckpt"), table
+        ).localCheckpoint()
         _MATVIEW_STATE_CACHE[key] = cached
     return cached.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
