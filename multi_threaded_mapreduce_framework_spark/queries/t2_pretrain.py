@@ -259,7 +259,9 @@ def q206_dsir_importance(spark, sf_dir):
     scan); the log-ratio table is vocabulary-sized and joins back to
     the token stream on the gram key (size-based planner decides
     broadcast vs shuffle, correct either way since vocabulary grows
-    with the corpus); the two 1-row totals broadcast.  The per-doc sum
+    with the corpus); the corpus totals read off the aggregated
+    vocabulary relation itself (r12 — no re-exploding scalar
+    subtrees).  The per-doc sum
     is one partial-aggregated shuffle on doc_id, and the top-20 is a
     TakeOrderedAndProject over per-doc rows — never a global sort of
     the corpus.  Tiebreak doc_id.  The score is an INTEGER (micro
@@ -309,12 +311,6 @@ def dsir_doc_scores(spark, sf_dir):
         .groupBy("tok")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c_en"))
     )
-    v = allc.agg(
-        F.count(F.lit(1)).cast("bigint").alias("vocab"),
-        F.sum("c_all").cast("bigint").alias("t_all"),
-    )
-    te = enc.agg(F.coalesce(F.sum("c_en"), F.lit(0)).cast("bigint").alias("t_en"))
-
     @pandas_udf("bigint")
     def lr_micro_udf(kl, kr, kdl, kdr):
         import numpy as np
@@ -334,14 +330,43 @@ def dsir_doc_scores(spark, sf_dir):
         # same quantization expression as the oracle's _LR_MICRO
         return pd.Series(np.floor(1000000.0 * lr + 0.5).astype(np.int64))
 
+    # r12 (VERDICT r11 item 7, measured): vocab / t_all / t_en used to
+    # be two scalar aggregates OVER allc/enc — but each was a second
+    # consumer of an unmaterialized aggregate, so Catalyst re-derived
+    # them from scratch and the corpus explode ran FIVE times per
+    # action (allc, enc, v's allc, te's enc, final join probe), plus
+    # two BroadcastNestedLoopJoin scalar attaches.  The totals now read
+    # off the aggregated VOCABULARY relation itself via an
+    # unpartitioned window (domain-bounded — q127's vocabulary-window
+    # class; vocabularies are 1e4-1e6 rows at any corpus size): corpus
+    # explodes 5 -> 3, BNLJ 2 -> 0, zero added jobs.  Paired A/B at
+    # sf0.1 is a wash (0.98x) — the win is the two removed corpus
+    # passes, which the fixture's 31-token vocabulary cannot see.
+    # (Checkpointing allc/enc/r instead measured 1.22x SLOWER — three
+    # eager vocab-sized jobs cost more than the saved re-explodes at
+    # this SF; the pair-count fold (explode once to (doc,tok) counts)
+    # measured a wash with a heavier materialization — both recorded
+    # here per the measure-first rule.)
+    w_vocab = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     r = (
         allc.join(enc, "tok", "left")
-        .crossJoin(F.broadcast(v))
-        .crossJoin(F.broadcast(te))
+        .select(
+            "tok",
+            "c_all",
+            F.coalesce("c_en", F.lit(0)).alias("c_en0"),
+            F.count(F.lit(1)).over(w_vocab).cast("bigint").alias("vocab"),
+            F.sum("c_all").over(w_vocab).cast("bigint").alias("t_all"),
+            F.sum(F.coalesce("c_en", F.lit(0)))
+            .over(w_vocab)
+            .cast("bigint")
+            .alias("t_en"),
+        )
         .select(
             "tok",
             lr_micro_udf(
-                F.expr("COALESCE(c_en, 0) + 1"),
+                F.expr("c_en0 + 1"),
                 F.expr("c_all + 1"),
                 F.expr("t_en + vocab"),
                 F.expr("t_all + vocab"),

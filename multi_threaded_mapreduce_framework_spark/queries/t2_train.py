@@ -92,11 +92,12 @@ def q128_train_holdout_leakage(spark, sf_dir):
     leaking docs are emitted. The pre-training twin of q98's benchmark
     decontamination, with the opposite scale posture: the reference
     side here is 80% OF THE CORPUS, so nothing broadcasts — the hit
-    test is a distributed LEFT SEMI join on the shingle key (both
-    sides shuffle-partition on p), then per-doc re-aggregation on the
-    already-computed doc_id. This is the shape dedup-against-big-
-    reference takes whenever the reference set outgrows executor
-    memory.
+    test is a distributed LEFT OUTER join on the shingle key against
+    the deduplicated index (at most one match per key, so row counts
+    are preserved) carrying a hit marker, folded by ONE per-doc
+    aggregation (r11 rewrite; both sides shuffle-partition on p). This
+    is the shape dedup-against-big-reference takes whenever the
+    reference set outgrows executor memory.
 
     Skew posture: the TRAIN shingle index is deduplicated (partial-agg
     distinct — the right mitigation for Zipf-hot shingles on the BUILD

@@ -201,10 +201,15 @@ ALLOW: dict[str, dict[str, str]] = {
         "size pinned by the LIMIT upstream (the q111/q225 bounded class)",
     },
     "q225_scorer_agreement": {
-        "BNLJ": "DSIR vocab/t_en scalars (1 row each) + the 3-row depth "
-        "grid broadcast",
+        "BNLJ": "the 3-row depth grid broadcast",
         "GLOBAL-WINDOW": "rank over the TakeOrdered TOP-100 subset — "
-        "size pinned by the LIMIT upstream (q111's bounded class)",
+        "size pinned by the LIMIT upstream (q111's bounded class); plus "
+        "the DSIR vocabulary-totals window (q206's r12 class)",
+    },
+    "q206_dsir_importance": {
+        "GLOBAL-WINDOW": "corpus totals read off the AGGREGATED vocabulary "
+        "relation (q127's domain-bounded class) — replaced two "
+        "re-exploding scalar subtrees (r12)"
     },
     "q219_source_embedding_drift": {
         "BNLJ": "global-norm scalar (1 row) broadcast into the cosine fold"
