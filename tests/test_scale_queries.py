@@ -98,6 +98,49 @@ def test_mg_candidate_count_bounded(spark):
     assert cand.count() <= k * n_parts
 
 
+def test_bigram_mg_candidates_superset_and_seams(spark):
+    # r12 kernel: bigrams built inside the Python sketch must see the
+    # exact explode multiset — per-doc adjacency only (no cross-doc
+    # seam pairs), split-on-single-space law (empty tokens preserved)
+    from multi_threaded_mapreduce_framework_spark.functions.heavy_hitters import (
+        bigram_mg_candidates,
+    )
+
+    docs = spark.createDataFrame(
+        [("a b c",), ("c a b",), ("a b",), ("x",), ("a  b",)] * 50,
+        "text string",
+    )
+    truth = (
+        docs.select(F.split("text", " ").alias("ws"))
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(slice(ws, 1, greatest(size(ws) - 1, 0)),"
+                    " (w, i) -> concat_ws(' ', slice(ws, i + 1, 2)))"
+                )
+            ).alias("shingle")
+        )
+    )
+    n = truth.count()
+    k = 3  # small k forces real MG pruning
+    cand = set(
+        r["shingle"] for r in bigram_mg_candidates(docs, "text", k).collect()
+    )
+    heavy = set(
+        r["shingle"]
+        for r in truth.groupBy("shingle")
+        .count()
+        .filter(F.col("count") > n / (k + 1))
+        .collect()
+    )
+    assert heavy, "test needs at least one heavy hitter"
+    assert heavy <= cand, heavy - cand
+    # the seam pair ("c c" from doc1->doc2, "b a"... across docs) must
+    # not be invented: every candidate is a REAL within-doc bigram
+    real = set(r["shingle"] for r in truth.distinct().collect())
+    assert cand <= real, cand - real
+
+
 def test_q135_equals_exact_groupby(spark, sf_dir):
     df = QUERIES["q135_heavy_hitter_shingles"].builder(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
