@@ -107,8 +107,9 @@ def q205_duplicate_span_census(spark, sf_dir):
     maximal duplicated spans are the merged islands of the per-doc
     duplicated-gram intervals [pos, pos+G).  Three bounded stages:
     (1) gram census — one partial-aggregated shuffle on the gram key
-    (distinct (doc,gram) first, q101's trick, so no countDistinct
-    state); Zipf-hot grams partial-agg map-side.  (2) flag-back join
+    (min(doc_id) != max(doc_id) IS the >= 2-distinct-docs test, so no
+    distinct pre-shuffle and no countDistinct state); Zipf-hot grams
+    partial-agg map-side.  (2) flag-back join
     on the gram key (vocabulary-sized, size-based planner picks the
     strategy).  (3) island merge — per-doc windows (doc-bounded, never
     corpus-bounded) compute the running max-end interval merge, then
@@ -135,12 +136,20 @@ def q205_duplicate_span_census(spark, sf_dir):
             )
         ).alias("pos", "gram"),
     ).withColumn("pos", F.col("pos").cast("bigint"))
+    # r12 (guide §2.3 aggregate-before-shuffle): "gram occurs in >= 2
+    # distinct docs" is exactly min(doc_id) != max(doc_id) over the
+    # gram's rows — ONE partial-aggregated exchange on the gram key
+    # instead of the (doc, gram) distinct exchange FOLLOWED by the gram
+    # count exchange (the old form shuffled every distinct (doc, gram)
+    # pair; this shuffles one (min, max) partial per gram per
+    # partition).  Paired A/B at sf0.1 is a wash (0.96-1.00) — the
+    # removed exchange is corpus-sized only at scale.  (Checkpointing
+    # the gram explode to feed both passes measured 1.06x SLOWER and
+    # was dropped — same finding as q224's trigram explode.)
     dup = (
-        grams.select("doc_id", "gram")
-        .distinct()
-        .groupBy("gram")
-        .agg(F.count(F.lit(1)).alias("n_docs_with"))
-        .filter(F.col("n_docs_with") >= 2)
+        grams.groupBy("gram")
+        .agg(F.min("doc_id").alias("d0"), F.max("doc_id").alias("d1"))
+        .filter(F.col("d0") != F.col("d1"))
         .select("gram")
     )
     p = grams.join(dup, "gram").select(
