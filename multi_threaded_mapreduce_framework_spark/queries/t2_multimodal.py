@@ -29,21 +29,38 @@ from multi_threaded_mapreduce_framework_spark.sources import (
 )
 
 
-def _spread_chain(df):
-    """cores/4-way spread for CHAINED (3-kernel) Python pipelines.
+# Fan-out law for chained Python pipelines (r12 sweep, SCALE.md): each
+# Python stage pays a per-task Arrow setup cost, so the right fan-out
+# tracks ROWS PER TASK, not a fixed core divisor — r11's cores/4 tier
+# was the sf0.1 point of that curve (5000 docs / 8 tasks = 625
+# rows/task), and a 20x fixture moved the optimum to cores/2
+# (100k / 16 = 6250).  ~600 rows/task reproduces both optima within
+# ~6%.  The row count comes from ONE parquet-metadata count per
+# (session, plan) — memoized so the suite pays it once per table, and
+# irrelevant on production inputs where the scan already has enough
+# splits to no-op the spread entirely.
+_SPREAD_ROWS_PER_TASK = 600
+_ROWCOUNT_MEMO: dict = {}
 
-    Each Python stage pays a per-task Arrow setup cost, so a 3-kernel
-    chain at full-core fan-out triples that fixed cost 32 ways over a
-    tiny fixture; measured optimum at sf0.1/local[32] is cores/4
-    (q267 0.93 s unspread / 1.06 s 32-way / 0.66 s 8-way; q271
-    0.91 / 1.33 / 0.71 — OPTIMIZATION_r11.md).  Derived from
-    defaultParallelism, no-op once the scan already has that many
-    splits, so production inputs are untouched."""
+
+def _spread_chain(df):
+    """Rows-adaptive spread for CHAINED (3-kernel) Python pipelines:
+    clamp(rows / ~600, 2, cores) partitions (see the fan-out law
+    above); no-op once the scan already has that many splits, so
+    production inputs are untouched."""
+    from multi_threaded_mapreduce_framework_spark.sources import (
+        spread_small_scan,
+    )
+
     spark = df.sparkSession
-    n = max(spark.sparkContext.defaultParallelism // 4, 2)
-    if df.rdd.getNumPartitions() >= n:
-        return df
-    return df.repartition(n)
+    cores = spark.sparkContext.defaultParallelism
+    key = (spark.sparkContext.applicationId, df.semanticHash())
+    rows = _ROWCOUNT_MEMO.get(key)
+    if rows is None:
+        rows = df.count()  # parquet-footer count: one tiny metadata job
+        _ROWCOUNT_MEMO[key] = rows
+    n = min(cores, max(2, -(-rows // _SPREAD_ROWS_PER_TASK)))
+    return spread_small_scan(df, target=n)
 
 
 @register(

@@ -64,19 +64,31 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(table_path(sf_dir, name))
 
 
-def spread_small_scan(df: DataFrame, min_factor: int = 2) -> DataFrame:
+def spread_small_scan(
+    df: DataFrame, min_factor: int = 2, target: int | None = None
+) -> DataFrame:
     """Round-robin repartition a scan whose natural split count cannot
     feed the cluster's cores — the few-large-files / single-row-group /
     gzip case, where heavy per-row compute (sketching, shingling) would
     otherwise run on a handful of tasks.
 
-    No-op whenever the scan already has ``cores / min_factor`` splits,
-    which is always true on a production-scale input (thousands of row
-    groups), so the extra exchange exists only where it buys CPU
-    parallelism worth far more than the small shuffle it costs.
+    ``target`` (r12, ADVICE r11 item 3 — the one spread implementation
+    both helpers share): when given, spread to exactly that many
+    partitions instead of the core count; q267-class chained Python
+    pipelines pass a rows-derived fan-out here.
+
+    No-op whenever the scan already has ``cores / min_factor`` splits
+    (or ``target`` splits), which is always true on a production-scale
+    input (thousands of row groups), so the extra exchange exists only
+    where it buys CPU parallelism worth far more than the small shuffle
+    it costs.
     """
     spark = df.sparkSession
     cores = spark.sparkContext.defaultParallelism
+    if target is not None:
+        if df.rdd.getNumPartitions() >= target:
+            return df
+        return df.repartition(target)
     if df.rdd.getNumPartitions() * min_factor <= cores:
         return df.repartition(cores)
     return df
