@@ -64,7 +64,7 @@ SHOWCASE = {
     "q187_value_histogram_percentile": "two partial-agg Exchanges ((flag) min/max/count, then (flag, bucket) bin counts), per-group stats re-entering via BroadcastHashJoin, and the cumulative window runs over the <=256-bins-per-group histogram — integer arithmetic end to end, no sort of raw rows.",
     "q186_bitmap_matview_readback": "the readback is ONE partial-agg merge over the stream-written word snapshot (scan -> OR-merge Exchange -> bit_count sum); no raw event ever appears in the plan — the stream already collapsed them to 8-byte words.",
     "q193_semantic_dedup": "assignment is a BroadcastNestedLoopJoin against the 16-row centroid side; ONE Exchange co-locates each IVF cell into FlatMapGroupsInPandas (the per-cell GEMM) — pair similarities never exist as rows in the plan.",
-    "q195_winnowing_fingerprints": "the whole MOSS selection (gram hashes, window minima, distinct positions) is a single projected higher-order expression INSIDE the scan stage — no Exchange below the 5-key lang censuses, and the fingerprint explode feeds a partial-agg distinct count.",
+    "q195_winnowing_fingerprints": "the whole MOSS selection (gram hashes, window minima, distinct positions) is ONE Arrow-batched numpy kernel INSIDE the scan stage (r12; bit-equal integer law) — no Exchange below the censuses, and the fingerprint explode folds through a (lang, fp) partial aggregation instead of a countDistinct Expand.",
     "q198_unpivot_doc_metrics": "unpivot plans as ONE Expand node ABOVE the per-lang aggregate (single parquet Scan in the whole plan) — the wide->long reshape multiplies 5 post-agg rows by 4 metrics, never re-scanning the table the way a UNION ALL formulation would.",
     "q200_recursive_cte_depths": "WITH RECURSIVE plans as Catalyst's UnionLoop — the engine owns the fixed-point iteration (frontier join per step against the parent relation) and the census above it is one partial agg; no driver-side loop exists anywhere in the query.",
     "q271_video_frame_extract_census": "THREE chained MapInPandas (synth -> frame-slice -> census) with no Exchange between them — the video streams and the sliced frame payloads are born and consumed inside the scan stage; the two exchanges above carry the count_distinct's (dur_class, media_id) partials (bounded by videos, not frames) and the 4-row class census — never payload bytes.",
