@@ -86,6 +86,51 @@ def word_shingle_hashes(text: Column | str, n: int = 3) -> Column:
     return let(wh_expr, body)
 
 
+def word_shingle_hashes_np(text: Column | str, n: int = 3) -> Column:
+    """Arrow-vectorized :func:`word_shingle_hashes` — the same integer
+    law step for step (pure int64, bit-equal by construction, verified
+    row-for-row against the Column form on the fixtures and edge cases
+    incl. empty words and non-ASCII): per word, the (a*31 + codepoint)
+    % P char fold (vectorized with a LEFT-pad of zero codes, which is
+    fold-neutral since the accumulator starts at 0); per shingle, the
+    n-word BAND_MIX polynomial; first-occurrence distinct.  Overflow-
+    free: P < 2^30, so every intermediate < 2^51.  The Column form ran
+    the char fold as interpreted CodegenFallback HOFs per row — the
+    q195 kernel lesson applied to the MinHash sketch family (r12)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<bigint>")
+    def _hs(texts):
+        import numpy as np
+        import pandas as pd
+
+        out = []
+        for t in texts:
+            words = t.split(" ")
+            nw = len(words)
+            if nw < n:
+                out.append(np.empty(0, dtype=np.int64))
+                continue
+            width = max(max(len(w) for w in words), 1)
+            M = np.zeros((nw, width), dtype=np.int64)
+            for i, w in enumerate(words):
+                if w:
+                    M[i, width - len(w):] = np.frombuffer(
+                        w.encode("utf-32-le"), dtype=np.uint32
+                    ).astype(np.int64)
+            h = np.zeros(nw, dtype=np.int64)
+            for j in range(width):
+                h = (h * 31 + M[:, j]) % P
+            sh = h[: nw - n + 1].copy()
+            for j in range(1, n):
+                sh = (sh * BAND_MIX + h[j : nw - n + 1 + j]) % P
+            _, idx = np.unique(sh, return_index=True)
+            out.append(sh[np.sort(idx)])
+        return pd.Series(out)
+
+    return _hs(F.col(text) if isinstance(text, str) else text)
+
+
 def distinct_token_hashes(text: Column | str) -> Column:
     """Distinct word-token hashes (array<bigint>) — SimHash's feature set."""
     t = F.col(text) if isinstance(text, str) else text

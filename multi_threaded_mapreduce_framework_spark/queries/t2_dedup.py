@@ -35,7 +35,7 @@ from multi_threaded_mapreduce_framework_spark.functions.texthash import (
     minhash_signature_np,
     simhash_col,
     simhash_np,
-    word_shingle_hashes,
+    word_shingle_hashes_np,
 )
 from multi_threaded_mapreduce_framework_spark.functions.vector import cosine_similarity
 from multi_threaded_mapreduce_framework_spark.queries.registry import register
@@ -131,7 +131,7 @@ def q35_minhash_lsh(spark, sf_dir):
     # into the UDF argument (see functions.texthash.let).
     sh = (
         docs.filter(F.size(F.split("text", " ")) >= 3)
-        .select("doc_id", word_shingle_hashes("text").alias("hs"))
+        .select("doc_id", word_shingle_hashes_np("text").alias("hs"))
         .select(
             "doc_id",
             "hs",
@@ -656,7 +656,7 @@ def q117_incremental_dedup(spark, sf_dir):
 
     def _shingles(df):
         return df.filter(F.size(F.split("text", " ")) >= 3).select(
-            "doc_id", word_shingle_hashes("text").alias("hs")
+            "doc_id", word_shingle_hashes_np("text").alias("hs")
         )
 
     def _bands(sh_df):

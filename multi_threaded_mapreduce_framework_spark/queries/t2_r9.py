@@ -40,7 +40,7 @@ from multi_threaded_mapreduce_framework_spark.functions.texthash import (
     let,
     lsh_band_keys,
     minhash_signature_np,
-    word_shingle_hashes,
+    word_shingle_hashes_np,
 )
 from multi_threaded_mapreduce_framework_spark.queries.registry import register
 from multi_threaded_mapreduce_framework_spark.queries.t2_dedup import (
@@ -124,7 +124,7 @@ def q249_banded_threshold_curve(spark, sf_dir):
     # side (q35's r11 note — Python UDF subtrees defeat ReuseExchange)
     sh = (
         docs.filter(F.size(F.split("text", " ")) >= 3)
-        .select("doc_id", word_shingle_hashes("text").alias("hs"))
+        .select("doc_id", word_shingle_hashes_np("text").alias("hs"))
         .select(
             "doc_id",
             "hs",

@@ -522,7 +522,7 @@ def q222_minhash_error_census(spark, sf_dir):
     pairs — same plan minus the pair generation.
     """
     from multi_threaded_mapreduce_framework_spark.functions.texthash import (
-        word_shingle_hashes,
+        word_shingle_hashes_np,
     )
     from multi_threaded_mapreduce_framework_spark.queries.t2_dedup import (
         minhash_signature_np,
@@ -538,7 +538,7 @@ def q222_minhash_error_census(spark, sf_dir):
     # both compare sides: the signature kernel runs once per corpus
     # pass instead of once per compare side (q35's r11 note)
     sig = (
-        docs.select("doc_id", word_shingle_hashes("text").alias("hs"))
+        docs.select("doc_id", word_shingle_hashes_np("text").alias("hs"))
         .select(
             "doc_id",
             "hs",

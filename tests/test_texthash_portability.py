@@ -85,6 +85,32 @@ def test_shingle_hashes_match(docs_df, duck):
         assert sorted(spark_vals[i]) == sorted(duck_vals[i]), DOCS[i]
 
 
+def test_word_shingle_hashes_np_parity(spark, docs_df):
+    # r12 kernel: the numpy form must be BIT-equal to the Column form —
+    # same values, same (first-occurrence distinct) order — including
+    # empty words from doubled/leading/trailing spaces and non-ASCII
+    from multi_threaded_mapreduce_framework_spark.functions.texthash import (
+        word_shingle_hashes_np,
+    )
+
+    extra = spark.createDataFrame(
+        [
+            (100, "a  double  space doc"),
+            (101, " leading and trail "),
+            (102, "répé unïcode ché zz"),
+            (103, "a b c a b c a b c"),
+        ],
+        "i bigint, t string",
+    )
+    both = docs_df.unionByName(extra).select(
+        "i",
+        word_shingle_hashes("t").alias("a"),
+        word_shingle_hashes_np("t").alias("b"),
+    )
+    for r in both.collect():
+        assert list(r.a) == list(r.b), r.i
+
+
 def test_minhash_signature_match_and_np_parity(docs_df, duck):
     base = docs_df.select(
         "i", word_shingle_hashes("t").alias("hs")
